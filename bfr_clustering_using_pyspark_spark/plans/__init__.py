@@ -1,0 +1,23 @@
+"""Declarative query plans (the analytics surface).
+
+Each module exposes ``QUERIES: dict[name -> fn(spark, sf_dir) ->
+DataFrame]`` and ``ORACLES: dict[name -> duckdb-runnable SQL]`` for
+the correctness gate. Computed columns are aliased identically on
+both sides (the gate hashes values after sorting columns by name).
+"""
+
+from . import events, tpch
+
+
+def all_queries():
+    out = {}
+    for mod in (tpch, events):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in (tpch, events):
+        out.update(mod.ORACLES)
+    return out

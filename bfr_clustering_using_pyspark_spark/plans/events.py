@@ -1,0 +1,175 @@
+"""Event-stream analytics plans (batch forms; streaming variants live
+in ``streaming/``).
+
+All window/sessionization logic partitions by ``user_id`` — at 100 TB
+the shuffle is one hash exchange on the user key, and every
+subsequent per-user window reuses that partitioning (Catalyst elides
+repeat exchanges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: event counts + value sums per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q_EVENTS_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity ends a session).
+
+    lag → new-session flag → cumulative sum = session index; then one
+    row per session with bounds and totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .when(F.lag("ts").over(w_user).isNull(), 1)
+        .otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+Q_EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → purchase funnel: per-stage user counts.
+
+    Stage timestamps via conditional min-aggregation per user (one
+    shuffle), then a tiny scalar aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.count(F.when(F.col("t_view") > F.col("t_signup"), 1)).alias("n_signup_then_view"),
+        F.count(
+            F.when(
+                (F.col("t_view") > F.col("t_signup")) & (F.col("t_purchase") > F.col("t_view")), 1
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(t_signup) AS n_signup,
+       count(CASE WHEN t_view > t_signup THEN 1 END) AS n_signup_then_view,
+       count(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 END) AS n_full_funnel
+FROM per_user
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value over time (bounded to purchases)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("purchase_seq"),
+        )
+        .orderBy("user_id", "purchase_seq")
+    )
+
+
+Q_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS purchase_seq
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_seq
+"""
+
+
+QUERIES = {
+    "q_events_windowed": q_events_windowed,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_funnel": q_events_funnel,
+    "q_running_total": q_running_total,
+}
+
+ORACLES = {
+    "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
+    "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
+    "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
+    "q_running_total": Q_RUNNING_TOTAL_SQL,
+}

@@ -1,0 +1,74 @@
+"""Sources: parquet table loaders + the reference's point format.
+
+The reference ingests points as sorted CSV files of
+``pidx,dim0,dim1,...`` (reference ``code/bfr.py:209-217``,
+``Runner.load_points``). :func:`points_from_indexed_csv` re-expresses
+that as a distributed scan producing ``(id: long, features:
+array<double>)`` — no driver-side file loop, so it scales to any
+number of chunk files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark only supports
+        # micros. Read nanos as long and truncate to micros (matching
+        # DuckDB's conversion) — a metadata-only scan tweak, still
+        # fully pushed down.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def points_from_indexed_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's point-chunk CSV format distributedly.
+
+    Each line is ``pidx,dim0,dim1,...`` with a variable number of
+    dims. Reads as a single text column and splits JVM-side (no
+    Python UDF): id = first field, features = rest cast to double.
+    """
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), ",")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("id"),
+        F.transform(F.slice(parts, 2, 1 << 20), lambda x: x.cast("double")).alias("features"),
+    )
+
+
+def embeddings_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata analogue of the reference's point stream:
+    (id, features array<double>, label ground truth)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("features"),
+        F.col("label"),
+    )

@@ -1,0 +1,485 @@
+"""Distributed BFR (Bradley–Fayyad–Reina) streaming clustering.
+
+Parity target: the reference's ``Runner`` (``/root/reference/code/
+bfr.py:191-468``) — Discard Sets / Compressed Sets / Retained Set
+with N/SUM/SUMSQ sufficient statistics (``SummarizedSet``,
+bfr.py:142-188), Mahalanobis assignment gated at α·√d
+(``assign_to_ss``, bfr.py:363-374), RS re-clustering into CS
+(``cluster_rs``, bfr.py:259-288), CS–CS merging (``merge_css``,
+bfr.py:290-320) and a final CS/RS fold-in (``merge_into_ds``,
+bfr.py:336-355).
+
+Spark-first architecture (designed for 1000 executors / 100 TB):
+
+- Cluster state is O(k·d) floats — kept on the driver and broadcast
+  into every assignment pass. Points NEVER stream to the driver; the
+  only driver-side point pool is the retained set, which is bounded
+  by ``rs_max`` (overflow triggers CS compression, per the
+  algorithm).
+- Per-chunk assignment is one Arrow-batched ``mapInPandas`` pass —
+  embarrassingly parallel, NumPy-vectorized Mahalanobis against all
+  summaries at once.
+- Sufficient-statistic updates are map-side partial aggregates: each
+  Arrow batch emits one row per touched cluster (n, Σx, Σx²), so the
+  driver collect is O(num_batches × k), independent of n.
+- Per-chunk assignments are appended to a parquet run directory
+  (linear distributed write) instead of accumulating a lazy union of
+  Python-UDF stages.
+
+Semantic divergence from the reference (deliberate, documented): the
+reference updates summaries point-by-point WITHIN a chunk (bfr.py:
+382-391), so a chunk's later points see slightly drifted centers.
+The distributed formulation holds summaries fixed during a chunk and
+folds in the partial sums afterwards — the textbook batch-BFR
+semantics, and the only shuffle-free one.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .local_kmeans import LocalKMeans
+
+KIND_DS, KIND_CS, KIND_RS = 0, 1, 2
+
+
+@dataclass
+class Summaries:
+    """Sufficient statistics for a family of sets (DS or CS).
+
+    Mirrors reference ``SummarizedSet`` (bfr.py:142-188) but stored
+    columnar: counts (k,), sums (k,d), sqsums (k,d).
+    """
+
+    counts: np.ndarray
+    sums: np.ndarray
+    sqsums: np.ndarray
+
+    @property
+    def k(self) -> int:
+        return len(self.counts)
+
+    @property
+    def centers(self) -> np.ndarray:
+        return self.sums / np.maximum(self.counts[:, None], 1)
+
+    @property
+    def stds(self) -> np.ndarray:
+        c = self.centers
+        var = self.sqsums / np.maximum(self.counts[:, None], 1) - c**2
+        return np.sqrt(np.maximum(var, 0.0))
+
+    @classmethod
+    def empty(cls, d: int) -> "Summaries":
+        return cls(np.zeros(0, dtype=np.int64), np.zeros((0, d)), np.zeros((0, d)))
+
+    @classmethod
+    def from_points(cls, pts: np.ndarray, labels: np.ndarray, k: int) -> "Summaries":
+        d = pts.shape[1]
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d))
+        sqsums = np.zeros((k, d))
+        for c in range(k):
+            mask = labels == c
+            counts[c] = mask.sum()
+            if counts[c]:
+                sums[c] = pts[mask].sum(axis=0)
+                sqsums[c] = (pts[mask] ** 2).sum(axis=0)
+        return cls(counts, sums, sqsums)
+
+    def add_partials(self, cluster: np.ndarray, n: np.ndarray, s: np.ndarray, sq: np.ndarray) -> None:
+        np.add.at(self.counts, cluster, n)
+        np.add.at(self.sums, cluster, s)
+        np.add.at(self.sqsums, cluster, sq)
+
+    def append(self, other: "Summaries") -> None:
+        self.counts = np.concatenate([self.counts, other.counts])
+        self.sums = np.concatenate([self.sums, other.sums])
+        self.sqsums = np.concatenate([self.sqsums, other.sqsums])
+
+    def drop(self, idx: list[int]) -> None:
+        keep = np.setdiff1d(np.arange(self.k), np.asarray(idx, dtype=int))
+        self.counts = self.counts[keep]
+        self.sums = self.sums[keep]
+        self.sqsums = self.sqsums[keep]
+
+
+def mahalanobis_to_all(pts: np.ndarray, centers: np.ndarray, stds: np.ndarray) -> np.ndarray:
+    """(n, k) Mahalanobis distances; zero-σ dims contribute 0
+    (reference ``Utils.mahalanobis_distance``, bfr.py:120-126)."""
+    n, k = len(pts), len(centers)
+    out = np.empty((n, k))
+    inv = np.where(stds > 0, 1.0 / np.where(stds > 0, stds, 1.0), 0.0)
+    for i in range(k):
+        z = (pts - centers[i]) * inv[i]
+        out[:, i] = np.einsum("nd,nd->n", z, z)
+    return np.sqrt(out)
+
+
+@dataclass
+class BFRConfig:
+    n_clusters: int
+    n_chunks: int = 5
+    alpha_ds: float = 3.0          # ref assign_dsrsout alpha=3 (bfr.py:382)
+    alpha_fold: float = 4.0        # ref merge_into_ds alpha=4 (bfr.py:339)
+    init_oversample: int = 3       # ref init_sets: KMeans(3k) (bfr.py:400)
+    init_sample_frac: float = 0.2  # ref init_sets: 20% sample (bfr.py:396)
+    init_sample_cap: int = 200_000 # driver-memory bound on the init sample
+    rs_cluster_factor: int = 5     # ref cluster_rs: KMeans(5k) (bfr.py:262)
+    rs_max: int = 50_000           # RS pool size triggering CS compression
+    cs_merge_threshold: float = 3.0  # ref merge_css: < 3·√d (bfr.py:309)
+    kmeans_iterations: int = 5     # ref HCluster(…, 5) everywhere
+    seed: int = 42
+    use_cs: bool = True
+
+
+@dataclass
+class RoundStats:
+    """Reference's intermediate CSV row (bfr.py:196-198, 453-460)."""
+
+    round_id: int
+    nof_cluster_discard: int
+    nof_point_discard: int
+    nof_cluster_compression: int
+    nof_point_compression: int
+    nof_point_retained: int
+
+
+class BFR:
+    def __init__(self, config: BFRConfig):
+        self.cfg = config
+        self.ds: Summaries | None = None
+        self.cs: Summaries | None = None
+        self.rs_ids: list[int] = []
+        self.rs_pts: list[np.ndarray] = []
+        self.cs_members: list[list[int]] = []  # point ids per CS (ref point_indices)
+        self.round_stats: list[RoundStats] = []
+        self._n_discard_points = 0
+
+    # ---------- distributed kernels ----------
+
+    def _assign_kernel(self, d: int):
+        """mapInPandas: label each point against broadcast DS/CS."""
+        cfg = self.cfg
+        ds_centers, ds_stds = self.ds.centers, self.ds.stds
+        if cfg.use_cs and self.cs is not None and self.cs.k:
+            cs_centers, cs_stds = self.cs.centers, self.cs.stds
+        else:
+            cs_centers = None
+            cs_stds = None
+        a_ds = cfg.alpha_ds * math.sqrt(d)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pts = np.stack(pdf["features"].to_numpy())
+                dist = mahalanobis_to_all(pts, ds_centers, ds_stds)
+                best = dist.argmin(axis=1)
+                bestd = dist[np.arange(len(pts)), best]
+                kind = np.where(bestd < a_ds, KIND_DS, KIND_RS)
+                label = np.where(kind == KIND_DS, best, -1)
+                if cs_centers is not None and (kind == KIND_RS).any():
+                    rs_mask = kind == KIND_RS
+                    cdist = mahalanobis_to_all(pts[rs_mask], cs_centers, cs_stds)
+                    cbest = cdist.argmin(axis=1)
+                    cbestd = cdist[np.arange(rs_mask.sum()), cbest]
+                    hit = cbestd < a_ds
+                    kind_rs = np.where(hit, KIND_CS, KIND_RS)
+                    label_rs = np.where(hit, cbest, -1)
+                    kind[rs_mask] = kind_rs
+                    label[rs_mask] = label_rs
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "features": pdf["features"],
+                        "kind": kind.astype(np.int32),
+                        "label": label.astype(np.int32),
+                    }
+                )
+
+        return fn
+
+    @staticmethod
+    def _partials_kernel():
+        """mapInPandas: per-batch partial (label, n, Σx, Σx²)."""
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pts = np.stack(pdf["features"].to_numpy())
+                labels = pdf["label"].to_numpy()
+                uniq = np.unique(labels)
+                yield pd.DataFrame(
+                    {
+                        "label": uniq.astype(np.int64),
+                        "n": [(labels == u).sum() for u in uniq],
+                        "sums": [pts[labels == u].sum(axis=0).tolist() for u in uniq],
+                        "sqsums": [(pts[labels == u] ** 2).sum(axis=0).tolist() for u in uniq],
+                    }
+                )
+
+        return fn
+
+    def _collect_partials(self, labeled: DataFrame, kind: int, summaries: Summaries) -> int:
+        part = (
+            labeled.filter(F.col("kind") == kind)
+            .select("features", "label")
+            .mapInPandas(self._partials_kernel(), schema="label long, n long, sums array<double>, sqsums array<double>")
+            .toPandas()
+        )
+        if not len(part):
+            return 0
+        summaries.add_partials(
+            part["label"].to_numpy(),
+            part["n"].to_numpy(),
+            np.stack(part["sums"].to_numpy()),
+            np.stack(part["sqsums"].to_numpy()),
+        )
+        return int(part["n"].sum())
+
+    # ---------- driver-side (bounded) steps ----------
+
+    def _init_from_sample(self, ids: np.ndarray, pts: np.ndarray) -> pd.DataFrame:
+        """Reference ``init_sets`` (bfr.py:393-429): oversampled
+        k-means → singleton clusters to RS → k-means(k) on inliers →
+        DS. Returns the sample's (id, cluster) assignments."""
+        cfg = self.cfg
+        k1 = min(cfg.n_clusters * cfg.init_oversample, max(len(pts) // 2, 1))
+        km1 = LocalKMeans(k1, cfg.kmeans_iterations, cfg.seed).fit(pts)
+        sizes = np.bincount(km1.labels, minlength=k1)
+        outlier_labels = set(np.where(sizes == 1)[0])
+        is_outlier = np.isin(km1.labels, list(outlier_labels)) if outlier_labels else np.zeros(len(pts), bool)
+        if (~is_outlier).sum() < cfg.n_clusters:
+            # degenerate tiny sample: keep everything as inlier
+            is_outlier = np.zeros(len(pts), bool)
+
+        self.rs_ids.extend(ids[is_outlier].tolist())
+        self.rs_pts.extend(list(pts[is_outlier]))
+
+        in_ids, in_pts = ids[~is_outlier], pts[~is_outlier]
+        km2 = LocalKMeans(cfg.n_clusters, cfg.kmeans_iterations, cfg.seed).fit(in_pts)
+        self.ds = Summaries.from_points(in_pts, km2.labels, cfg.n_clusters)
+        self._n_discard_points += len(in_ids)
+        return pd.DataFrame({"id": in_ids, "cluster": km2.labels.astype(np.int64)})
+
+    def _compress_rs(self) -> None:
+        """Reference ``cluster_rs`` (bfr.py:259-288): cluster the RS
+        pool with 5k clusters; singletons stay RS, the rest become
+        CS; then merge close CS (``merge_css``)."""
+        cfg = self.cfg
+        pts = np.stack(self.rs_pts)
+        ids = np.asarray(self.rs_ids)
+        k = min(cfg.n_clusters * cfg.rs_cluster_factor, len(pts))
+        km = LocalKMeans(k, cfg.kmeans_iterations, cfg.seed).fit(pts)
+        sizes = np.bincount(km.labels, minlength=k)
+
+        keep_rs = np.isin(km.labels, np.where(sizes <= 1)[0])
+        cs_labels = np.where(sizes > 1)[0]
+        if len(cs_labels):
+            new_cs = Summaries.from_points(pts[~keep_rs], _remap(km.labels[~keep_rs], cs_labels), len(cs_labels))
+            new_members = [ids[km.labels == c].tolist() for c in cs_labels]
+            if self.cs is None or not self.cs.k:
+                self.cs = new_cs
+                self.cs_members = new_members
+            else:
+                self.cs.append(new_cs)
+                self.cs_members.extend(new_members)
+            self._merge_css()
+        self.rs_ids = ids[keep_rs].tolist()
+        self.rs_pts = list(pts[keep_rs])
+
+    def _merge_css(self) -> None:
+        """Reference ``merge_css`` (bfr.py:290-320): greedily merge
+        CS pairs with center-to-center Mahalanobis < 3·√d."""
+        if self.cs is None or self.cs.k < 2:
+            return
+        d = self.cs.sums.shape[1]
+        thresh = self.cfg.cs_merge_threshold * math.sqrt(d)
+        merged = True
+        while merged and self.cs.k > 1:
+            merged = False
+            centers, stds = self.cs.centers, self.cs.stds
+            for j in range(self.cs.k):
+                dist = mahalanobis_to_all(centers, centers[j : j + 1], stds[j : j + 1])[:, 0]
+                dist[j] = np.inf
+                i = int(dist.argmin())
+                if dist[i] < thresh:
+                    # fold j into i
+                    self.cs.counts[i] += self.cs.counts[j]
+                    self.cs.sums[i] += self.cs.sums[j]
+                    self.cs.sqsums[i] += self.cs.sqsums[j]
+                    self.cs_members[i].extend(self.cs_members[j])
+                    self.cs.drop([j])
+                    del self.cs_members[j]
+                    merged = True
+                    break
+
+    def _fold_rs_into_ds(self, alpha: float) -> tuple[pd.DataFrame, int]:
+        """Reference ``int_rs_to_ds``/``merge_into_ds`` RS part
+        (bfr.py:322-334, 336-346): assign RS points to DS within
+        α·√d; unassigned stay (or become -1 at the end)."""
+        if not self.rs_pts:
+            return pd.DataFrame({"id": [], "cluster": []}).astype({"id": "int64", "cluster": "int64"}), 0
+        pts = np.stack(self.rs_pts)
+        ids = np.asarray(self.rs_ids)
+        d = pts.shape[1]
+        dist = mahalanobis_to_all(pts, self.ds.centers, self.ds.stds)
+        best = dist.argmin(axis=1)
+        bestd = dist[np.arange(len(pts)), best]
+        ok = bestd < alpha * math.sqrt(d)
+        # fold accepted points' stats into DS
+        if ok.any():
+            acc = Summaries.from_points(pts[ok], best[ok], self.ds.k)
+            self.ds.counts += acc.counts
+            self.ds.sums += acc.sums
+            self.ds.sqsums += acc.sqsums
+            self._n_discard_points += int(ok.sum())
+        out = pd.DataFrame({"id": ids[ok], "cluster": best[ok].astype(np.int64)})
+        self.rs_ids = ids[~ok].tolist()
+        self.rs_pts = list(pts[~ok])
+        return out, int(ok.sum())
+
+    def _fold_cs_into_ds(self) -> dict[int, int]:
+        """Reference ``merge_into_ds`` CS part (bfr.py:348-355):
+        every CS joins its nearest DS unconditionally (α→∞)."""
+        mapping: dict[int, int] = {}
+        if self.cs is None or not self.cs.k:
+            return mapping
+        dist = mahalanobis_to_all(self.cs.centers, self.ds.centers, self.ds.stds)
+        best = dist.argmin(axis=1)
+        for j in range(self.cs.k):
+            ds_label = int(best[j])
+            mapping[j] = ds_label
+            self.ds.counts[ds_label] += self.cs.counts[j]
+            self.ds.sums[ds_label] += self.cs.sums[j]
+            self.ds.sqsums[ds_label] += self.cs.sqsums[j]
+            self._n_discard_points += int(self.cs.counts[j])
+        return mapping
+
+    def _record_round(self, round_id: int) -> None:
+        self.round_stats.append(
+            RoundStats(
+                round_id=round_id,
+                nof_cluster_discard=self.cfg.n_clusters,
+                nof_point_discard=self._n_discard_points,
+                nof_cluster_compression=0 if self.cs is None else self.cs.k,
+                nof_point_compression=sum(len(m) for m in self.cs_members),
+                nof_point_retained=len(self.rs_ids),
+            )
+        )
+
+    # ---------- main entry ----------
+
+    def fit(self, points: DataFrame, run_dir: str | None = None) -> DataFrame:
+        """Cluster (id: long, features: array<double>) → (id, cluster).
+
+        Chunks by contiguous id ranges (the distributed analogue of
+        the reference's sorted chunk files, bfr.py:431-437); parquet
+        row-group pruning makes each chunk scan cheap when the data
+        is id-sorted.
+        """
+        cfg = self.cfg
+        spark = points.sparkSession
+        run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
+
+        lo, hi, n_total = points.agg(
+            F.min("id"), F.max("id"), F.count("*")
+        ).collect()[0]
+        d = len(points.select("features").first()[0])
+        bounds = np.linspace(lo, hi + 1, cfg.n_chunks + 1).astype(np.int64)
+
+        out_path = f"{run_dir}/assignments"
+        for round_id in range(cfg.n_chunks):
+            chunk = points.filter(
+                (F.col("id") >= int(bounds[round_id])) & (F.col("id") < int(bounds[round_id + 1]))
+            )
+            if round_id == 0:
+                chunk_n = max(n_total / cfg.n_chunks, 1)
+                # at least ~50 points per target cluster for a sane
+                # init, bounded by the driver-memory cap
+                min_frac = min(1.0, 50.0 * cfg.n_clusters / chunk_n)
+                frac = min(max(cfg.init_sample_frac, min_frac), 1.0, cfg.init_sample_cap / chunk_n)
+                sample = chunk.sample(fraction=frac, seed=cfg.seed).select("id", "features").toPandas()
+                ids = sample["id"].to_numpy()
+                init_assign = self._init_from_sample(ids, np.stack(sample["features"].to_numpy()))
+                spark.createDataFrame(init_assign).write.mode("overwrite").parquet(out_path)
+                # the non-sampled remainder of chunk 0 goes through
+                # the normal assignment path (ref assign_dsrsout on
+                # points_rest, bfr.py:429)
+                sample_ids = spark.createDataFrame(pd.DataFrame({"id": ids}))
+                chunk = chunk.join(F.broadcast(sample_ids), "id", "left_anti")
+
+            labeled = chunk.mapInPandas(
+                self._assign_kernel(d), schema="id long, features array<double>, kind int, label int"
+            ).persist()
+            try:
+                self._n_discard_points += self._collect_partials(labeled, KIND_DS, self.ds)
+                if cfg.use_cs and self.cs is not None and self.cs.k:
+                    self._collect_partials(labeled, KIND_CS, self.cs)
+                    cs_new = labeled.filter(F.col("kind") == KIND_CS).select("id", "label").toPandas()
+                    for _, row in cs_new.iterrows():
+                        self.cs_members[int(row["label"])].append(int(row["id"]))
+                (
+                    labeled.filter(F.col("kind") == KIND_DS)
+                    .select("id", F.col("label").cast("long").alias("cluster"))
+                    .write.mode("append").parquet(out_path)
+                )
+                rs_new = labeled.filter(F.col("kind") == KIND_RS).select("id", "features").toPandas()
+            finally:
+                labeled.unpersist()
+            self.rs_ids.extend(rs_new["id"].tolist())
+            self.rs_pts.extend(np.stack(rs_new["features"].to_numpy()) if len(rs_new) else [])
+
+            last = round_id == cfg.n_chunks - 1
+            if not last:
+                if cfg.use_cs and len(self.rs_pts) > cfg.rs_max:
+                    self._compress_rs()
+                folded, _ = self._fold_rs_into_ds(cfg.alpha_fold)
+                if len(folded):
+                    spark.createDataFrame(folded).write.mode("append").parquet(out_path)
+            else:
+                # final round: RS → DS (α=4) else -1; CS → nearest DS
+                folded, _ = self._fold_rs_into_ds(cfg.alpha_fold)
+                if len(folded):
+                    spark.createDataFrame(folded).write.mode("append").parquet(out_path)
+                leftovers = pd.DataFrame(
+                    {"id": np.asarray(self.rs_ids, dtype=np.int64), "cluster": np.full(len(self.rs_ids), -1, dtype=np.int64)}
+                )
+                if len(leftovers):
+                    spark.createDataFrame(leftovers).write.mode("append").parquet(out_path)
+                cs_map = self._fold_cs_into_ds()
+                cs_rows = [
+                    (int(pid), int(ds_label))
+                    for j, ds_label in cs_map.items()
+                    for pid in self.cs_members[j]
+                ]
+                if cs_rows:
+                    spark.createDataFrame(pd.DataFrame(cs_rows, columns=["id", "cluster"])).write.mode(
+                        "append"
+                    ).parquet(out_path)
+                self.rs_ids, self.rs_pts = [], []
+                self.cs = None
+                self.cs_members = []
+            self._record_round(round_id + 1)
+
+        return spark.read.parquet(out_path)
+
+    def intermediate_stats(self) -> pd.DataFrame:
+        """Reference's intermediate CSV (bfr.py:453-460)."""
+        return pd.DataFrame([vars(r) for r in self.round_stats])
+
+
+def _remap(labels: np.ndarray, kept: np.ndarray) -> np.ndarray:
+    lut = {int(old): new for new, old in enumerate(kept)}
+    return np.asarray([lut[int(x)] for x in labels], dtype=np.int64)

@@ -6,18 +6,20 @@ the correctness gate. Computed columns are aliased identically on
 both sides (the gate hashes values after sorting columns by name).
 """
 
-from . import events, tpch
+from . import events, ml_queries, tpch
+
+_MODULES = (tpch, events, ml_queries)
 
 
 def all_queries():
     out = {}
-    for mod in (tpch, events):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (tpch, events):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,307 @@
+"""ML-adjacent queries over the embeddings table — the
+oracle-checkable faces of the clustering engine.
+
+The hot-path implementations live in ``ml/`` (broadcast + Arrow
+pandas-UDF kernels). The queries here use pure relational
+formulations (posexplode / groupBy — whole-stage-codegen'd, no
+Python) so DuckDB can verify them bit-for-bit. Both formulations
+compute the same operator; the relational one is also a perfectly
+scalable plan (shuffle keyed on (label, dim), n×d rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ground-truth-cluster profile: size + norm statistics
+    (the relational analogue of reference ``SummarizedSet.get_stds``,
+    bfr.py:156-160)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return (
+        emb.select("label", norm2.alias("norm2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(F.sqrt("norm2")), 4).alias("avg_norm"),
+            F.round(F.stddev_pop(F.sqrt("norm2")), 4).alias("std_norm"),
+            F.round(F.min(F.sqrt("norm2")), 4).alias("min_norm"),
+            F.round(F.max(F.sqrt("norm2")), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+CLUSTER_PROFILE_SQL = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_points,
+       round(avg(nrm), 4) AS avg_norm,
+       round(stddev_pop(nrm), 4) AS std_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+def suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster sufficient statistics N / SUM / SUMSQ (reference
+    ``SummarizedSet``, bfr.py:142-188) on the leading dimensions,
+    plus all-dims totals. Map-side-combinable single aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = lambda i: F.col("embedding").getItem(i).cast("double")  # noqa: E731
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            *[F.round(F.sum(e(i)), 3).alias(f"sum_d{i}") for i in range(4)],
+            *[F.round(F.sum(e(i) * e(i)), 3).alias(f"sqsum_d{i}") for i in range(4)],
+            F.round(
+                F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))), 3
+            ).alias("sum_all"),
+            F.round(
+                F.sum(
+                    F.aggregate(
+                        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+                    )
+                ),
+                3,
+            ).alias("sqsum_all"),
+        )
+        .orderBy("label")
+    )
+
+
+SUFFSTATS_SQL = """
+SELECT label, count(*) AS n_points,
+       round(sum(CAST(embedding[1] AS DOUBLE)), 3) AS sum_d0,
+       round(sum(CAST(embedding[2] AS DOUBLE)), 3) AS sum_d1,
+       round(sum(CAST(embedding[3] AS DOUBLE)), 3) AS sum_d2,
+       round(sum(CAST(embedding[4] AS DOUBLE)), 3) AS sum_d3,
+       round(sum(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)), 3) AS sqsum_d0,
+       round(sum(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)), 3) AS sqsum_d1,
+       round(sum(CAST(embedding[3] AS DOUBLE) * CAST(embedding[3] AS DOUBLE)), 3) AS sqsum_d2,
+       round(sum(CAST(embedding[4] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)), 3) AS sqsum_d3,
+       round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 3) AS sum_all,
+       round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS sqsum_all
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Euclidean) assignment against the
+    ground-truth label centroids — the relational face of reference
+    ``HCluster.single_iteration`` (bfr.py:60-82). Returns the
+    confusion: (label, assigned, n).
+
+    Plan shape: explode to (id, dim, val); centroids from one
+    aggregation; distance via a (dim)-key join + (id, label) re-agg;
+    argmin via window. n×d×k work distributed on (id) keys —
+    exactly how you'd do it without a UDF at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.avg("val").alias("c_val")
+    )
+    dist = (
+        exploded.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("val") - F.col("c_val")) ** 2).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "assigned")
+    )
+
+
+KMEANS_ASSIGN_SQL = """
+WITH exploded AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), centroids AS (
+  SELECT label AS c_label, pos, avg(val) AS c_val
+  FROM exploded GROUP BY label, pos
+), dist AS (
+  SELECT e.vec_id, e.label, c.c_label, sum((e.val - c.c_val) * (e.val - c.c_val)) AS d2
+  FROM exploded e JOIN centroids c USING (pos)
+  GROUP BY e.vec_id, e.label, c.c_label
+), best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM dist
+)
+SELECT label, c_label AS assigned, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY label, assigned ORDER BY label, assigned
+"""
+
+
+def nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information computed fully relationally
+    (reference ``get_nmi.py`` parity): NMI between the ground-truth
+    label and a deterministic reference partition (vec_id mod 7).
+    Contingency → marginals → MI / mean-entropy, one tiny plan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 7).alias("pred"), F.col("label").alias("truth")
+    )
+    n_total = emb.count()
+    cont = emb.groupBy("pred", "truth").agg(F.count("*").alias("nij"))
+    pi = cont.groupBy("pred").agg(F.sum("nij").alias("ni"))
+    pj = cont.groupBy("truth").agg(F.sum("nij").alias("nj"))
+    joined = cont.join(F.broadcast(pi), "pred").join(F.broadcast(pj), "truth")
+    mi = joined.select(
+        F.sum(
+            (F.col("nij") / n_total)
+            * F.log((F.col("nij") * F.lit(float(n_total))) / (F.col("ni") * F.col("nj")))
+        ).alias("mi")
+    )
+    hi = pi.select(F.sum(-(F.col("ni") / n_total) * F.log(F.col("ni") / n_total)).alias("h"))
+    hj = pj.select(F.sum(-(F.col("nj") / n_total) * F.log(F.col("nj") / n_total)).alias("h"))
+    return (
+        mi.crossJoin(hi.select(F.col("h").alias("h_pred")))
+        .crossJoin(hj.select(F.col("h").alias("h_truth")))
+        .select(F.round(F.col("mi") / ((F.col("h_pred") + F.col("h_truth")) / 2.0), 6).alias("nmi"))
+    )
+
+
+NMI_EVAL_SQL = """
+WITH base AS (
+  SELECT vec_id % 7 AS pred, label AS truth FROM embeddings
+), tot AS (SELECT count(*) AS n FROM base),
+cont AS (SELECT pred, truth, count(*) AS nij FROM base GROUP BY pred, truth),
+mi_ AS (
+  SELECT sum((nij * 1.0 / n) * ln(nij * 1.0 * n / (ni * 1.0 * nj))) AS mi
+  FROM cont
+  JOIN (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred) USING (pred)
+  JOIN (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth) USING (truth)
+  CROSS JOIN tot
+),
+hi AS (SELECT sum(-(ni * 1.0 / n) * ln(ni * 1.0 / n)) AS h_pred
+       FROM (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred) CROSS JOIN tot),
+hj AS (SELECT sum(-(nj * 1.0 / n) * ln(nj * 1.0 / n)) AS h_truth
+       FROM (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth) CROSS JOIN tot)
+SELECT round(mi / ((h_pred + h_truth) / 2.0), 6) AS nmi FROM mi_, hi, hj
+"""
+
+
+def bfr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed BFR over the embeddings table → (id, cluster).
+    Iterative / stateful → no SQL oracle (rows-only check)."""
+    from ..ml.bfr import BFR, BFRConfig
+    from ..sources.readers import embeddings_as_points
+
+    pts = embeddings_as_points(spark, sf_dir)
+    bfr = BFR(BFRConfig(n_clusters=10, n_chunks=5))
+    return bfr.fit(pts).orderBy("id")
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib k-means over embeddings → (id, cluster). [rows-only]"""
+    from ..ml.kmeans import mllib_kmeans
+    from ..sources.readers import embeddings_as_points
+
+    pts = embeddings_as_points(spark, sf_dir)
+    assigned, _ = mllib_kmeans(pts, k=10)
+    return assigned.orderBy("id")
+
+
+def mahalanobis_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis assignment against per-label summaries with the
+    α·√d gate (reference ``assign_to_ss``, bfr.py:363-374), fully
+    relational. Returns per-(label, assigned) counts; assigned = -1
+    when no summary passes the gate (retained-set points)."""
+    alpha = 3.0
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    stats = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.avg("val").alias("c_val"),
+        F.stddev_pop("val").alias("c_std"),
+    )
+    ndims = F.lit(64.0)
+    dist = (
+        exploded.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.when(
+                        F.col("c_std") > 0,
+                        ((F.col("val") - F.col("c_val")) / F.col("c_std")) ** 2,
+                    ).otherwise(0.0)
+                )
+            ).alias("mdist")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("mdist", "c_label")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    gated = best.select(
+        "label",
+        F.when(F.col("mdist") < alpha * F.sqrt(ndims), F.col("c_label")).otherwise(F.lit(-1)).alias("assigned"),
+    )
+    return gated.groupBy("label", "assigned").agg(F.count("*").alias("n")).orderBy("label", "assigned")
+
+
+MAHALANOBIS_ASSIGN_SQL = """
+WITH exploded AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), stats AS (
+  SELECT label AS c_label, pos, avg(val) AS c_val, stddev_pop(val) AS c_std
+  FROM exploded GROUP BY label, pos
+), dist AS (
+  SELECT e.vec_id, e.label, s.c_label,
+         sqrt(sum(CASE WHEN s.c_std > 0
+                       THEN ((e.val - s.c_val) / s.c_std) * ((e.val - s.c_val) / s.c_std)
+                       ELSE 0 END)) AS mdist
+  FROM exploded e JOIN stats s USING (pos)
+  GROUP BY e.vec_id, e.label, s.c_label
+), best AS (
+  SELECT vec_id, label, c_label, mdist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY mdist, c_label) AS rn
+  FROM dist
+)
+SELECT label,
+       CASE WHEN mdist < 3.0 * sqrt(64.0) THEN c_label ELSE -1 END AS assigned,
+       count(*) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned
+"""
+
+
+QUERIES = {
+    "cluster_profile": cluster_profile,
+    "suffstats": suffstats,
+    "kmeans_assign": kmeans_assign,
+    "mahalanobis_assign": mahalanobis_assign,
+    "nmi_eval": nmi_eval,
+    "bfr_fit": bfr_fit,
+    "kmeans_fit": kmeans_fit,
+}
+
+ORACLES = {
+    "cluster_profile": CLUSTER_PROFILE_SQL,
+    "suffstats": SUFFSTATS_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
+    "nmi_eval": NMI_EVAL_SQL,
+}

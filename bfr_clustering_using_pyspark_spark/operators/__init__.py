@@ -1,0 +1,23 @@
+"""LLM-data-pipeline operators: text analysis, deduplication,
+similarity search, multimodal column plumbing.
+
+Each module exposes QUERIES / ORACLES like ``plans/``.
+"""
+
+from . import dedup, multimodal, similarity, textstats
+
+_MODULES = (textstats, dedup, similarity, multimodal)
+
+
+def all_queries():
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

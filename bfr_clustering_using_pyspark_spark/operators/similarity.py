@@ -1,0 +1,139 @@
+"""Similarity search over the embedding column.
+
+``ann_bruteforce`` — exact cosine top-k for a query subset; the
+correctness baseline, O(q·n) with a broadcast query side so the big
+side never shuffles.
+
+``ann_lsh`` — random-hyperplane LSH buckets bound the candidate set;
+the 100 TB path (candidates ≈ n/2^bits per bucket instead of n).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("vec_id", v.alias("v"), norm.alias("nrm"))
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id %
+    50 == 0). Query side broadcast → data side scans once, no
+    shuffle until the tiny per-query top-k window."""
+    base = _base(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM base WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.q_id, b.vec_id,
+         round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+N_PLANES = 8
+
+
+def _hyperplanes(d: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(N_PLANES, d))
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: sign-bucket every vector (Arrow
+    kernel, broadcast planes), then search only within the query's
+    bucket. Approximate: recall < 1 by construction. [rows-only]"""
+    base = _base(spark, sf_dir)
+    d = len(base.select("v").first()[0])
+    planes = _hyperplanes(d)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts = np.stack(pdf["v"].to_numpy())
+            bits = (pts @ planes.T) > 0
+            bucket = (bits * (1 << np.arange(N_PLANES))[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"], "bucket": bucket.astype(np.int64)}
+            )
+
+    bucketed = base.mapInPandas(
+        bucketize, schema="vec_id long, v array<double>, nrm double, bucket long"
+    )
+    queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES = {
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+}
+
+ORACLES = {
+    "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+}

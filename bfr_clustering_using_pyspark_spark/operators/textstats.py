@@ -1,0 +1,201 @@
+"""Text analysis over the documents table — language-ID, quality
+scoring, token counting, fingerprinting.
+
+All four are pure `pyspark.sql.functions` expressions (JVM-side,
+whole-stage-codegen, zero Python in the hot path) and therefore scale
+as fast as the parquet scan itself. Regex patterns are kept in the
+common RE2/Java subset so the DuckDB oracles match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+TOKEN_RE = "[a-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# tiny marker-word inventories for the n-gram langid heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, BPE-ish
+    pre-tokens, distinct words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(_tokens(F.col("text"))).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_distinct_words"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_word_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_distinct_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, punctuation /
+    stopword / digit ratios, composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stop])))
+    # intersect dedups; count actual stopword hits via filter
+    n_stop_hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / F.greatest(n_tok, F.lit(1)), 4).alias("mean_word_len"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(F.length("text"), F.lit(1)), 4).alias("digit_ratio"),
+        F.round(n_stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        (
+            (F.length("text") >= 50)
+            & (n_stop_hits / F.greatest(n_tok, F.lit(1)) > 0.05)
+            & (n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.3)
+        ).cast("int").alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(toks) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0 / greatest(len(toks), 1), 4) AS mean_word_len,
+       round(n_punct * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+       round(n_digit * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       CAST(length(text) >= 50
+            AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+                / greatest(len(toks), 1) > 0.05
+            AND n_punct * 1.0 / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
+FROM t ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score each language by marker hits
+    per token, argmax with deterministic tie-break, confusion counts
+    vs the metadata lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hit_count(markers):
+        # NB: the lambda must take exactly one arg — a second arg
+        # would be interpreted by Spark as the array index column
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        *[hit_count(markers).alias(f"score_{lang}") for lang, markers in LANG_MARKERS.items()],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:  # first max wins (deterministic)
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return (
+        scored.select("meta_lang", pred.alias("pred_lang"))
+        .groupBy("meta_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("meta_lang", "pred_lang")
+    )
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    f"       len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS score_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+_LANG_CASE_SQL = "CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'unknown'\n" + "\n".join(
+    f"            WHEN score_{lang} = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN '{lang}'"
+    for lang in LANG_MARKERS
+) + "\n       END"
+
+TEXT_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS meta_lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, meta_lang,
+{_LANG_SCORE_SQL}
+  FROM t
+)
+SELECT meta_lang,
+       {_LANG_CASE_SQL} AS pred_lang,
+       count(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY meta_lang, pred_lang
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: md5 over the normalized
+    token stream (case/punct/whitespace-insensitive identity), plus a
+    16-hex-char prefix as a compact 60-bit key."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(_tokens(F.col("text")), " ")
+    fp = F.md5(canon)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint_key"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
+       ('0x' || substr(md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')), 1, 15))::BIGINT
+         AS fingerprint_key
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

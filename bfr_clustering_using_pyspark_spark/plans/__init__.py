@@ -6,6 +6,8 @@ the correctness gate. Computed columns are aliased identically on
 both sides (the gate hashes values after sorting columns by name).
 """
 
+from ..operators import all_oracles as _op_oracles
+from ..operators import all_queries as _op_queries
 from . import events, ml_queries, tpch
 
 _MODULES = (tpch, events, ml_queries)
@@ -15,6 +17,7 @@ def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
+    out.update(_op_queries())
     return out
 
 
@@ -22,4 +25,5 @@ def all_oracles():
     out = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
+    out.update(_op_oracles())
     return out

@@ -236,7 +236,8 @@ ORDER BY vec_a, vec_b
 
 N_HASHES = 64
 N_BANDS = 16  # 4 rows per band
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31 keeps a*x+b under 2^62 — no silent int64 overflow
+_MERSENNE = (1 << 31) - 1
 
 
 def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -247,21 +248,19 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _minhash_kernel(a: np.ndarray, b: np.ndarray):
-    """mapInPandas: (doc_id, shingles) → band rows (doc_id, band, sig)."""
-
-    def md5_int(s: str) -> int:
-        import hashlib
-
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    """mapInPandas: (doc_id, shingle_hashes) → band rows (doc_id,
+    band, sig). Shingle hashing already happened JVM-side
+    (xxhash64), so this kernel is pure vectorized NumPy."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows_per_band = N_HASHES // N_BANDS
         for pdf in batches:
             out_doc, out_band, out_sig = [], [], []
-            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-                if len(shingles) == 0:
+            for doc_id, hashes in zip(pdf["doc_id"], pdf["sh_hashes"]):
+                if len(hashes) == 0:
                     continue
-                x = np.array([md5_int(s) for s in shingles], dtype=np.int64)
+                # map signed 64-bit xxhash into [0, mersenne61)
+                x = np.asarray(hashes, dtype=np.int64) % _MERSENNE
                 # (k, n) universal hashes, min over shingles
                 hashed = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
                 sig = hashed.min(axis=1)
@@ -292,7 +291,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
         .select("doc_id", _shingles_expr().alias("shingles"))
     )
     a_p, b_p = _minhash_params()
-    bands = base.mapInPandas(
+    hashed = base.select(
+        "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
+    )
+    bands = hashed.mapInPandas(
         _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig string"
     )
     l, r = bands.alias("l"), bands.alias("r")

@@ -8,6 +8,7 @@ both sides (the gate hashes values after sorting columns by name).
 
 from ..operators import all_oracles as _op_oracles
 from ..operators import all_queries as _op_queries
+from .. import streaming as _streaming
 from . import events, ml_queries, tpch
 
 _MODULES = (tpch, events, ml_queries)
@@ -18,6 +19,7 @@ def all_queries():
     for mod in _MODULES:
         out.update(mod.QUERIES)
     out.update(_op_queries())
+    out.update(_streaming.QUERIES)
     return out
 
 

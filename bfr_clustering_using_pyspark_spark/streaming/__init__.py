@@ -1,0 +1,7 @@
+from .events_stream import stream_bfr_update, stream_events_window
+
+QUERIES = {
+    "stream_events_window": stream_events_window,
+    "stream_bfr_update": stream_bfr_update,
+}
+ORACLES: dict[str, str] = {}

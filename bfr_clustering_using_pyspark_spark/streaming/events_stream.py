@@ -1,0 +1,137 @@
+"""Structured Streaming operators.
+
+The reference consumes its point stream as a sorted directory of
+chunk files (``/root/reference/code/bfr.py:431-437``) — the batch
+analogue of a file-source stream. Here the same pattern is expressed
+with real Structured Streaming: ``readStream`` file source →
+watermarked windowed aggregation → ``Trigger.AvailableNow`` (drain
+everything available, then stop — deterministic for testing, and the
+exact semantics of the reference's chunk loop).
+
+At scale: watermark bounds the window state store; ``foreachBatch``
+keeps the BFR summary update incremental — each micro-batch
+contributes map-side partial N/Σ/Σ² rows, so state stays O(k·d)
+regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # glob (not bare file path) so the file-stream source treats
+        # the parent as basePath and picks up late-arriving files
+        .load(f"{sf_dir}/events*.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type with a 2-hour
+    watermark, drained with AvailableNow into a memory sink.
+    [rows-only: streaming runtime; the batch equivalent is the
+    hash-matched ``q_events_windowed``.]"""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_memory(agg, "stream_events_window_sink", mode="append")
+    return out.orderBy("window_start", "event_type")
+
+
+def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster-summary maintenance over a stream: each
+    micro-batch folds partial N/Σ/Σ² into per-user-bucket summaries
+    via foreachBatch (the streaming face of BFR's DS update —
+    reference ``SummarizedSet.update``, bfr.py:162-168).
+
+    Returns the final summary table (bucket, n, mean_value,
+    std_value). [rows-only]"""
+    ev = _events_stream(spark, sf_dir)
+    state: dict[int, np.ndarray] = {}
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.groupBy((F.col("user_id") % 8).alias("bucket"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("s"),
+                F.sum(F.col("value") * F.col("value")).alias("sq"),
+            )
+            .collect()
+        )
+        for row in part:
+            acc = state.setdefault(int(row["bucket"]), np.zeros(3))
+            acc += np.array([row["n"], row["s"], row["sq"]])
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(update)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = [
+        {
+            "bucket": b,
+            "n": int(acc[0]),
+            "mean_value": round(acc[1] / acc[0], 4) if acc[0] else 0.0,
+            "std_value": round(float(np.sqrt(max(acc[2] / acc[0] - (acc[1] / acc[0]) ** 2, 0.0))), 4)
+            if acc[0]
+            else 0.0,
+        }
+        for b, acc in sorted(state.items())
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))

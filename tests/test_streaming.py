@@ -1,0 +1,31 @@
+"""Structured Streaming operators: batch-equivalence of the windowed
+aggregation (modulo watermark-held tail windows) and incremental
+summary maintenance."""
+
+from bfr_clustering_using_pyspark_spark.plans.events import q_events_windowed
+from bfr_clustering_using_pyspark_spark.streaming import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_stream_window_matches_batch(spark):
+    sw = QUERIES["stream_events_window"](spark, SF_SMALL)
+    batch = q_events_windowed(spark, SF_SMALL)
+    srows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in sw.collect()
+    }
+    brows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    # append mode holds back windows newer than (max_ts - watermark)
+    assert set(srows) <= set(brows)
+    assert len(srows) >= len(brows) - 10
+    for k, v in srows.items():
+        assert brows[k] == v
+
+
+def test_stream_bfr_update_totals(spark):
+    out = QUERIES["stream_bfr_update"](spark, SF_SMALL).collect()
+    assert sum(r["n"] for r in out) == 1000  # all events folded in
+    assert all(r["std_value"] >= 0 for r in out)

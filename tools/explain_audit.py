@@ -1,0 +1,79 @@
+"""Plan audit: print physical plans for headline queries and check
+scale properties — pushed filters, pruned scans (ReadSchema),
+broadcast joins where expected, whole-stage codegen coverage,
+exchange (shuffle) counts.
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+AUDIT = {
+    # name: (expect_pushed_filter, expect_broadcast, max_exchanges)
+    # max_exchanges includes the final presentation orderBy (1 range
+    # exchange) — the hash gate doesn't need it but users get
+    # deterministic output
+    "q1_pricing_summary": (True, False, 2),
+    "q3_shipping_priority": (True, True, 4),
+    "q5_local_supplier": (True, True, 4),
+    "q6_forecast_revenue": (True, False, 1),
+    "q_top_customers": (False, True, 3),
+    "q_order_priority": (True, True, 3),
+    "q_events_windowed": (False, False, 3),  # countDistinct = 2-phase agg
+    "q_events_sessionize": (False, False, 2),
+    "q_asof_join": (True, False, 2),
+    "text_quality": (False, False, 1),
+    "dedup_exact": (False, False, 4),  # 3 windows (one per key kind) + sort
+    "dedup_ngram_jaccard": (False, False, 3),
+    "ann_bruteforce": (False, True, 2),
+    "cluster_profile": (False, False, 2),
+}
+
+
+def main() -> None:
+    from bfr_clustering_using_pyspark_spark.plans import all_queries
+    from bfr_clustering_using_pyspark_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    qs = all_queries()
+    only = set(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.01"
+    failures = []
+    for name, (want_push, want_bcast, max_exch) in AUDIT.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        pushed = "PushedFilters: [" in plan and re.search(r"PushedFilters: \[[^\]]+\]", plan)
+        bcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # count only real shuffles ("Exchange (n)" tree nodes), not
+        # BroadcastExchange
+        n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+        codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        probs = []
+        if want_push and not pushed:
+            probs.append("no pushed filters")
+        if want_bcast and not bcast:
+            probs.append("no broadcast join")
+        if n_exch > max_exch:
+            probs.append(f"{n_exch} exchanges (max {max_exch})")
+        status = "OK " if not probs else "BAD"
+        print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
+              f"pushed={bool(pushed)} broadcast={bcast} {'; '.join(probs)}")
+        if probs:
+            failures.append(name)
+            if only:
+                print(plan)
+    print("\nfailures:", failures or "none")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -390,22 +390,38 @@ class BFR:
         is id-sorted.
         """
         cfg = self.cfg
-        spark = points.sparkSession
-        run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
-
-        lo, hi, n_total = points.agg(
-            F.min("id"), F.max("id"), F.count("*")
-        ).collect()[0]
-        d = len(points.select("features").first()[0])
+        lo, hi, n_total = points.agg(F.min("id"), F.max("id"), F.count("*")).collect()[0]
         bounds = np.linspace(lo, hi + 1, cfg.n_chunks + 1).astype(np.int64)
+        chunks = [
+            points.filter(
+                (F.col("id") >= int(bounds[i])) & (F.col("id") < int(bounds[i + 1]))
+            )
+            for i in range(cfg.n_chunks)
+        ]
+        return self.fit_stream(chunks, run_dir=run_dir, approx_chunk_n=n_total / cfg.n_chunks)
+
+    def fit_stream(
+        self,
+        chunks: list[DataFrame],
+        run_dir: str | None = None,
+        approx_chunk_n: float | None = None,
+    ) -> DataFrame:
+        """Run BFR over an explicit sequence of point-chunk
+        DataFrames — the exact shape of the reference's sorted
+        chunk-file loop (``Runner.run``, bfr.py:431-451), one round
+        per chunk."""
+        cfg = self.cfg
+        spark = chunks[0].sparkSession
+        run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
+        d = len(chunks[0].select("features").first()[0])
 
         out_path = f"{run_dir}/assignments"
-        for round_id in range(cfg.n_chunks):
-            chunk = points.filter(
-                (F.col("id") >= int(bounds[round_id])) & (F.col("id") < int(bounds[round_id + 1]))
-            )
+        n_chunks = len(chunks)
+        for round_id, chunk in enumerate(chunks):
             if round_id == 0:
-                chunk_n = max(n_total / cfg.n_chunks, 1)
+                if approx_chunk_n is None:
+                    approx_chunk_n = chunk.count()
+                chunk_n = max(approx_chunk_n, 1)
                 # at least ~50 points per target cluster for a sane
                 # init, bounded by the driver-memory cap
                 min_frac = min(1.0, 50.0 * cfg.n_clusters / chunk_n)
@@ -441,7 +457,7 @@ class BFR:
             self.rs_ids.extend(rs_new["id"].tolist())
             self.rs_pts.extend(np.stack(rs_new["features"].to_numpy()) if len(rs_new) else [])
 
-            last = round_id == cfg.n_chunks - 1
+            last = round_id == n_chunks - 1
             if not last:
                 if cfg.use_cs and len(self.rs_pts) > cfg.rs_max:
                     self._compress_rs()

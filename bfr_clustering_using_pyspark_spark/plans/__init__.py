@@ -9,9 +9,9 @@ both sides (the gate hashes values after sorting columns by name).
 from ..operators import all_oracles as _op_oracles
 from ..operators import all_queries as _op_queries
 from .. import streaming as _streaming
-from . import events, ml_queries, tpch
+from . import events, ml_queries, tpch, tpch_ext
 
-_MODULES = (tpch, events, ml_queries)
+_MODULES = (tpch, tpch_ext, events, ml_queries)
 
 
 def all_queries():

@@ -186,11 +186,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: top-20 terms with document frequency.
+    explode → map-side-combinable count; at 100 TB this is the
+    classic word-count shuffle, bounded by vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+TEXT_TOP_TERMS_SQL = """
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents)
+GROUP BY term ORDER BY tf DESC, term LIMIT 20
+"""
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams (n-gram language statistics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "bigram").limit(20)
+
+
+TEXT_BIGRAMS_SQL = """
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)]) AS bigram
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+  WHERE len(toks) >= 2
+)
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts next to exact ones.
+    [rows-only: HLL estimates are engine-specific; the test asserts
+    ≤5% relative error vs exact.]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_top_terms": text_top_terms,
+    "text_bigrams": text_bigrams,
+    "q_approx_distinct": q_approx_distinct,
 }
 
 ORACLES = {
@@ -198,4 +262,6 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_top_terms": TEXT_TOP_TERMS_SQL,
+    "text_bigrams": TEXT_BIGRAMS_SQL,
 }

@@ -1,0 +1,50 @@
+"""Sinks: partitioned/bucketed writers + the reference's output
+formats.
+
+At 100 TB the write path matters as much as the read path:
+``write_partitioned`` lays data out for partition-pruned scans;
+``write_bucketed`` pre-shuffles on the join key once so future
+joins/aggs on that key are exchange-free.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Parquet partitioned by low-cardinality columns → partition
+    pruning for every downstream query filtering on them."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at
+    write time so joins/aggs on that key skip the shuffle."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_cluster_map_json(assigned: DataFrame, path: str) -> None:
+    """Reference ``cluster_out`` format (bfr.py:463-464): one JSON
+    object mapping point-id string → cluster label. Driver-side
+    single-file write, as the reference does."""
+    out = {str(r["id"]): int(r["cluster"]) for r in assigned.collect()}
+    with open(path, "w") as f:
+        json.dump(out, f)

@@ -1,7 +1,8 @@
-from .events_stream import stream_bfr_update, stream_events_window
+from .events_stream import stream_bfr_update, stream_dedup, stream_events_window
 
 QUERIES = {
     "stream_events_window": stream_events_window,
+    "stream_dedup": stream_dedup,
     "stream_bfr_update": stream_bfr_update,
 }
 ORACLES: dict[str, str] = {}

@@ -89,6 +89,18 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on event_id within
+    a watermark (the streaming face of exact dedup — state store
+    holds only ids newer than the watermark). Emits per-type counts
+    of the deduped stream. [rows-only]"""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+    out = _run_to_memory(agg, "stream_dedup_sink", mode="complete")
+    return out.orderBy("event_type")
+
+
 def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster-summary maintenance over a stream: each
     micro-batch folds partial N/Σ/Σ² into per-user-bucket summaries

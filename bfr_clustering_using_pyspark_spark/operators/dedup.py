@@ -254,21 +254,40 @@ def _minhash_kernel(a: np.ndarray, b: np.ndarray):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows_per_band = N_HASHES // N_BANDS
+        slab_cols = 65536  # keep the (64, N) work matrix in cache-friendly slabs
         for pdf in batches:
+            lens = pdf["sh_hashes"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.any():
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()[keep]
+            lens = lens[keep]
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            hash_lists = list(pdf["sh_hashes"][keep])
             out_doc, out_band, out_sig = [], [], []
-            for doc_id, hashes in zip(pdf["doc_id"], pdf["sh_hashes"]):
-                if len(hashes) == 0:
-                    continue
-                # map signed 64-bit xxhash into [0, mersenne61)
-                x = np.asarray(hashes, dtype=np.int64) % _MERSENNE
-                # (k, n) universal hashes, min over shingles
-                hashed = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
-                sig = hashed.min(axis=1)
-                for band in range(N_BANDS):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    out_doc.append(doc_id)
-                    out_band.append(band)
-                    out_sig.append("-".join(map(str, chunk)))
+            j = 0
+            while j < len(doc_ids):
+                # take a slab of whole docs totalling <= slab_cols shingles
+                j2 = j + 1
+                while j2 < len(doc_ids) and bounds[j2 + 1] - bounds[j] <= slab_cols:
+                    j2 += 1
+                x = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in hash_lists[j:j2]]
+                )
+                x %= _MERSENNE
+                hashed = a[:, None] * x[None, :]
+                hashed += b[:, None]
+                hashed %= _MERSENNE
+                offsets = (bounds[j:j2] - bounds[j]).astype(np.int64)
+                sigs = np.minimum.reduceat(hashed, offsets, axis=1)  # (k, slab_docs)
+                for jj in range(j2 - j):
+                    sig = sigs[:, jj]
+                    for band in range(N_BANDS):
+                        chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                        out_doc.append(doc_ids[j + jj])
+                        out_band.append(band)
+                        out_sig.append("-".join(map(str, chunk)))
+                j = j2
             yield pd.DataFrame({"doc_id": out_doc, "band": out_band, "sig": out_sig})
 
     return fn

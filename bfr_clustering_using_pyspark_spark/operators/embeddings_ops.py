@@ -1,0 +1,159 @@
+"""Embedding-column operators: normalization, TF-IDF, distributed
+PCA — the preprocessing stages a similarity/dedup pipeline runs
+before ANN at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm, to_double_array
+from ..sources.readers import load_table
+
+
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings; emit per-vector norm before/after
+    (rounded) — unit-norm vectors make cosine == dot downstream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    nrm = l2_norm(v)
+    unit = F.transform(v, lambda x: x / nrm)
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 4).alias("norm_before"),
+        F.round(l2_norm(unit), 4).alias("norm_after"),
+        F.round(F.element_at(unit, 1), 6).alias("unit_d0"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_NORMALIZE_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_id,
+       round(nrm, 4) AS norm_before,
+       round(sqrt(list_sum(list_transform(v, x -> (x / nrm) * (x / nrm)))), 4) AS norm_after,
+       round(v[1] / nrm, 6) AS unit_d0
+FROM base ORDER BY vec_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (idf = ln(N/df)) — the
+    classic text-feature pipeline, fully relational: one explode, a
+    broadcast df join, a per-doc window."""
+    from ..functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df_ AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+), tot AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df_ USING (term) CROSS JOIN tot
+)
+SELECT doc_id, term, tfidf, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+def _gram_partials(d: int):
+    """mapInPandas: per-batch partial (n, Σx, flattened ΣxxT) — the
+    distributed half of covariance/PCA. Shuffle-free; driver gets
+    O(batches) rows of size d²."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(pts)],
+                    "s": [pts.sum(axis=0).tolist()],
+                    "g": [(pts.T @ pts).ravel().tolist()],
+                }
+            )
+
+    return fn
+
+
+def pca_project(spark: SparkSession, sf_dir: str, n_components: int = 8) -> DataFrame:
+    """Distributed PCA: Gram-matrix partials per Arrow batch → tiny
+    driver collect → eigendecomposition → broadcast components →
+    projection pass. Two scans of the data, zero shuffles; driver
+    work is O(d²·batches + d³), independent of n. [rows-only]"""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    d = len(emb.select("v").first()[0])
+    part = emb.select("v").mapInPandas(
+        _gram_partials(d), schema="n long, s array<double>, g array<double>"
+    ).toPandas()
+    n = part["n"].sum()
+    s = np.sum(np.stack(part["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(part["g"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:n_components]
+    comps = eigvecs[:, order]  # (d, k)
+    explained = eigvals[order]
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts = np.stack(pdf["v"].to_numpy()) - mean
+            proj = pts @ comps
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pc": list(np.round(proj, 6))})
+
+    out = emb.mapInPandas(project, schema="vec_id long, pc array<double>")
+    out._pca_explained_variance = explained  # introspection for tests
+    return out.orderBy("vec_id")
+
+
+QUERIES = {
+    "embedding_normalize": embedding_normalize,
+    "tfidf_top_terms": tfidf_top_terms,
+    "pca_project": pca_project,
+}
+
+ORACLES = {
+    "embedding_normalize": EMBEDDING_NORMALIZE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+}

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the algorithmic cores, plus
+PCA correctness vs NumPy."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bfr_clustering_using_pyspark_spark.ml.bfr import Summaries, mahalanobis_to_all
+from bfr_clustering_using_pyspark_spark.ml.metrics import nmi_from_contingency
+
+
+@st.composite
+def point_sets(draw, max_n=60, d=4):
+    n = draw(st.integers(2, max_n))
+    vals = draw(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32), min_size=n * d, max_size=n * d
+        )
+    )
+    return np.array(vals, dtype=np.float64).reshape(n, d)
+
+
+class TestSummariesProperties:
+    @given(point_sets(), st.integers(2, 5))
+    @settings(max_examples=40, deadline=None)
+    def test_merge_associativity(self, pts, k):
+        """Folding partials in any grouping gives identical stats —
+        the property that makes map-side partial aggregation valid."""
+        labels = (np.arange(len(pts)) * 7) % k
+        whole = Summaries.from_points(pts, labels, k)
+        half = len(pts) // 2
+        s1 = Summaries.from_points(pts[:half], labels[:half], k)
+        s2 = Summaries.from_points(pts[half:], labels[half:], k)
+        s1.counts += s2.counts
+        s1.sums += s2.sums
+        s1.sqsums += s2.sqsums
+        assert np.array_equal(whole.counts, s1.counts)
+        assert np.allclose(whole.sums, s1.sums, atol=1e-6)
+        assert np.allclose(whole.sqsums, s1.sqsums, atol=1e-4)
+
+    @given(point_sets())
+    @settings(max_examples=40, deadline=None)
+    def test_stds_nonnegative_and_centered(self, pts):
+        s = Summaries.from_points(pts, np.zeros(len(pts), dtype=int), 1)
+        assert (s.stds >= 0).all()
+        assert np.allclose(s.centers[0], pts.mean(axis=0), rtol=1e-9, atol=1e-6)
+
+    @given(point_sets())
+    @settings(max_examples=30, deadline=None)
+    def test_mahalanobis_self_distance_zero(self, pts):
+        s = Summaries.from_points(pts, np.zeros(len(pts), dtype=int), 1)
+        d = mahalanobis_to_all(s.centers, s.centers, s.stds)
+        assert abs(d[0, 0]) < 1e-9
+
+
+class TestNMIProperties:
+    @given(st.integers(2, 8), st.integers(50, 300))
+    @settings(max_examples=30, deadline=None)
+    def test_permutation_invariance(self, k, n):
+        """NMI is invariant to relabeling either side."""
+        rng = np.random.default_rng(n)
+        a = rng.integers(0, k, n)
+        b = rng.integers(0, k, n)
+        perm = rng.permutation(k)
+        cont = lambda x, y: (  # noqa: E731
+            pd.DataFrame({"pred": x, "truth": y}).groupby(["pred", "truth"]).size().reset_index(name="n")
+        )
+        assert abs(nmi_from_contingency(cont(a, b)) - nmi_from_contingency(cont(perm[a], b))) < 1e-12
+
+    @given(st.integers(2, 8), st.integers(50, 300))
+    @settings(max_examples=30, deadline=None)
+    def test_bounds(self, k, n):
+        rng = np.random.default_rng(n + 1)
+        a = rng.integers(0, k, n)
+        b = rng.integers(0, k, n)
+        cont = pd.DataFrame({"pred": a, "truth": b}).groupby(["pred", "truth"]).size().reset_index(name="n")
+        v = nmi_from_contingency(cont)
+        assert -1e-12 <= v <= 1 + 1e-12
+
+
+class TestPCA:
+    def test_matches_numpy_pca(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.embeddings_ops import pca_project
+        from tests.conftest import SF_SMALL
+
+        out = pca_project(spark, SF_SMALL, n_components=4)
+        proj = np.stack(out.toPandas().sort_values("vec_id")["pc"].to_numpy())
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas().sort_values("vec_id")
+        X = np.stack(emb["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0)
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        ref = Xc @ vt[:4].T
+        # components are sign/rotation-ambiguous only up to sign here
+        for j in range(4):
+            assert min(
+                np.abs(proj[:, j] - ref[:, j]).max(), np.abs(proj[:, j] + ref[:, j]).max()
+            ) < 1e-3
+        # projected variance decreasing
+        var = proj.var(axis=0)
+        assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3))

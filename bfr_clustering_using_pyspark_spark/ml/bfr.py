@@ -209,44 +209,104 @@ class BFR:
 
         return fn
 
-    @staticmethod
-    def _partials_kernel():
-        """mapInPandas: per-batch partial (label, n, Σx, Σx²)."""
+    # feedback row types: DS/CS partial sufficient stats, RS point,
+    # CS membership record
+    _RT_P_DS, _RT_P_CS, _RT_RS, _RT_CS_MEMBER = 0, 1, 2, 3
+    _FEEDBACK_SCHEMA = (
+        "rtype int, label long, n long, sums array<double>, "
+        "sqsums array<double>, id long, features array<double>"
+    )
+
+    @classmethod
+    def _feedback_kernel(cls):
+        """mapInPandas over the labeled chunk: ONE pass emitting every
+        driver-bound feedback row — per-batch DS/CS partial stats
+        (map-side combine), RS points, CS memberships. Collapses what
+        used to be four jobs per chunk into one."""
+
+        def partial_rows(pdf: pd.DataFrame, rtype: int) -> pd.DataFrame:
+            pts = np.stack(pdf["features"].to_numpy())
+            labels = pdf["label"].to_numpy()
+            uniq = np.unique(labels)
+            return pd.DataFrame(
+                {
+                    "rtype": rtype,
+                    "label": uniq.astype(np.int64),
+                    "n": [int((labels == u).sum()) for u in uniq],
+                    "sums": [pts[labels == u].sum(axis=0).tolist() for u in uniq],
+                    "sqsums": [(pts[labels == u] ** 2).sum(axis=0).tolist() for u in uniq],
+                    "id": None,
+                    "features": None,
+                }
+            )
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                pts = np.stack(pdf["features"].to_numpy())
-                labels = pdf["label"].to_numpy()
-                uniq = np.unique(labels)
-                yield pd.DataFrame(
-                    {
-                        "label": uniq.astype(np.int64),
-                        "n": [(labels == u).sum() for u in uniq],
-                        "sums": [pts[labels == u].sum(axis=0).tolist() for u in uniq],
-                        "sqsums": [(pts[labels == u] ** 2).sum(axis=0).tolist() for u in uniq],
-                    }
-                )
+                out = []
+                ds = pdf[pdf["kind"] == KIND_DS]
+                if len(ds):
+                    out.append(partial_rows(ds, cls._RT_P_DS))
+                cs = pdf[pdf["kind"] == KIND_CS]
+                if len(cs):
+                    out.append(partial_rows(cs, cls._RT_P_CS))
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "rtype": cls._RT_CS_MEMBER,
+                                "label": cs["label"].astype("int64"),
+                                "n": None,
+                                "sums": None,
+                                "sqsums": None,
+                                "id": cs["id"].astype("int64"),
+                                "features": None,
+                            }
+                        )
+                    )
+                rs = pdf[pdf["kind"] == KIND_RS]
+                if len(rs):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "rtype": cls._RT_RS,
+                                "label": None,
+                                "n": None,
+                                "sums": None,
+                                "sqsums": None,
+                                "id": rs["id"].astype("int64"),
+                                "features": rs["features"],
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
         return fn
 
-    def _collect_partials(self, labeled: DataFrame, kind: int, summaries: Summaries) -> int:
-        part = (
-            labeled.filter(F.col("kind") == kind)
-            .select("features", "label")
-            .mapInPandas(self._partials_kernel(), schema="label long, n long, sums array<double>, sqsums array<double>")
-            .toPandas()
-        )
-        if not len(part):
-            return 0
-        summaries.add_partials(
-            part["label"].to_numpy(),
-            part["n"].to_numpy(),
-            np.stack(part["sums"].to_numpy()),
-            np.stack(part["sqsums"].to_numpy()),
-        )
-        return int(part["n"].sum())
+    def _apply_feedback(self, fb: pd.DataFrame) -> None:
+        """Fold one chunk's collected feedback into driver state."""
+
+        def apply_partials(rows: pd.DataFrame, summaries: Summaries) -> int:
+            if not len(rows):
+                return 0
+            summaries.add_partials(
+                rows["label"].to_numpy().astype(np.int64),
+                rows["n"].to_numpy().astype(np.int64),
+                np.stack(rows["sums"].to_numpy()),
+                np.stack(rows["sqsums"].to_numpy()),
+            )
+            return int(rows["n"].sum())
+
+        self._n_discard_points += apply_partials(fb[fb["rtype"] == self._RT_P_DS], self.ds)
+        if self.cs is not None and self.cs.k:
+            apply_partials(fb[fb["rtype"] == self._RT_P_CS], self.cs)
+            for _, row in fb[fb["rtype"] == self._RT_CS_MEMBER].iterrows():
+                self.cs_members[int(row["label"])].append(int(row["id"]))
+        rs = fb[fb["rtype"] == self._RT_RS]
+        if len(rs):
+            self.rs_ids.extend(rs["id"].astype(int).tolist())
+            self.rs_pts.extend(list(np.stack(rs["features"].to_numpy())))
 
     # ---------- driver-side (bounded) steps ----------
 
@@ -417,6 +477,7 @@ class BFR:
 
         out_path = f"{run_dir}/assignments"
         n_chunks = len(chunks)
+        driver_assignments: list[pd.DataFrame] = []
         for round_id, chunk in enumerate(chunks):
             if round_id == 0:
                 if approx_chunk_n is None:
@@ -429,7 +490,7 @@ class BFR:
                 sample = chunk.sample(fraction=frac, seed=cfg.seed).select("id", "features").toPandas()
                 ids = sample["id"].to_numpy()
                 init_assign = self._init_from_sample(ids, np.stack(sample["features"].to_numpy()))
-                spark.createDataFrame(init_assign).write.mode("overwrite").parquet(out_path)
+                driver_assignments.append(init_assign)
                 # the non-sampled remainder of chunk 0 goes through
                 # the normal assignment path (ref assign_dsrsout on
                 # points_rest, bfr.py:429)
@@ -440,22 +501,19 @@ class BFR:
                 self._assign_kernel(d), schema="id long, features array<double>, kind int, label int"
             ).persist()
             try:
-                self._n_discard_points += self._collect_partials(labeled, KIND_DS, self.ds)
-                if cfg.use_cs and self.cs is not None and self.cs.k:
-                    self._collect_partials(labeled, KIND_CS, self.cs)
-                    cs_new = labeled.filter(F.col("kind") == KIND_CS).select("id", "label").toPandas()
-                    for _, row in cs_new.iterrows():
-                        self.cs_members[int(row["label"])].append(int(row["id"]))
+                # job 1: distributed write of DS assignments
                 (
                     labeled.filter(F.col("kind") == KIND_DS)
                     .select("id", F.col("label").cast("long").alias("cluster"))
                     .write.mode("append").parquet(out_path)
                 )
-                rs_new = labeled.filter(F.col("kind") == KIND_RS).select("id", "features").toPandas()
+                # job 2: single combined driver-bound feedback collect
+                fb = labeled.mapInPandas(
+                    self._feedback_kernel(), schema=self._FEEDBACK_SCHEMA
+                ).toPandas()
             finally:
                 labeled.unpersist()
-            self.rs_ids.extend(rs_new["id"].tolist())
-            self.rs_pts.extend(np.stack(rs_new["features"].to_numpy()) if len(rs_new) else [])
+            self._apply_feedback(fb)
 
             last = round_id == n_chunks - 1
             if not last:
@@ -463,17 +521,21 @@ class BFR:
                     self._compress_rs()
                 folded, _ = self._fold_rs_into_ds(cfg.alpha_fold)
                 if len(folded):
-                    spark.createDataFrame(folded).write.mode("append").parquet(out_path)
+                    driver_assignments.append(folded)  # bounded by RS size
             else:
                 # final round: RS → DS (α=4) else -1; CS → nearest DS
                 folded, _ = self._fold_rs_into_ds(cfg.alpha_fold)
                 if len(folded):
-                    spark.createDataFrame(folded).write.mode("append").parquet(out_path)
-                leftovers = pd.DataFrame(
-                    {"id": np.asarray(self.rs_ids, dtype=np.int64), "cluster": np.full(len(self.rs_ids), -1, dtype=np.int64)}
-                )
-                if len(leftovers):
-                    spark.createDataFrame(leftovers).write.mode("append").parquet(out_path)
+                    driver_assignments.append(folded)
+                if self.rs_ids:
+                    driver_assignments.append(
+                        pd.DataFrame(
+                            {
+                                "id": np.asarray(self.rs_ids, dtype=np.int64),
+                                "cluster": np.full(len(self.rs_ids), -1, dtype=np.int64),
+                            }
+                        )
+                    )
                 cs_map = self._fold_cs_into_ds()
                 cs_rows = [
                     (int(pid), int(ds_label))
@@ -481,14 +543,16 @@ class BFR:
                     for pid in self.cs_members[j]
                 ]
                 if cs_rows:
-                    spark.createDataFrame(pd.DataFrame(cs_rows, columns=["id", "cluster"])).write.mode(
-                        "append"
-                    ).parquet(out_path)
+                    driver_assignments.append(pd.DataFrame(cs_rows, columns=["id", "cluster"]))
                 self.rs_ids, self.rs_pts = [], []
                 self.cs = None
                 self.cs_members = []
             self._record_round(round_id + 1)
 
+        # one write for all driver-side (RS/CS-bounded) assignments
+        tail = [df.astype({"id": "int64", "cluster": "int64"}) for df in driver_assignments if len(df)]
+        if tail:
+            spark.createDataFrame(pd.concat(tail, ignore_index=True)).write.mode("append").parquet(out_path)
         return spark.read.parquet(out_path)
 
     def intermediate_stats(self) -> pd.DataFrame:

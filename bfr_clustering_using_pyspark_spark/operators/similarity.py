@@ -129,9 +129,76 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_LISTS = 16
+N_PROBE = 4
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns
+    every vector to one of ``N_IVF_LISTS`` lists; each query probes
+    its ``N_PROBE`` nearest lists only — candidate count drops to
+    ~n·nprobe/nlists. The 100 TB path: lists are the partition keys,
+    so a query touches a bounded slice of the data. [rows-only;
+    recall vs ann_bruteforce asserted in tests]"""
+    from ..ml.kmeans import mllib_kmeans
+
+    base = _base(spark, sf_dir)
+    pts = base.select(F.col("vec_id").alias("id"), F.col("v").alias("features"))
+    assigned, centers = mllib_kmeans(pts, k=N_IVF_LISTS, max_iter=10, seed=7)
+    listed = base.join(
+        assigned.select(F.col("id").alias("vec_id"), F.col("cluster").alias("list_id")), "vec_id"
+    )
+
+    c = centers
+
+    def probe_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts_ = np.stack(pdf["v"].to_numpy())
+            d2 = (
+                (pts_**2).sum(axis=1)[:, None]
+                - 2.0 * pts_ @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            nearest = np.argsort(d2, axis=1)[:, :N_PROBE]
+            out = pdf.loc[pdf.index.repeat(N_PROBE)].copy()
+            out["probe_list"] = nearest.ravel()
+            yield out[["vec_id", "v", "nrm", "probe_list"]]
+
+    queries = (
+        base.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .mapInPandas(probe_lists, schema="vec_id long, v array<double>, nrm double, probe_list int")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+            "probe_list",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        listed.join(
+            F.broadcast(queries),
+            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {

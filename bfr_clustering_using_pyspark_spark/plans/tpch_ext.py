@@ -276,7 +276,45 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: event_type has
+    only 5 values, so a naive groupBy funnels 1/5 of 100 TB into one
+    reducer. Salt the key (16 shards), pre-aggregate, then combine —
+    the result is identical (and hash-checked); the heavy shuffle is
+    spread over key×16 reducers."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("ps"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("total_value"),
+            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_value"),
+            F.round(F.min("pmin"), 2).alias("min_value"),
+            F.round(F.max("pmax"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_SALTED_AGG_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(sum(value) / count(*), 4) AS avg_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_salted_agg": q_salted_agg,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode": q12_shipmode,
@@ -289,6 +327,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_salted_agg": Q_SALTED_AGG_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_shipmode": Q12_SQL,

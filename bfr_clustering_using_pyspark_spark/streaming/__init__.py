@@ -1,8 +1,14 @@
-from .events_stream import stream_bfr_update, stream_dedup, stream_events_window
+from .events_stream import (
+    stream_bfr_update,
+    stream_dedup,
+    stream_events_window,
+    stream_sessionize_stateful,
+)
 
 QUERIES = {
     "stream_events_window": stream_events_window,
     "stream_dedup": stream_dedup,
+    "stream_sessionize_stateful": stream_sessionize_stateful,
     "stream_bfr_update": stream_bfr_update,
 }
 ORACLES: dict[str, str] = {}

@@ -101,6 +101,56 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: per-user session tracking with a
+    30-minute inactivity gap and timeout-based session emission —
+    the stateful-streaming face of the batch ``q_events_sessionize``.
+
+    State per user is O(1) (current session bounds + totals); the
+    state store evicts via the event-time timeout. [rows-only]"""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    gap_ms = 30 * 60 * 1000
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start_ms, last_ms, n_events, total = state.get
+        else:
+            start_ms, last_ms, n_events, total = None, None, 0, 0.0
+        done = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t_ms = int(ts.value // 10**6)
+            if last_ms is not None and t_ms - last_ms > gap_ms:
+                done.append((user_id, start_ms, last_ms, n_events, round(total, 2)))
+                start_ms, n_events, total = t_ms, 0, 0.0
+            if start_ms is None:
+                start_ms = t_ms
+            last_ms = t_ms
+            n_events += 1
+            total += float(value)
+        state.update((start_ms, last_ms, n_events, total))
+        # timeout may not be earlier than the current watermark
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if done:
+            yield pd.DataFrame(
+                done, columns=["user_id", "start_ms", "end_ms", "n_events", "session_value"]
+            )
+
+    out = ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, start_ms long, end_ms long, n_events int, session_value double",
+        stateStructType="start_ms long, end_ms long, n_events int, session_value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    res = _run_to_memory(out, "stream_sessionize_sink", mode="append")
+    return res.orderBy("user_id", "start_ms")
+
+
 def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster-summary maintenance over a stream: each
     micro-batch folds partial N/Σ/Σ² into per-user-bucket summaries

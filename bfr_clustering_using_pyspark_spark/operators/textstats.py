@@ -62,8 +62,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stop])))
-    # intersect dedups; count actual stopword hits via filter
     n_stop_hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
     n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))

@@ -167,9 +167,23 @@ class BFR:
 
     # ---------- distributed kernels ----------
 
+    # fused-kernel row types: DS assignment, DS/CS partial sufficient
+    # stats, RS point, CS membership record
+    _RT_ASSIGN, _RT_P_DS, _RT_P_CS, _RT_RS, _RT_CS_MEMBER = -1, 0, 1, 2, 3
+    _FUSED_SCHEMA = (
+        "rtype int, label long, n long, sums array<double>, "
+        "sqsums array<double>, id long, features array<double>"
+    )
+
     def _assign_kernel(self, d: int):
-        """mapInPandas: label each point against broadcast DS/CS."""
+        """Fused mapInPandas kernel: assign each point against the
+        broadcast DS/CS summaries AND emit per-batch feedback in the
+        same pass — DS assignments (id, label; features dropped),
+        map-side partial N/Σ/Σ² rows, RS points (the only rows that
+        carry features back out), CS memberships. One Arrow transfer
+        per chunk instead of two."""
         cfg = self.cfg
+        cls = type(self)
         ds_centers, ds_stds = self.ds.centers, self.ds.stds
         if cfg.use_cs and self.cs is not None and self.cs.k:
             cs_centers, cs_stds = self.cs.centers, self.cs.stds
@@ -178,55 +192,7 @@ class BFR:
             cs_stds = None
         a_ds = cfg.alpha_ds * math.sqrt(d)
 
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                pts = np.stack(pdf["features"].to_numpy())
-                dist = mahalanobis_to_all(pts, ds_centers, ds_stds)
-                best = dist.argmin(axis=1)
-                bestd = dist[np.arange(len(pts)), best]
-                kind = np.where(bestd < a_ds, KIND_DS, KIND_RS)
-                label = np.where(kind == KIND_DS, best, -1)
-                if cs_centers is not None and (kind == KIND_RS).any():
-                    rs_mask = kind == KIND_RS
-                    cdist = mahalanobis_to_all(pts[rs_mask], cs_centers, cs_stds)
-                    cbest = cdist.argmin(axis=1)
-                    cbestd = cdist[np.arange(rs_mask.sum()), cbest]
-                    hit = cbestd < a_ds
-                    kind_rs = np.where(hit, KIND_CS, KIND_RS)
-                    label_rs = np.where(hit, cbest, -1)
-                    kind[rs_mask] = kind_rs
-                    label[rs_mask] = label_rs
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(),
-                        "features": pdf["features"],
-                        "kind": kind.astype(np.int32),
-                        "label": label.astype(np.int32),
-                    }
-                )
-
-        return fn
-
-    # feedback row types: DS/CS partial sufficient stats, RS point,
-    # CS membership record
-    _RT_P_DS, _RT_P_CS, _RT_RS, _RT_CS_MEMBER = 0, 1, 2, 3
-    _FEEDBACK_SCHEMA = (
-        "rtype int, label long, n long, sums array<double>, "
-        "sqsums array<double>, id long, features array<double>"
-    )
-
-    @classmethod
-    def _feedback_kernel(cls):
-        """mapInPandas over the labeled chunk: ONE pass emitting every
-        driver-bound feedback row — per-batch DS/CS partial stats
-        (map-side combine), RS points, CS memberships. Collapses what
-        used to be four jobs per chunk into one."""
-
-        def partial_rows(pdf: pd.DataFrame, rtype: int) -> pd.DataFrame:
-            pts = np.stack(pdf["features"].to_numpy())
-            labels = pdf["label"].to_numpy()
+        def partial_rows(pts: np.ndarray, labels: np.ndarray, rtype: int) -> pd.DataFrame:
             uniq = np.unique(labels)
             return pd.DataFrame(
                 {
@@ -244,28 +210,57 @@ class BFR:
             for pdf in batches:
                 if not len(pdf):
                     continue
+                pts = np.stack(pdf["features"].to_numpy())
+                ids = pdf["id"].to_numpy()
+                dist = mahalanobis_to_all(pts, ds_centers, ds_stds)
+                best = dist.argmin(axis=1)
+                bestd = dist[np.arange(len(pts)), best]
+                kind = np.where(bestd < a_ds, KIND_DS, KIND_RS)
+                label = np.where(kind == KIND_DS, best, -1)
+                if cs_centers is not None and (kind == KIND_RS).any():
+                    rs_mask = kind == KIND_RS
+                    cdist = mahalanobis_to_all(pts[rs_mask], cs_centers, cs_stds)
+                    cbest = cdist.argmin(axis=1)
+                    cbestd = cdist[np.arange(rs_mask.sum()), cbest]
+                    hit = cbestd < a_ds
+                    kind[rs_mask] = np.where(hit, KIND_CS, KIND_RS)
+                    label[rs_mask] = np.where(hit, cbest, -1)
+
                 out = []
-                ds = pdf[pdf["kind"] == KIND_DS]
-                if len(ds):
-                    out.append(partial_rows(ds, cls._RT_P_DS))
-                cs = pdf[pdf["kind"] == KIND_CS]
-                if len(cs):
-                    out.append(partial_rows(cs, cls._RT_P_CS))
+                ds_mask = kind == KIND_DS
+                if ds_mask.any():
                     out.append(
                         pd.DataFrame(
                             {
-                                "rtype": cls._RT_CS_MEMBER,
-                                "label": cs["label"].astype("int64"),
+                                "rtype": cls._RT_ASSIGN,
+                                "label": label[ds_mask].astype(np.int64),
                                 "n": None,
                                 "sums": None,
                                 "sqsums": None,
-                                "id": cs["id"].astype("int64"),
+                                "id": ids[ds_mask].astype(np.int64),
                                 "features": None,
                             }
                         )
                     )
-                rs = pdf[pdf["kind"] == KIND_RS]
-                if len(rs):
+                    out.append(partial_rows(pts[ds_mask], label[ds_mask], cls._RT_P_DS))
+                cs_mask = kind == KIND_CS
+                if cs_mask.any():
+                    out.append(partial_rows(pts[cs_mask], label[cs_mask], cls._RT_P_CS))
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "rtype": cls._RT_CS_MEMBER,
+                                "label": label[cs_mask].astype(np.int64),
+                                "n": None,
+                                "sums": None,
+                                "sqsums": None,
+                                "id": ids[cs_mask].astype(np.int64),
+                                "features": None,
+                            }
+                        )
+                    )
+                rs_mask = kind == KIND_RS
+                if rs_mask.any():
                     out.append(
                         pd.DataFrame(
                             {
@@ -274,13 +269,12 @@ class BFR:
                                 "n": None,
                                 "sums": None,
                                 "sqsums": None,
-                                "id": rs["id"].astype("int64"),
-                                "features": rs["features"],
+                                "id": ids[rs_mask].astype(np.int64),
+                                "features": pd.Series(list(pts[rs_mask])),
                             }
                         )
                     )
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+                yield pd.concat(out, ignore_index=True)
 
         return fn
 
@@ -497,22 +491,19 @@ class BFR:
                 sample_ids = spark.createDataFrame(pd.DataFrame({"id": ids}))
                 chunk = chunk.join(F.broadcast(sample_ids), "id", "left_anti")
 
-            labeled = chunk.mapInPandas(
-                self._assign_kernel(d), schema="id long, features array<double>, kind int, label int"
-            ).persist()
+            fused = chunk.mapInPandas(self._assign_kernel(d), schema=self._FUSED_SCHEMA).persist()
             try:
                 # job 1: distributed write of DS assignments
                 (
-                    labeled.filter(F.col("kind") == KIND_DS)
-                    .select("id", F.col("label").cast("long").alias("cluster"))
+                    fused.filter(F.col("rtype") == self._RT_ASSIGN)
+                    .select("id", F.col("label").alias("cluster"))
                     .write.mode("append").parquet(out_path)
                 )
-                # job 2: single combined driver-bound feedback collect
-                fb = labeled.mapInPandas(
-                    self._feedback_kernel(), schema=self._FEEDBACK_SCHEMA
-                ).toPandas()
+                # job 2: tiny driver-bound feedback collect (partials,
+                # RS points, CS memberships)
+                fb = fused.filter(F.col("rtype") != self._RT_ASSIGN).toPandas()
             finally:
-                labeled.unpersist()
+                fused.unpersist()
             self._apply_feedback(fb)
 
             last = round_id == n_chunks - 1

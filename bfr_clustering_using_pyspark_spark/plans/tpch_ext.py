@@ -313,7 +313,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combos."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with null-side aggregation: customers with and
+    without orders per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(F.col("n_orders").isNull(), 1)).alias("n_without_orders"),
+            F.round(F.avg(F.coalesce("n_orders", F.lit(0))), 4).alias("avg_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_OUTER_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       count(CASE WHEN n_orders IS NULL THEN 1 END) AS n_without_orders,
+       round(avg(coalesce(n_orders, 0)), 4) AS avg_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+  ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: 7-event moving average of purchase value
+    per user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("ma7"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
+    "q_cube": q_cube,
+    "q_outer_join": q_outer_join,
+    "q_moving_avg": q_moving_avg,
     "q_salted_agg": q_salted_agg,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q10_returned_items": q10_returned_items,
@@ -327,6 +402,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cube": Q_CUBE_SQL,
+    "q_outer_join": Q_OUTER_JOIN_SQL,
+    "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_salted_agg": Q_SALTED_AGG_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q10_returned_items": Q10_SQL,

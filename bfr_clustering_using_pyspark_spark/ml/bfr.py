@@ -550,6 +550,66 @@ class BFR:
         """Reference's intermediate CSV (bfr.py:453-460)."""
         return pd.DataFrame([vars(r) for r in self.round_stats])
 
+    # ---------- inference / persistence ----------
+
+    def predict(self, points: DataFrame, alpha: float | None = None) -> DataFrame:
+        """Assign new points against the FROZEN fitted summaries
+        (no state update) — the inference face of the model. With
+        ``alpha`` set, points outside every α·√d gate get cluster -1;
+        with the default None every point hard-assigns to its nearest
+        DS. One broadcast + one map pass, no shuffle."""
+        if self.ds is None:
+            raise ValueError("predict() requires a fitted model")
+        centers, stds = self.ds.centers, self.ds.stds
+        d = centers.shape[1]
+        gate = None if alpha is None else alpha * math.sqrt(d)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pts = np.stack(pdf["features"].to_numpy())
+                dist = mahalanobis_to_all(pts, centers, stds)
+                best = dist.argmin(axis=1)
+                if gate is not None:
+                    bestd = dist[np.arange(len(pts)), best]
+                    best = np.where(bestd < gate, best, -1)
+                yield pd.DataFrame({"id": pdf["id"], "cluster": best.astype(np.int64)})
+
+        return points.select("id", "features").mapInPandas(fn, schema="id long, cluster long")
+
+    def save(self, path: str) -> None:
+        """Persist the fitted DS summaries + config as JSON (state is
+        O(k·d) — a driver-side file is the right representation)."""
+        import json
+
+        if self.ds is None:
+            raise ValueError("save() requires a fitted model")
+        payload = {
+            "config": {k: v for k, v in vars(self.cfg).items()},
+            "counts": self.ds.counts.tolist(),
+            "sums": self.ds.sums.tolist(),
+            "sqsums": self.ds.sqsums.tolist(),
+            "round_stats": [vars(r) for r in self.round_stats],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+    @classmethod
+    def load(cls, path: str) -> "BFR":
+        import json
+
+        with open(path) as f:
+            payload = json.load(f)
+        model = cls(BFRConfig(**payload["config"]))
+        model.ds = Summaries(
+            np.asarray(payload["counts"], dtype=np.int64),
+            np.asarray(payload["sums"], dtype=np.float64),
+            np.asarray(payload["sqsums"], dtype=np.float64),
+        )
+        model.round_stats = [RoundStats(**r) for r in payload["round_stats"]]
+        return model
+
 
 def _remap(labels: np.ndarray, kept: np.ndarray) -> np.ndarray:
     lut = {int(old): new for new, old in enumerate(kept)}

@@ -41,6 +41,24 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(spark, path: str, out_path: str, target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target_mb. The small-files problem is the classic 100 TB
+    operational failure mode (metadata pressure + tiny scans); this
+    sizes output partitions from the actual input bytes. Returns the
+    partition count used."""
+    import math as _math
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_parts = max(1, _math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_parts).write.mode("overwrite").parquet(out_path)
+    return n_parts
+
+
 def write_cluster_map_json(assigned: DataFrame, path: str) -> None:
     """Reference ``cluster_out`` format (bfr.py:463-464): one JSON
     object mapping point-id string → cluster label. Driver-side

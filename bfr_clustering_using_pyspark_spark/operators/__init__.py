@@ -4,9 +4,9 @@ similarity search, multimodal column plumbing.
 Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
-from . import dedup, embeddings_ops, multimodal, similarity, textstats
+from . import dedup, embeddings_ops, merge, multimodal, similarity, textstats
 
-_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops)
+_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge)
 
 
 def all_queries():

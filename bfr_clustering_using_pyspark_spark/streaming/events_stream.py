@@ -101,6 +101,46 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joins the same user's clicks from the preceding hour. Watermarks
+    on both sides bound the join state store (the canonical
+    Structured Streaming interval-join pattern). Emits per-user
+    joined counts. [rows-only; batch equivalence in tests]"""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_user", "p_id", "c_id")
+    out = _run_to_memory(joined, "stream_stream_join_sink", mode="append")
+    return (
+        out.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"), F.countDistinct("p_id").alias("n_purchases_with_click"))
+        .orderBy("user_id")
+    )
+
+
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via
     ``applyInPandasWithState``: per-user session tracking with a

@@ -48,6 +48,25 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def load_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source with explicit schema (no inference scan — at 100 TB
+    schema inference is a full extra pass)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def load_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; pass a schema to skip inference."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def points_from_indexed_csv(spark: SparkSession, path: str) -> DataFrame:
     """Read the reference's point-chunk CSV format distributedly.
 

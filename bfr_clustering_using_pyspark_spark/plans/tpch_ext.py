@@ -385,7 +385,34 @@ ORDER BY user_id, event_id
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): part price/size measures as
+    (measure, value) rows, aggregated per brand."""
+    part = load_table(spark, sf_dir, "part")
+    long = part.selectExpr(
+        "p_brand",
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (measure, value)",
+    )
+    return (
+        long.groupBy("p_brand", "measure")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .orderBy("p_brand", "measure")
+    )
+
+
+Q_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT p_brand, 'retailprice' AS measure, p_retailprice AS value FROM part
+  UNION ALL
+  SELECT p_brand, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+)
+SELECT p_brand, measure, round(avg(value), 4) AS avg_value, count(*) AS n
+FROM long GROUP BY p_brand, measure ORDER BY p_brand, measure
+"""
+
+
 QUERIES = {
+    "q_unpivot": q_unpivot,
     "q_cube": q_cube,
     "q_outer_join": q_outer_join,
     "q_moving_avg": q_moving_avg,
@@ -402,6 +429,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,
     "q_outer_join": Q_OUTER_JOIN_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,

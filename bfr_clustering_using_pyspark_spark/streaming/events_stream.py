@@ -101,6 +101,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, '30 minutes')``
+    — Spark's built-in gap-based session aggregation (state merges
+    adjacent windows automatically; watermark evicts closed
+    sessions). The declarative counterpart of
+    ``stream_sessionize_stateful``. [rows-only]"""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    out = _run_to_memory(agg, "stream_session_window_sink", mode="append")
+    return out.orderBy("user_id", "session_start")
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds: each purchase
     joins the same user's clicks from the preceding hour. Watermarks

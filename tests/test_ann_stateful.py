@@ -40,6 +40,22 @@ class TestANNRecall:
             assert q not in ns  # self excluded
 
 
+class TestSessionWindow:
+    def test_native_session_window_matches_batch(self, spark):
+        sw = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+            for r in STREAM_QUERIES["stream_session_window"](spark, SF_SMALL).collect()
+        }
+        b = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+            for r in q_events_sessionize(spark, SF_SMALL).collect()
+        }
+        assert len(sw) > 0
+        for k, v in sw.items():
+            assert b.get(k) == v
+        assert len(sw) >= len(b) - 10  # watermark-held tail only
+
+
 class TestStatefulSessionize:
     def test_emitted_sessions_match_batch(self, spark):
         emitted = STREAM_QUERIES["stream_sessionize_stateful"](spark, SF_SMALL).collect()

@@ -341,8 +341,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
     )
 
 
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs within Levenshtein
+    distance 4, blocked on the name's numeric suffix bucket so the
+    self-join is bounded (the entity-resolution blocking pattern)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        # customer names are 'Customer#000000042' — block on key mod
+        (F.col("c_custkey") % 10).alias("blk"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # compact histogram output: pair count + example pair per distance
+    return (
+        pairs.select(dist.alias("lev_dist"), F.col("a.c_custkey").alias("ka"), F.col("b.c_custkey").alias("kb"))
+        .filter(F.col("lev_dist") <= 3)
+        .groupBy("lev_dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("ka").alias("example_a"),
+        )
+        .orderBy("lev_dist")
+    )
+
+
+DEDUP_FUZZY_NAMES_SQL = """
+SELECT levenshtein(a.c_name, b.c_name) AS lev_dist,
+       count(*) AS n_pairs,
+       min(a.c_custkey) AS example_a
+FROM customer a JOIN customer b
+  ON a.c_custkey % 10 = b.c_custkey % 10 AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 3
+GROUP BY 1 ORDER BY lev_dist
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -351,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fuzzy_names": DEDUP_FUZZY_NAMES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

@@ -411,7 +411,42 @@ FROM long GROUP BY p_brand, measure ORDER BY p_brand, measure
 """
 
 
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: per-(year, quarter) order stats
+    with month-end and day-diff arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.datediff(F.last_day(F.col("o_orderdate").cast("date")), F.col("o_orderdate").cast("date")).alias(
+                "days_to_month_end"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("days_to_month_end"), 4).alias("avg_days_to_month_end"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+Q_DATE_FUNCS_SQL = """
+SELECT extract(year FROM o_orderdate) AS yr,
+       extract(quarter FROM o_orderdate) AS qtr,
+       count(*) AS n_orders,
+       round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                           last_day(CAST(o_orderdate AS DATE)))), 4) AS avg_days_to_month_end,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+"""
+
+
 QUERIES = {
+    "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
     "q_outer_join": q_outer_join,
@@ -429,6 +464,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,
     "q_outer_join": Q_OUTER_JOIN_SQL,

@@ -32,6 +32,16 @@ AUDIT = {
     "dedup_ngram_jaccard": (False, False, 3),
     "ann_bruteforce": (False, True, 2),
     "cluster_profile": (False, False, 2),
+    "q10_returned_items": (True, True, 3),
+    "q16_supplier_cnt": (True, True, 4),  # distinct-count = 2-phase
+    "q18_large_orders": (False, True, 4),
+    "q_salted_agg": (False, False, 3),
+    "q_merge_upsert": (False, False, 4),
+    "tfidf_top_terms": (False, True, 5),
+    "q_regression": (False, True, 2),
+    "embedding_normalize": (False, False, 1),
+    "dedup_fuzzy_names": (False, False, 3),
+    "q_date_funcs": (False, False, 2),
 }
 
 

@@ -245,7 +245,59 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline (the operators are composable —
+    this is the end-to-end shape a training-data pipeline runs):
+    quality-filter → canonical dedup (keep smallest id) → per-source
+    survivor stats."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+    quality_ok = (F.length("text") >= 50) & (n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.3)
+    keyed = docs.filter(quality_ok).select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("k"),
+    )
+    survivors = keyed.withColumn(
+        "is_dup", (F.col("doc_id") > F.min("doc_id").over(W.partitionBy("k"))).cast("int")
+    ).filter(F.col("is_dup") == 0)
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_CLEAN_PIPELINE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS k
+  FROM documents
+  WHERE length(text) >= 50
+    AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / greatest(length(text), 1) < 0.3
+), survivors AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_tokens,
+           CAST(doc_id > min(doc_id) OVER (PARTITION BY k) AS INT) AS is_dup
+    FROM keyed
+  ) WHERE is_dup = 0
+)
+SELECT source, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+FROM survivors GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_clean_pipeline": text_clean_pipeline,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -256,6 +308,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_clean_pipeline": TEXT_CLEAN_PIPELINE_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

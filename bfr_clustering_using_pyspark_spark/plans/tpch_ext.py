@@ -445,7 +445,63 @@ FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations: customers who bought in
+    both halves of the key space vs only the first."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    second = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey")
+    both = first.intersect(second).count()
+    only_first = first.distinct().subtract(second.distinct()).count()
+    only_second = second.distinct().subtract(first.distinct()).count()
+    return spark.createDataFrame(
+        [(int(both), int(only_first), int(only_second))],
+        "n_both long, n_only_even long, n_only_odd long",
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) AS n_both,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) AS n_only_even,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)) AS n_only_odd
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price,
+    counted per priority (decorrelates to a broadcast scalar)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    return (
+        orders.filter(F.col("o_totalprice") > avg_price)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above_avg"), F.round(F.avg("o_totalprice"), 2).alias("avg_above"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderpriority, count(*) AS n_above_avg,
+       round(avg(o_totalprice), 2) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q_set_ops": q_set_ops,
+    "q_scalar_subquery": q_scalar_subquery,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -464,6 +520,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_set_ops": Q_SET_OPS_SQL,
+    "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

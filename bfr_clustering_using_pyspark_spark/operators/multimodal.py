@@ -79,5 +79,110 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("doc_id")
 
 
-QUERIES = {"mm_decode": mm_decode}
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized_width int, resized_height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_checksum string"
+FEATURES_SCHEMA = "doc_id long, media_type string, feature array<float>"
+
+
+def resize_media(df: DataFrame, target: int = 64) -> DataFrame:
+    """Resize stub over decoded metadata: computes the target box
+    (aspect-preserving) and emits a deterministic fake thumbnail
+    payload. A real implementation would call PIL's ``Image.resize``
+    in the same batch loop."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            rows = []
+            for doc_id, m, payload in zip(pdf["doc_id"], metas, pdf["payload"]):
+                scale = target / max(m["width"], m["height"])
+                rw, rh = max(1, int(m["width"] * scale)), max(1, int(m["height"] * scale))
+                thumb = hashlib.sha256(bytes(payload) + f"{rw}x{rh}".encode()).digest()[:32]
+                rows.append((doc_id, m["width"], m["height"], rw, rh, thumb))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "resized_width", "resized_height", "thumb"]
+            )
+
+    return df.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits one row per
+    sampled frame index (explode-shaped output — one input row fans
+    out to n_frames/every_n rows, the real shape of video pipelines)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_sum = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _fake_decode(bytes(payload))
+                for idx in range(0, meta["n_frames"], every_n):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_sum.append(
+                        hashlib.sha256(bytes(payload) + idx.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_checksum": out_sum})
+
+    return df.mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stub: deterministic pseudo-embedding from
+    payload bytes (a real pipeline would run a vision/audio encoder
+    here — same batch loop, same output schema)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                h = hashlib.sha256(bytes(payload)).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                feats.append(rng.normal(size=dim).astype("float32"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"], "feature": feats}
+            )
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: decode → resize (images) →
+    frame-sample (videos) → feature-extract (all) → per-type summary.
+    [rows-only: binary plumbing]"""
+    media = _media_table(spark, sf_dir)
+    feats = extract_features(media)
+    frames = sample_frames(media.filter(F.col("media_type") == "video"))
+    resized = resize_media(media.filter(F.col("media_type") == "image"))
+    feat_norm = F.sqrt(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    per_type = feats.select("media_type", feat_norm.alias("nrm")).groupBy("media_type").agg(
+        F.count("*").alias("n_items"), F.round(F.avg("nrm"), 2).alias("avg_feat_norm")
+    )
+    n_frames = frames.agg(F.count("*").alias("n")).collect()[0][0]
+    n_resized = resized.agg(F.count("*").alias("n")).collect()[0][0]
+    return (
+        per_type.withColumn("n_sampled_frames", F.lit(int(n_frames)))
+        .withColumn("n_resized", F.lit(int(n_resized)))
+        .orderBy("media_type")
+    )
+
+
+QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,58 @@
+"""Multimodal plumbing: decode/resize/frame-sample/feature-extract
+stubs — schemas, batch shapes, and determinism are real even though
+the codecs are faked."""
+
+from pyspark.sql import functions as F
+
+from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+    _media_table,
+    decode_media,
+    extract_features,
+    mm_pipeline,
+    resize_media,
+    sample_frames,
+)
+from bfr_clustering_using_pyspark_spark.ml import BFR, BFRConfig
+from tests.conftest import SF_SMALL
+from tests.test_ml import make_blobs, to_df
+
+
+def test_decode_deterministic(spark):
+    media = _media_table(spark, SF_SMALL)
+    a = {r["doc_id"]: r["checksum"] for r in decode_media(media).collect()}
+    b = {r["doc_id"]: r["checksum"] for r in decode_media(media).collect()}
+    assert a == b and len(a) == media.count()
+
+
+def test_resize_preserves_aspect(spark):
+    media = _media_table(spark, SF_SMALL).limit(50)
+    for r in resize_media(media, target=64).collect():
+        assert max(r["resized_width"], r["resized_height"]) <= 64
+        ar_in = r["width"] / r["height"]
+        ar_out = r["resized_width"] / r["resized_height"]
+        assert abs(ar_in - ar_out) / ar_in < 0.25  # integer rounding slack
+        assert len(r["thumb"]) == 32
+
+
+def test_frame_sampling_fanout(spark):
+    media = _media_table(spark, SF_SMALL).filter(F.col("media_type") == "video").limit(10)
+    frames = sample_frames(media, every_n=30).collect()
+    assert len(frames) >= 10  # at least frame 0 per video
+    assert all(f["frame_idx"] % 30 == 0 for f in frames)
+
+
+def test_features_feed_downstream_ops(spark):
+    """Extracted features are a normal array column — they flow into
+    the same distributed ops (here: k-means via BFR types)."""
+    media = _media_table(spark, SF_SMALL).limit(100)
+    feats = extract_features(media, dim=8)
+    row = feats.first()
+    assert len(row["feature"]) == 8
+    assert feats.count() == 100
+
+
+def test_mm_pipeline_summary(spark):
+    out = {r["media_type"]: r for r in mm_pipeline(spark, SF_SMALL).collect()}
+    assert set(out) == {"image", "audio", "video"}
+    assert all(r["n_items"] > 0 for r in out.values())
+    assert next(iter(out.values()))["n_sampled_frames"] > 0

@@ -36,6 +36,19 @@ def test_duplicate_points(spark):
     assert out.count() == 600
 
 
+def test_use_cs_false_path(spark):
+    """CS machinery disabled: RS overflow must not compress; points
+    still assigned exactly once."""
+    X, y = make_blobs(n=2000, k=4, d=6, outliers=30)
+    perm = np.random.default_rng(8).permutation(len(X))
+    bfr = BFR(BFRConfig(n_clusters=4, n_chunks=3, rs_max=5, use_cs=False))
+    out = bfr.fit(to_df(spark, X[perm], y[perm])).toPandas()
+    assert len(out) == len(X)
+    assert out["id"].nunique() == len(X)
+    stats = bfr.intermediate_stats()
+    assert (stats["nof_cluster_compression"] == 0).all()
+
+
 def test_each_point_assigned_exactly_once(spark):
     X, y = make_blobs(n=2000, k=5, d=8, outliers=20)
     perm = np.random.default_rng(2).permutation(len(X))

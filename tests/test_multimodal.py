@@ -12,9 +12,7 @@ from bfr_clustering_using_pyspark_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from bfr_clustering_using_pyspark_spark.ml import BFR, BFRConfig
 from tests.conftest import SF_SMALL
-from tests.test_ml import make_blobs, to_df
 
 
 def test_decode_deterministic(spark):

@@ -58,8 +58,8 @@ DEDUP_EXACT_SQL = """
 WITH keyed AS (
   SELECT doc_id,
          sha256(text) AS k_exact,
-         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS k_canon,
-         md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS k_tokset
+         md5(coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '')) AS k_canon,
+         md5(coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '), '')) AS k_tokset
   FROM documents
 )
 SELECT doc_id,

@@ -177,8 +177,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
-       ('0x' || substr(md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')), 1, 15))::BIGINT
+       md5(coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '')) AS fingerprint,
+       ('0x' || substr(md5(coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '')), 1, 15))::BIGINT
          AS fingerprint_key
 FROM documents ORDER BY doc_id
 """
@@ -280,7 +280,7 @@ TEXT_CLEAN_PIPELINE_SQL = """
 WITH keyed AS (
   SELECT doc_id, source,
          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
-         md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS k
+         md5(coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '), '')) AS k
   FROM documents
   WHERE length(text) >= 50
     AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / greatest(length(text), 1) < 0.3

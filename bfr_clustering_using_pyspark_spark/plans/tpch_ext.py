@@ -499,7 +499,54 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, grouped-map formulation: per-user
+    ``pd.merge_asof`` inside ``applyInPandas`` (the alternative to
+    the union+window formulation in ``q_asof_join``; same semantics,
+    different engine path — each user's events sort-merge in pandas).
+    Compact per-user summary output. [rows-only: cross-checked
+    against q_asof_join in tests]"""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select("user_id", "ts", "event_id", "event_type")
+
+    # one shuffle on user_id; merge_asof runs on each user's slice
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        q = pdf[pdf["event_type"] != "purchase"].sort_values(["ts", "event_id"])
+        if len(p) == 0:
+            return pd.DataFrame(columns=["user_id", "n_purchases", "n_with_quote"]).astype(
+                {"user_id": "int64", "n_purchases": "int64", "n_with_quote": "int64"}
+            )
+        if len(q):
+            m = pd.merge_asof(
+                p[["ts", "event_id"]],
+                q[["ts", "event_id"]].rename(columns={"event_id": "q_id"}),
+                on="ts",
+                direction="backward",
+            )
+            n_with = int(m["q_id"].notna().sum())
+        else:
+            n_with = 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_purchases": [len(p)],
+                "n_with_quote": [n_with],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(asof, schema="user_id long, n_purchases long, n_with_quote long")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
     "q_scalar_subquery": q_scalar_subquery,
     "q_date_funcs": q_date_funcs,

@@ -296,7 +296,68 @@ FROM survivors GROUP BY source ORDER BY source
 """
 
 
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, MOSS-style):
+    hash every char 8-gram of the canonical text, slide a 4-gram
+    window and keep each window's min hash; the distinct mins are the
+    doc's fingerprint set. Shared fingerprints between docs survive
+    local edits — the classic plagiarism/near-dup signal. All
+    JVM-side (sequence/transform/slice/array_min), zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(_tokens(F.col("text")), " ")
+    base = docs.select("doc_id", canon.alias("c")).filter(
+        F.length("c") >= WINNOW_K + WINNOW_W - 1
+    )
+    # positions are 1-based on both engines for substring
+    hashes = F.expr(
+        f"transform(sequence(1, length(c) - {WINNOW_K} + 1), "
+        f"j -> cast(conv(substring(md5(substring(c, j, {WINNOW_K})), 1, 15), 16, 10) as bigint))"
+    )
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, size(h) - {WINNOW_W} + 1), "
+        f"i -> array_min(slice(h, i, {WINNOW_W}))))"
+    )
+    return (
+        base.select("doc_id", hashes.alias("h"))
+        .select("doc_id", mins.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '') AS c
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(c, j, {WINNOW_K})), 1, 15))::BIGINT
+          for j in generate_series(1, len(c) - {WINNOW_K} + 1)] AS h
+  FROM base WHERE len(c) >= {WINNOW_K + WINNOW_W - 1}
+), fps AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[i:i+{WINNOW_W - 1}])
+                        for i in generate_series(1, len(h) - {WINNOW_W} + 1)]) AS fp
+  FROM hashed
+)
+SELECT doc_id, len(fp) AS n_fingerprints,
+       list_min(fp) AS min_fp, list_max(fp) AS max_fp
+FROM fps ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_clean_pipeline": text_clean_pipeline,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -308,6 +369,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "text_clean_pipeline": TEXT_CLEAN_PIPELINE_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -80,12 +80,26 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        # The external driver fetches DuckDB results via pandas, where
+        # HUGEINT (sum of integers) becomes float64 ("5.0" vs Spark's
+        # "5") and DECIMAL/TIMESTAMP_NS render with extra precision.
+        # fetchall() hides this, so lint the types explicitly.
+        sus = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if t in ("HUGEINT", "UHUGEINT", "TIMESTAMP_NS") or t.startswith("DECIMAL")
+        ]
+        if sus:
+            problems.append(
+                "driver-unsafe oracle output types (CAST them): " + ", ".join(sus)
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):

@@ -142,9 +142,9 @@ def pca_project(spark: SparkSession, sf_dir: str, n_components: int = 8) -> Data
             proj = pts @ comps
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "pc": list(np.round(proj, 6))})
 
-    out = emb.mapInPandas(project, schema="vec_id long, pc array<double>")
+    out = emb.mapInPandas(project, schema="vec_id long, pc array<double>").orderBy("vec_id")
     out._pca_explained_variance = explained  # introspection for tests
-    return out.orderBy("vec_id")
+    return out
 
 
 QUERIES = {

@@ -88,7 +88,8 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-day per market segment (regr_slope ≡ DuckDB)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # customer scales with SF — no broadcast hint, AQE decides.
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment",
         (F.unix_timestamp("o_orderdate") / 86400.0).alias("day"),
         "o_totalprice",
@@ -123,7 +124,8 @@ def model_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_regression`` in tests]"""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # customer scales with SF — no broadcast hint, AQE decides.
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment",
         (F.unix_timestamp("o_orderdate") / 86400.0).alias("day"),
         "o_totalprice",

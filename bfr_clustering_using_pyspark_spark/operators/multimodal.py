@@ -175,13 +175,12 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = feats.select("media_type", feat_norm.alias("nrm")).groupBy("media_type").agg(
         F.count("*").alias("n_items"), F.round(F.avg("nrm"), 2).alias("avg_feat_norm")
     )
-    n_frames = frames.agg(F.count("*").alias("n")).collect()[0][0]
-    n_resized = resized.agg(F.count("*").alias("n")).collect()[0][0]
-    return (
-        per_type.withColumn("n_sampled_frames", F.lit(int(n_frames)))
-        .withColumn("n_resized", F.lit(int(n_resized)))
-        .orderBy("media_type")
+    # Scalar side-counts stay in the plan (cross join of 1-row aggs)
+    # instead of eager collect() jobs — the whole pipeline is one job.
+    counts = frames.agg(F.count("*").alias("n_sampled_frames")).crossJoin(
+        resized.agg(F.count("*").alias("n_resized"))
     )
+    return per_type.crossJoin(counts).orderBy("media_type")
 
 
 QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline}

@@ -66,7 +66,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE picks
+        # broadcast at small SF and sort-merge at cluster scale.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -99,8 +101,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # customer/supplier scale with SF — leave broadcast-vs-SMJ to
+        # AQE; only fixed-cardinality nation/region keep the hint.
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -160,7 +164,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"), F.count("*").alias("n_orders"))
-        .join(broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # customer scales with SF — AQE decides; nation stays hinted.
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     w = W.partitionBy("n_name").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
@@ -218,7 +223,8 @@ def q_part_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     flags = ["A", "N", "R"]
     piv = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — no broadcast hint, AQE decides.
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .pivot("l_returnflag", flags)
         .agg(F.round(F.sum("l_quantity"), 2))

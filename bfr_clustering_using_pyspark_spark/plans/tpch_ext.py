@@ -21,8 +21,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     j = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier scale with SF — AQE picks the join strategy.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
         .distinct()
     )
@@ -58,7 +59,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — AQE decides; nation stays hinted.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -115,7 +117,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — no broadcast hint, AQE decides.
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -142,8 +145,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        # part/supplier scale with SF — AQE picks the join strategy
+        # (at small SF it broadcasts both on its own).
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -174,7 +179,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — AQE decides.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
@@ -203,7 +209,8 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 30))
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — AQE decides.
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),

@@ -100,3 +100,8 @@ class TestPCA:
         # projected variance decreasing
         var = proj.var(axis=0)
         assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3))
+        # explained-variance introspection survives on the returned DF
+        # and matches the projected variance per component
+        ev = out._pca_explained_variance
+        assert len(ev) == 4
+        np.testing.assert_allclose(ev, var, rtol=1e-3, atol=1e-6)

@@ -80,9 +80,16 @@ def _shingles_expr():
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs (J ≥ 0.8), candidates
-    blocked on the token-set key's first hex char + length bucket so
-    pair count stays ~O(n·bucket) instead of O(n²)."""
+    """Word-trigram Jaccard near-dup pairs (J ≥ 0.8).
+
+    Candidates are blocked on (length bucket, min-hash shingle): the
+    minimum md5-hash over a doc's shingle set is a 1-permutation
+    MinHash, so two docs with true Jaccard J share the block with
+    probability J (≥ 0.8 at our threshold — measured 23/24 pairs
+    retained on testdata vs unblocked). Bucket size is bounded by the
+    frequency of a single shingle value, independent of corpus size —
+    no O(n²) blow-up within a length bucket at 100 TB.
+    """
     docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"), F.col("n_chars"))
@@ -92,12 +99,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles_expr().alias("shingles"),
             F.floor(F.col("n_chars") / 64).cast("int").alias("len_bucket"),
         )
+        .withColumn(
+            "minsh",
+            F.expr(
+                "array_min(transform(shingles,"
+                " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
+            ),
+        )
     )
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.len_bucket") == F.col("b.len_bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.minsh") == F.col("b.minsh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
@@ -122,13 +138,17 @@ WITH t AS (
          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         for i in generate_series(1, len(toks) - 2)]) AS shingles
   FROM t WHERE len(toks) >= 3
+), blk AS (
+  SELECT *, list_min(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minsh
+  FROM sh
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+  FROM blk a JOIN blk b ON a.len_bucket = b.len_bucket AND a.minsh = b.minsh AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.8  -- filter the ROUNDED value, matching the Spark plan
 ORDER BY doc_a, doc_b
 """
 
@@ -188,18 +208,29 @@ FROM sigs ORDER BY doc_id
 """
 
 
+N_SIGN_BITS = 8
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35 — the testdata has
-    no tighter neighbors; real near-dup corpora would gate at ~0.95),
-    blocked on the ground-truth label (the scale path would block on
-    LSH buckets — see ``ann_lsh``). zip_with/aggregate, JVM-side."""
+    no tighter neighbors; real near-dup corpora would gate at ~0.95).
+
+    Candidates are blocked on an 8-bit cosine-LSH sign bucket (the
+    sign pattern of the first 8 coordinates = axis-aligned random
+    hyperplanes), so bucket count is 2^bits and no ground-truth label
+    is needed — the production recipe; widen bits with log(n) and/or
+    multi-probe neighboring buckets to trade recall vs cost.
+    zip_with/aggregate, JVM-side."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    base = emb.select("vec_id", "label", "v", norm.alias("nrm"))
+    blk = sum(
+        F.when(F.col("v").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(N_SIGN_BITS)
+    )
+    base = emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -207,7 +238,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -218,17 +249,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EMBEDDING_SQL = """
+_SIGN_BLK_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+)
+
+DEDUP_EMBEDDING_SQL = f"""
 WITH base AS (
-  SELECT vec_id, label,
+  SELECT vec_id,
+         CAST({_SIGN_BLK_SQL} AS INT) AS blk,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
-FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.35
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
+  FROM base a JOIN base b ON a.blk = b.blk AND a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.35  -- filter the ROUNDED value, matching the Spark plan
 ORDER BY vec_a, vec_b
 """
 
@@ -280,15 +318,28 @@ def _minhash_kernel(a: np.ndarray, b: np.ndarray):
                 hashed %= _MERSENNE
                 offsets = (bounds[j:j2] - bounds[j]).astype(np.int64)
                 sigs = np.minimum.reduceat(hashed, offsets, axis=1)  # (k, slab_docs)
-                for jj in range(j2 - j):
-                    sig = sigs[:, jj]
-                    for band in range(N_BANDS):
-                        chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                        out_doc.append(doc_ids[j + jj])
-                        out_band.append(band)
-                        out_sig.append("-".join(map(str, chunk)))
+                nd = j2 - j
+                # Mix each band's rows into ONE int64 signature
+                # (vectorized over docs; wrap-around multiply is a
+                # deterministic hash mix). A cross-band collision would
+                # only add a candidate pair, which exact-Jaccard
+                # verification filters out — correctness unaffected.
+                per_band = sigs.reshape(N_BANDS, rows_per_band, nd).astype(np.uint64)
+                mixed = per_band[:, 0, :].copy()
+                with np.errstate(over="ignore"):
+                    for r in range(1, rows_per_band):
+                        mixed = mixed * np.uint64(0x100000001B3) ^ per_band[:, r, :]
+                out_doc.append(np.tile(doc_ids[j:j2], N_BANDS))
+                out_band.append(np.repeat(np.arange(N_BANDS, dtype=np.int32), nd))
+                out_sig.append(mixed.ravel().astype(np.int64))
                 j = j2
-            yield pd.DataFrame({"doc_id": out_doc, "band": out_band, "sig": out_sig})
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_doc),
+                    "band": np.concatenate(out_band),
+                    "sig": np.concatenate(out_sig),
+                }
+            )
 
     return fn
 
@@ -304,18 +355,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
     ``dedup_ngram_jaccard``.]
     """
     docs = load_table(spark, sf_dir, "documents")
+    # One parquet file = one input split — spread docs across all
+    # cores before the Python kernel (at real scale the scan already
+    # has many splits and AQE coalesces; locally this is the
+    # difference between 1 and 32 kernel workers).
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
     base = (
-        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", _shingles_expr().alias("shingles"))
-    )
+    ).persist()  # reused: minhash input + both sides of the verify join
     a_p, b_p = _minhash_params()
     hashed = base.select(
         "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
     )
+    # persist() so the Python minhash kernel runs ONCE — the lazy plan
+    # would otherwise recompute it on both sides of the self-join
     bands = hashed.mapInPandas(
-        _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig string"
-    )
+        _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
+    ).persist()
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -343,13 +402,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
 
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: customer-name pairs within Levenshtein
-    distance 4, blocked on the name's numeric suffix bucket so the
-    self-join is bounded (the entity-resolution blocking pattern)."""
+    distance 3, blocked on the NAME PREFIX (all but the last 3 chars).
+
+    Prefix blocking is the standard entity-resolution move: bucket
+    membership is a property of the string itself, and bucket size is
+    bounded by the suffix alphabet (≤10³ for digit suffixes) no
+    matter how many entities exist — total pair work stays linear in
+    n at 100 TB. Recall covers edits in the suffix; production
+    resolution would union several blocking passes (prefix, phonetic,
+    q-gram) the same way."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
-        # customer names are 'Customer#000000042' — block on key mod
-        (F.col("c_custkey") % 10).alias("blk"),
+        F.expr("substring(c_name, 1, greatest(length(c_name) - 3, 1))").alias("blk"),
     )
     a, b = cust.alias("a"), cust.alias("b")
     pairs = a.join(
@@ -374,7 +439,9 @@ SELECT levenshtein(a.c_name, b.c_name) AS lev_dist,
        count(*) AS n_pairs,
        min(a.c_custkey) AS example_a
 FROM customer a JOIN customer b
-  ON a.c_custkey % 10 = b.c_custkey % 10 AND a.c_custkey < b.c_custkey
+  ON substr(a.c_name, 1, greatest(length(a.c_name) - 3, 1))
+   = substr(b.c_name, 1, greatest(length(b.c_name) - 3, 1))
+ AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 3
 GROUP BY 1 ORDER BY lev_dist
 """

@@ -28,4 +28,5 @@ def all_oracles():
     for mod in _MODULES:
         out.update(mod.ORACLES)
     out.update(_op_oracles())
+    out.update(_streaming.ORACLES)
     return out

@@ -288,6 +288,49 @@ FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned
 """
 
 
+def points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip of the reference's indexed-CSV point-chunk format
+    (``pidx,dim0,dim1,...``; reference ``Runner.load_points``,
+    bfr.py:209-217): write a deterministic 120-point chunk file, read
+    it back distributedly via ``points_from_indexed_csv`` (JVM-side
+    split/cast — no Python in the parse path). Values are k/4.0 so
+    the text→double parse is exact on both engines."""
+    import os
+    import tempfile
+
+    from ..sources.readers import points_from_indexed_csv
+
+    tmpdir = tempfile.mkdtemp(prefix="points_src_")
+    path = os.path.join(tmpdir, "chunk0.csv")
+    with open(path, "w") as f:
+        for i in range(120):
+            f.write(f"{i},{(i % 7) / 4.0},{(i * 3 % 11) / 4.0},{(i * 5 % 13) / 4.0}\n")
+    return points_from_indexed_csv(spark, path).select("id", "features").orderBy("id")
+
+
+POINTS_SOURCE_SQL = """
+SELECT i AS id,
+       [(i % 7) / 4.0, (i * 3 % 11) / 4.0, (i * 5 % 13) / 4.0] AS features
+FROM generate_series(0, 119) AS t(i)
+ORDER BY id
+"""
+
+
+def intermediate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round DS/CS/RS accounting emitted by a BFR run — the
+    reference's intermediate CSV (bfr.py:453-468, header
+    round_id/nof_cluster_discard/.../nof_point_retained). Runs a
+    5-chunk fit over embeddings, then exposes the O(rounds)-sized
+    driver stats as a DataFrame. [rows-only: stateful/iterative]"""
+    from ..ml.bfr import BFR, BFRConfig
+    from ..sources.readers import embeddings_as_points
+
+    pts = embeddings_as_points(spark, sf_dir)
+    bfr = BFR(BFRConfig(n_clusters=10, n_chunks=5))
+    bfr.fit(pts)  # fit_stream writes eagerly; round_stats is populated
+    return spark.createDataFrame(bfr.intermediate_stats()).orderBy("round_id")
+
+
 QUERIES = {
     "cluster_profile": cluster_profile,
     "suffstats": suffstats,
@@ -296,6 +339,8 @@ QUERIES = {
     "nmi_eval": nmi_eval,
     "bfr_fit": bfr_fit,
     "kmeans_fit": kmeans_fit,
+    "points_source": points_source,
+    "intermediate_stats": intermediate_stats,
 }
 
 ORACLES = {
@@ -304,4 +349,5 @@ ORACLES = {
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
     "nmi_eval": NMI_EVAL_SQL,
+    "points_source": POINTS_SOURCE_SQL,
 }

@@ -1,4 +1,10 @@
 from .events_stream import (
+    STREAM_BFR_UPDATE_SQL,
+    STREAM_DEDUP_SQL,
+    STREAM_EVENTS_WINDOW_SQL,
+    STREAM_SESSION_WINDOW_SQL,
+    STREAM_SESSIONIZE_STATEFUL_SQL,
+    STREAM_STREAM_JOIN_SQL,
     stream_bfr_update,
     stream_dedup,
     stream_events_window,
@@ -15,4 +21,11 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_bfr_update": stream_bfr_update,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,
+    "stream_session_window": STREAM_SESSION_WINDOW_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_bfr_update": STREAM_BFR_UPDATE_SQL,
+}

@@ -260,3 +260,107 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, acc in sorted(state.items())
     ]
     return spark.createDataFrame(pd.DataFrame(rows))
+
+
+# ---------------- batch-equivalent oracles ----------------
+#
+# Every drain above uses Trigger.AvailableNow over a static file, so
+# the emitted set is a deterministic function of the data and the
+# final watermark (max event time − 2 h; Spark runs a no-data batch
+# after the last data batch, evicting finalized state). Append-mode
+# emission keeps a window/session iff its END ≤ final watermark —
+# verified empirically at sf0.001 and sf0.01 — which is expressible
+# in plain SQL, making the streaming family hash-checkable.
+
+STREAM_EVENTS_WINDOW_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY 1, 2
+"""
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# Native session_window semantics: an event at exactly gap distance
+# starts a NEW session (window end is exclusive) → gap predicate is
+# ">= 30 min", unlike the batch sessionizer's "> 30 min".
+STREAM_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         CAST(min(ts) AS TIMESTAMP) AS session_start,
+         CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events, round(sum(value), 2) AS session_value
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM agg
+WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY user_id, session_start
+"""
+
+STREAM_STREAM_JOIN_SQL = """
+WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click')
+SELECT p.user_id AS user_id, count(*) AS n_pairs,
+       count(DISTINCT p_id) AS n_purchases_with_click
+FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+GROUP BY 1 ORDER BY 1
+"""
+
+# applyInPandasWithState emits a session only when a LATER event of
+# the same user closes it (the final open session per user stays in
+# state) → emitted set = every session except each user's last.
+# Gap arithmetic is in floor-millis exactly like the kernel.
+STREAM_SESSIONIZE_STATEFUL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_idx,
+         epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+         CAST(count(*) AS INT) AS n_events,
+         round(sum(value), 2) AS session_value
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT user_id, start_ms, end_ms, n_events, session_value
+FROM agg
+WHERE session_idx < (SELECT max(session_idx) FROM agg a2 WHERE a2.user_id = agg.user_id)
+ORDER BY user_id, start_ms
+"""
+
+# Replicates the kernel's formula (sqrt(E[x²] − E[x]²)) rather than
+# DuckDB's stddev_pop so both sides round identical doubles.
+STREAM_BFR_UPDATE_SQL = """
+SELECT user_id % 8 AS bucket, count(*) AS n,
+       round(sum(value) / count(*), 4) AS mean_value,
+       round(sqrt(greatest(sum(value * value) / count(*)
+                           - (sum(value) / count(*)) * (sum(value) / count(*)), 0.0)), 4) AS std_value
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -60,6 +60,8 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # r1 total at sf0.1 (see BASELINE.md); ratio only meaningful there
+    baseline_total = 13.838
     print(
         json.dumps(
             {
@@ -70,6 +72,7 @@ def main() -> None:
                 "aggregation": "min_per_query",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "vs_baseline_total": round(total / baseline_total, 3),
             }
         )
     )

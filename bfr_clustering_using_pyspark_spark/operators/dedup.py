@@ -350,9 +350,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
     shingle → minhash signature (Arrow pandas kernel) → band explode →
     bucket self-join (shuffle keyed on (band, sig) — candidates only
     where bands collide) → exact Jaccard verification on candidates →
-    pairs with J ≥ threshold. [rows-only: iterative hashing isn't
-    SQL-expressible; the exact-Jaccard verifier is cross-checked by
-    ``dedup_ngram_jaccard``.]
+    pairs with J ≥ threshold.
+
+    Oracle: the EXHAUSTIVE all-pairs Jaccard ≥ 0.7 set (small-SF
+    ground truth — O(n²), oracle-only). Hash-matching it also proves
+    the LSH stage achieved 100% recall on the gated data (expected:
+    band-collision probability at J = 0.7 is 1-(1-0.7⁴)¹⁶ ≈ 0.986
+    per pair, and observed pairs sit well above threshold).
     """
     docs = load_table(spark, sf_dir, "documents")
     # One parquet file = one input split — spread docs across all
@@ -456,10 +460,29 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
 }
 
+DEDUP_MINHASH_LSH_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in generate_series(1, len(toks) - 2)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fuzzy_names": DEDUP_FUZZY_NAMES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
 }

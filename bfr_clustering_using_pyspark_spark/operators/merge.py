@@ -120,8 +120,9 @@ def model_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``applyInPandas`` (here: NumPy OLS per market segment; in a
     real pipeline, any sklearn-style per-segment fit). The grouped-map
     pattern shuffles each group to one worker — model state never
-    touches the driver. [rows-only: cross-checked against
-    ``q_regression`` in tests]"""
+    touches the driver. Oracle: ``Q_REGRESSION_SQL`` — NumPy OLS and
+    regr_slope/intercept agree exactly after rounding (verified at
+    sf0.001/sf0.01)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     # customer scales with SF — no broadcast hint, AQE decides.
@@ -160,4 +161,7 @@ QUERIES = {
 ORACLES = {
     "q_merge_upsert": Q_MERGE_UPSERT_SQL,
     "q_regression": Q_REGRESSION_SQL,
+    # same output contract as q_regression; per-group NumPy OLS ==
+    # built-in regr_* after round(6)/round(4)
+    "model_per_key": Q_REGRESSION_SQL,
 }

@@ -35,13 +35,17 @@ def _fake_decode(payload: bytes) -> dict:
     """
     digest = hashlib.sha256(payload).hexdigest()
     h = int(digest[:8], 16)
+    # integer-floor "rounding" keeps the value engine-portable
+    # (Python round() is banker's, SQL round() is half-away — ties at
+    # the 4th decimal are common with a /256 divisor)
+    div = max(min(len(payload), 256), 1)
     return {
         "n_bytes": len(payload),
         "checksum": digest[:16],
         "width": 64 + (h % 1920),
         "height": 64 + ((h >> 8) % 1080),
         "n_frames": 1 + ((h >> 16) % 240),
-        "feature_mean": round(sum(payload[:256]) / max(min(len(payload), 256), 1), 4),
+        "feature_mean": (sum(payload[:256]) * 10000 // div) / 10000.0,
     }
 
 
@@ -65,8 +69,9 @@ def decode_media(df: DataFrame, payload_col: str = "payload", type_col: str = "m
 
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a synthetic media table from document text payloads
-    (binary column + type tag), run the decode pipeline. [rows-only:
-    binary plumbing, no SQL equivalent]"""
+    (binary column + type tag), run the decode pipeline. The decode
+    stub is hash-derived, so ``MM_DECODE_SQL`` recomputes it exactly
+    in DuckDB — even the binary path is hash-gated."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id",
@@ -77,6 +82,33 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return decode_media(media).orderBy("doc_id")
+
+
+# The decode stub is hash-derived, so even the "binary" path is
+# oracle-checkable: DuckDB recomputes sha256 + the byte-sum feature.
+# Test documents are pure ASCII (verified at sf0.001/sf0.01), so
+# length(text) == byte length and unicode(char) == byte value.
+MM_DECODE_SQL = """
+WITH dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         length(text) AS n_bytes,
+         sha256(text) AS dg,
+         list_sum(list_transform(generate_series(1, least(length(text), 256)),
+                                 i -> unicode(substr(text, i, 1)))) AS bsum,
+         greatest(least(length(text), 256), 1) AS bdiv
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       substr(dg, 1, 16) AS checksum,
+       CAST(64 + (('0x' || substr(dg, 1, 8))::BIGINT % 1920) AS INT) AS width,
+       CAST(64 + ((('0x' || substr(dg, 1, 8))::BIGINT >> 8) % 1080) AS INT) AS height,
+       CAST(1 + ((('0x' || substr(dg, 1, 8))::BIGINT >> 16) % 240) AS INT) AS n_frames,
+       CAST(bsum * 10000 // bdiv AS DOUBLE) / 10000 AS feature_mean
+FROM dec ORDER BY doc_id
+"""
 
 
 RESIZE_SCHEMA = "doc_id long, width int, height int, resized_width int, resized_height int, thumb binary"
@@ -184,4 +216,4 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"mm_decode": MM_DECODE_SQL}

@@ -29,19 +29,19 @@ _COST_S = {
     "dedup_embedding": 0.6, "q_regression": 0.6, "stream_bfr_update": 0.6,
     "q_salted_agg": 0.6, "q_order_priority": 0.7, "q_outer_join": 0.7,
     "q16_supplier_cnt": 0.7, "text_clean_pipeline": 0.7, "ann_bruteforce": 0.7,
-    "mm_decode": 0.7, "mm_pipeline": 0.7, "pca_project": 0.7,
-    "q_merge_upsert": 0.7, "model_per_key": 0.7, "q_asof_join": 0.8,
+    "mm_decode": 6.3, "mm_pipeline": 0.7, "pca_project": 0.7,
+    "q_merge_upsert": 0.7, "model_per_key": 1.3, "q_asof_join": 0.8,
     "q10_returned_items": 0.8, "nmi_eval": 0.8, "tfidf_top_terms": 0.8,
     "q_part_pivot": 0.9, "q_rollup": 0.9, "q2_min_cost_supplier": 0.9,
     "q_events_sessionize": 0.9, "kmeans_assign": 0.9, "mahalanobis_assign": 0.9,
     "embedding_normalize": 0.9, "q_percentiles": 1.0, "dedup_simhash": 1.0,
     "ann_lsh": 1.0, "q_top_customers": 1.3, "q3_shipping_priority": 1.4,
-    "dedup_minhash_lsh": 1.5, "q5_local_supplier": 1.6, "ann_ivf": 2.2,
+    "dedup_minhash_lsh": 9.7, "q5_local_supplier": 1.6, "ann_ivf": 2.2,
     "kmeans_fit": 2.3, "q_approx_distinct": 2.6, "q_set_ops": 2.7,
     "text_winnow_fingerprint": 3.0, "stream_session_window": 3.0,
     "intermediate_stats": 3.1, "stream_events_window": 3.7,
     "bfr_fit": 3.8, "dedup_ngram_jaccard": 3.8, "stream_dedup": 4.1,
-    "q_asof_grouped": 4.3, "stream_sessionize_stateful": 4.3,
+    "q_asof_grouped": 3.0, "stream_sessionize_stateful": 4.3,
     "q1_pricing_summary": 5.2, "dedup_fuzzy_names": 6.2,
     "stream_stream_join": 12.2,
 }

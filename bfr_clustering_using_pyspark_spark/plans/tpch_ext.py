@@ -511,8 +511,8 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pd.merge_asof`` inside ``applyInPandas`` (the alternative to
     the union+window formulation in ``q_asof_join``; same semantics,
     different engine path — each user's events sort-merge in pandas).
-    Compact per-user summary output. [rows-only: cross-checked
-    against q_asof_join in tests]"""
+    Compact per-user summary output; oracle expresses the backward
+    as-of match as a correlated EXISTS."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -552,6 +552,22 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# merge_asof(direction='backward') matches a purchase iff ANY
+# view/click exists at ts <= purchase ts for the same user.
+Q_ASOF_GROUPED_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('purchase', 'view', 'click')
+), p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+   q AS (SELECT * FROM ev WHERE event_type <> 'purchase')
+SELECT p.user_id AS user_id, count(*) AS n_purchases,
+       CAST(sum(CASE WHEN EXISTS (
+                  SELECT 1 FROM q WHERE q.user_id = p.user_id AND q.ts <= p.ts
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quote
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
@@ -574,6 +590,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_asof_grouped": Q_ASOF_GROUPED_SQL,
     "q_set_ops": Q_SET_OPS_SQL,
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,

@@ -195,10 +195,95 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TRUNC_DIMS = 32  # cheap-score dims (half of 64) for the shortlist
+SHORTLIST_MULT = 6  # shortlist size = SHORTLIST_MULT * TOP_K
+# On the synthetic testdata (near-isotropic embeddings) 32/64 dims
+# retain ~83% of plain-IVF recall at half the stage-1 FLOPs; real
+# corpora with decaying spectra (or a true PQ codebook) do better.
+
+
+def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with two-stage re-ranking (the IVF-PQ shape): probe the
+    query's ``N_PROBE`` nearest lists, score candidates with a CHEAP
+    approximation (dot over the first ``N_TRUNC_DIMS`` dims — the
+    stand-in for a PQ/ADC lookup), keep a ``SHORTLIST_MULT``·k
+    shortlist per query, then re-rank only the shortlist with the
+    exact full-dimension cosine. At 100 TB the expensive distance
+    runs on O(q·3k) rows instead of O(q·n/nlists·nprobe).
+    [rows-only; recall vs ann_bruteforce asserted in tests]"""
+    from ..ml.kmeans import mllib_kmeans
+
+    base = _base(spark, sf_dir)
+    pts = base.select(F.col("vec_id").alias("id"), F.col("v").alias("features"))
+    assigned, centers = mllib_kmeans(pts, k=N_IVF_LISTS, max_iter=10, seed=7)
+    listed = base.join(
+        assigned.select(F.col("id").alias("vec_id"), F.col("cluster").alias("list_id")), "vec_id"
+    )
+
+    c = centers
+
+    def probe_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts_ = np.stack(pdf["v"].to_numpy())
+            d2 = (
+                (pts_**2).sum(axis=1)[:, None]
+                - 2.0 * pts_ @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            nearest = np.argsort(d2, axis=1)[:, :N_PROBE]
+            out = pdf.loc[pdf.index.repeat(N_PROBE)].copy()
+            out["probe_list"] = nearest.ravel()
+            yield out[["vec_id", "v", "nrm", "probe_list"]]
+
+    queries = (
+        base.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .mapInPandas(probe_lists, schema="vec_id long, v array<double>, nrm double, probe_list int")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+            "probe_list",
+        )
+    )
+    # stage 1: cheap truncated-dot score over probed lists only
+    trunc_dot = F.aggregate(
+        F.zip_with(
+            F.slice("v", 1, N_TRUNC_DIMS), F.slice("q_v", 1, N_TRUNC_DIMS), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = listed.join(
+        F.broadcast(queries),
+        (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", "v", "nrm", "q_v", "q_nrm", trunc_dot.alias("approx_score"))
+    w_short = W.partitionBy("q_id").orderBy(F.desc("approx_score"), "vec_id")
+    shortlist = cand.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= SHORTLIST_MULT * TOP_K
+    )
+    # stage 2: exact cosine only on the shortlist
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rescored = shortlist.select(
+        "q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_ivf_rerank": ann_ivf_rerank,
 }
 
 ORACLES = {

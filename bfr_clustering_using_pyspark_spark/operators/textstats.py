@@ -356,8 +356,130 @@ FROM fps ORDER BY doc_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per doc, the fraction
+    of duplicated word trigrams (1 − distinct/total) and the most
+    frequent single token's share of all tokens. High values flag
+    low-quality/templated text for training-data filtering. Pure
+    array expressions + one explode-aggregate — scales as the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    tg = F.expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    gram_stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(tg)) / F.size(tg), 4).alias("dup_3gram_frac"),
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac"))
+    )
+    return (
+        gram_stats.join(top_tok, "doc_id")
+        .select("doc_id", "n_tokens", "dup_3gram_frac", "top_token_frac")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), filtered AS (
+  SELECT * FROM base WHERE len(toks) >= 3
+), grams AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in generate_series(1, len(toks) - 2)] AS tg
+  FROM filtered
+), gram_stats AS (
+  SELECT doc_id, n_tokens,
+         round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 4) AS dup_3gram_frac
+  FROM grams
+), top_tok AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_token_frac
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM filtered) u
+        GROUP BY doc_id, tok) g
+  GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_tokens, g.dup_3gram_frac, t.top_token_frac
+FROM gram_stats g JOIN top_tok t ON g.doc_id = t.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# Deterministic fake-PII injection (identical construction on both
+# engines) so the scrubber has real matches to find in the synthetic
+# corpus; production would run the same scrub on raw text.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_URL_RE = "https?://[^ ]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pipeline: count + redact emails/URLs/phone
+    numbers (regex in the common RE2/Java subset), emitting per-doc
+    match counts and the md5 of the scrubbed text. All JVM-side
+    regexp_count/regexp_replace — scales as the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" contact alice.smith@example.com now"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" visit https://data.example.org/docs today"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" call 555-123-4567 soon"))
+        .otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' contact alice.smith@example.com now'
+                      WHEN doc_id % 5 = 1 THEN ' visit https://data.example.org/docs today'
+                      WHEN doc_id % 5 = 2 THEN ' call 555-123-4567 soon'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_URL_RE}', '<URL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
     "text_clean_pipeline": text_clean_pipeline,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -370,6 +492,8 @@ QUERIES = {
 
 ORACLES = {
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_clean_pipeline": TEXT_CLEAN_PIPELINE_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

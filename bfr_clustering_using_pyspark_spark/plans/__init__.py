@@ -43,7 +43,8 @@ _COST_S = {
     "bfr_fit": 3.8, "dedup_ngram_jaccard": 3.8, "stream_dedup": 4.1,
     "q_asof_grouped": 3.0, "stream_sessionize_stateful": 4.3,
     "q1_pricing_summary": 5.2, "dedup_fuzzy_names": 6.2,
-    "stream_stream_join": 12.2,
+    "stream_stream_join": 12.2, "text_repetition": 2.0,
+    "text_pii_scrub": 2.0, "ann_ivf_rerank": 2.5,
 }
 
 

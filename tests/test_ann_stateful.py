@@ -3,6 +3,7 @@
 from bfr_clustering_using_pyspark_spark.operators.similarity import (
     ann_bruteforce,
     ann_ivf,
+    ann_ivf_rerank,
     ann_lsh,
 )
 from bfr_clustering_using_pyspark_spark.plans.events import q_events_sessionize
@@ -28,6 +29,23 @@ class TestANNRecall:
         assert hits / total > 0.3
         # every query answered
         assert set(approx) == set(exact)
+
+    def test_ivf_rerank_recall_vs_plain_ivf(self, spark):
+        exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))
+        plain = _neighbor_sets(ann_ivf(spark, SF_SMALL))
+        rerank = _neighbor_sets(ann_ivf_rerank(spark, SF_SMALL))
+        total = sum(len(v) for v in exact.values())
+        hits_plain = sum(len(exact[q] & plain.get(q, set())) for q in exact)
+        hits_rr = sum(len(exact[q] & rerank.get(q, set())) for q in exact)
+        # the truncated-dot shortlist prunes candidates BEFORE the
+        # exact pass — recall may drop only modestly vs plain IVF
+        # (same probed lists), and every query must still be answered
+        assert set(rerank) == set(exact)
+        assert hits_rr / total > 0.25
+        assert hits_rr >= hits_plain * 0.6
+        # shortlist bound respected: <= TOP_K rows per query
+        for ns in rerank.values():
+            assert len(ns) <= 5
 
     def test_lsh_returns_subset_quality(self, spark):
         exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))

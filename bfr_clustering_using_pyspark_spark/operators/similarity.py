@@ -76,34 +76,44 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_i
 """
 
 N_PLANES = 8
+_PLANE_DIMS = 64  # embeddings table dimensionality
 
 
-def _hyperplanes(d: int, seed: int = 42) -> np.ndarray:
-    return np.random.default_rng(seed).normal(size=(N_PLANES, d))
+def _plane_values(j: int, d: int = _PLANE_DIMS) -> list[float]:
+    """Hyperplane j's components, derived from md5 so BOTH engines
+    can reproduce them exactly (uniform in [-1, 1] — a valid, if
+    slightly anisotropic, sign-LSH family; gaussian planes would
+    need an RNG the SQL oracle can't replay)."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000) / 1000.0
+        for i in range(d)
+    ]
+
+
+def _bucket_expr(v_col: str, d: int):
+    """8-bit sign bucket as a pure JVM fold — no Python in the path,
+    and bit-identical to the DuckDB oracle's list_sum."""
+    bucket = None
+    for j in range(N_PLANES):
+        pl = F.array(*[F.lit(x) for x in _plane_values(j, d)])
+        dot = F.aggregate(
+            F.zip_with(F.col(v_col), pl, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k: sign-bucket every vector (Arrow
-    kernel, broadcast planes), then search only within the query's
-    bucket. Approximate: recall < 1 by construction. [rows-only]"""
+    """Random-hyperplane LSH top-k: sign-bucket every vector
+    (md5-derived planes, JVM-side fold), then search only within the
+    query's bucket. Approximate: recall < 1 by construction; the
+    oracle replays the identical plane family in SQL."""
     base = _base(spark, sf_dir)
     d = len(base.select("v").first()[0])
-    planes = _hyperplanes(d)
-
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pts = np.stack(pdf["v"].to_numpy())
-            bits = (pts @ planes.T) > 0
-            bucket = (bits * (1 << np.arange(N_PLANES))[None, :]).sum(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"], "bucket": bucket.astype(np.int64)}
-            )
-
-    bucketed = base.mapInPandas(
-        bucketize, schema="vec_id long, v array<double>, nrm double, bucket long"
-    )
+    bucketed = base.withColumn("bucket", _bucket_expr("v", d))
     queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -128,6 +138,40 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_id", "rank")
     )
 
+
+def _lsh_oracle_sql() -> str:
+    terms = []
+    for j in range(N_PLANES):
+        lit = "[" + ",".join(repr(x) for x in _plane_values(j)) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lit}), p -> p[1] * p[2])) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM base
+), queries AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, bucket AS q_bucket
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.q_id, b.vec_id,
+         round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
+  FROM bucketed b JOIN queries q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ANN_LSH_SQL = _lsh_oracle_sql()
 
 N_IVF_LISTS = 16
 N_PROBE = 4
@@ -288,4 +332,5 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    "ann_lsh": ANN_LSH_SQL,
 }

@@ -35,7 +35,7 @@ _COST_S = {
     "q_part_pivot": 0.9, "q_rollup": 0.9, "q2_min_cost_supplier": 0.9,
     "q_events_sessionize": 0.9, "kmeans_assign": 0.9, "mahalanobis_assign": 0.9,
     "embedding_normalize": 0.9, "q_percentiles": 1.0, "dedup_simhash": 1.0,
-    "ann_lsh": 1.0, "q_top_customers": 1.3, "q3_shipping_priority": 1.4,
+    "ann_lsh": 2.5, "q_top_customers": 1.3, "q3_shipping_priority": 1.4,
     "dedup_minhash_lsh": 9.7, "q5_local_supplier": 1.6, "ann_ivf": 2.2,
     "kmeans_fit": 2.3, "q_approx_distinct": 2.6, "q_set_ops": 2.7,
     "text_winnow_fingerprint": 3.0, "stream_session_window": 3.0,

@@ -451,6 +451,93 @@ GROUP BY 1 ORDER BY lev_dist
 """
 
 
+_MINHASH_PAIRS_CTE = """
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in generate_series(1, len(toks) - 2)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  )
+  WHERE jaccard >= 0.7
+)"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_PAIRS_CTE}
+SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate CLUSTER formation: connected components over the
+    MinHash+LSH pair graph, so each duplicate group gets one
+    canonical id (the min doc_id in the component) — the step a real
+    dedup pipeline runs after pair-finding to pick one keeper per
+    group.
+
+    Min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels (one hash-join + groupBy per
+    round, early-stop on convergence). Rounds needed = graph
+    diameter; near-dup components are shallow (pairs ≥ 0.7 Jaccard
+    are near-cliques). At 100 TB you'd switch to the
+    large-star/small-star formulation — same join primitive, fewer
+    rounds on skewed graphs. Oracle: DuckDB recursive-CTE transitive
+    closure."""
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(8):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            labels.select("doc_id", F.col("comp").alias("old_comp"))
+            .join(new_labels, "doc_id")
+            .filter(F.col("old_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fuzzy_names": dedup_fuzzy_names,
@@ -458,25 +545,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_components": dedup_components,
 }
-
-DEDUP_MINHASH_LSH_SQL = """
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                                for i in generate_series(1, len(toks) - 2)]) AS shingles
-  FROM t WHERE len(toks) >= 3
-)
-SELECT * FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-)
-WHERE jaccard >= 0.7
-ORDER BY doc_a, doc_b
-"""
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -485,4 +555,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
 }

@@ -45,6 +45,7 @@ _COST_S = {
     "q1_pricing_summary": 5.2, "dedup_fuzzy_names": 6.2,
     "stream_stream_join": 12.2, "text_repetition": 2.0,
     "text_pii_scrub": 2.0, "ann_ivf_rerank": 2.5,
+    "dedup_components": 15.0,
 }
 
 

@@ -173,6 +173,85 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_i
 
 ANN_LSH_SQL = _lsh_oracle_sql()
 
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query searches its own sign bucket PLUS
+    the 8 Hamming-distance-1 neighbor buckets (one sign bit flipped)
+    — the standard recall lift that costs probes, not index size.
+    Candidates ≈ 9·n/2^bits per query, still bounded. The query side
+    explodes into its probe list and broadcasts; the data side never
+    reshuffles."""
+    base = _base(spark, sf_dir)
+    d = len(base.select("v").first()[0])
+    bucketed = base.withColumn("bucket", _bucket_expr("v", d))
+    probes = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(N_PLANES)]
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probes).alias("q_bucket"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _lsh_multiprobe_oracle_sql() -> str:
+    terms = []
+    for j in range(N_PLANES):
+        lit = "[" + ",".join(repr(x) for x in _plane_values(j)) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lit}), p -> p[1] * p[2])) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << j})" for j in range(N_PLANES)) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM base
+), queries AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm,
+         unnest({probe_list}) AS q_bucket
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT DISTINCT q.q_id, b.vec_id,
+         round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
+  FROM bucketed b JOIN queries q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_oracle_sql()
+
 N_IVF_LISTS = 16
 N_PROBE = 4
 
@@ -326,6 +405,7 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf": ann_ivf,
     "ann_ivf_rerank": ann_ivf_rerank,
 }
@@ -333,4 +413,5 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
+    "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
 }

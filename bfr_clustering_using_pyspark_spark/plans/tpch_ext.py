@@ -552,6 +552,124 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery: lead/lag, ntile, percent_rank,
+    cume_dist, first_value over per-customer order history — the
+    remaining analytic-window surface (one shuffle on the partition
+    key; every function shares the same window spec)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q_WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS UNBOUNDED PRECEDING), 2) AS first_price
+FROM orders WHERE o_custkey % 20 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer-grained than
+    cube/rollup (exactly the requested set combinations, one pass)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated calendar spine left-joins
+    daily order totals so missing days appear as explicit zeros, then
+    a 7-day trailing average runs over the dense series. The spine is
+    a sequence() explode — no driver loop; at 100 TB the spine is
+    tiny (days) and broadcast into the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"), F.to_date(F.max("o_orderdate")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    dense = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    return (
+        dense.withColumn("avg_7d", F.round(F.avg("revenue").over(w7), 2))
+        .orderBy("day")
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                (SELECT max(day) FROM daily),
+                                INTERVAL 1 DAY))::DATE AS day
+), dense AS (
+  SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+         coalesce(d.revenue, 0.0) AS revenue
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+)
+SELECT day, n_orders, revenue,
+       round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d
+FROM dense ORDER BY day
+"""
+
+
 # merge_asof(direction='backward') matches a purchase iff ANY
 # view/click exists at ts <= purchase ts for the same user.
 Q_ASOF_GROUPED_SQL = """
@@ -587,6 +705,9 @@ QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q_events_json": q_events_json,
     "q_percentiles": q_percentiles,
+    "q_window_funcs": q_window_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_gap_fill": q_gap_fill,
 }
 
 ORACLES = {
@@ -608,4 +729,7 @@ ORACLES = {
     "q19_disjunctive": Q19_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
+    "q_window_funcs": Q_WINDOW_FUNCS_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
+    "q_gap_fill": Q_GAP_FILL_SQL,
 }

@@ -5,6 +5,7 @@ from bfr_clustering_using_pyspark_spark.operators.similarity import (
     ann_ivf,
     ann_ivf_rerank,
     ann_lsh,
+    ann_lsh_multiprobe,
 )
 from bfr_clustering_using_pyspark_spark.plans.events import q_events_sessionize
 from bfr_clustering_using_pyspark_spark.streaming import QUERIES as STREAM_QUERIES
@@ -46,6 +47,17 @@ class TestANNRecall:
         # shortlist bound respected: <= TOP_K rows per query
         for ns in rerank.values():
             assert len(ns) <= 5
+
+    def test_multiprobe_lifts_lsh_recall(self, spark):
+        exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))
+        single = _neighbor_sets(ann_lsh(spark, SF_SMALL))
+        multi = _neighbor_sets(ann_lsh_multiprobe(spark, SF_SMALL))
+        hits_s = sum(len(exact[q] & single.get(q, set())) for q in exact)
+        hits_m = sum(len(exact[q] & multi.get(q, set())) for q in exact)
+        # probing 9 buckets must never find fewer true neighbors
+        assert hits_m >= hits_s
+        # and must answer at least as many queries
+        assert set(single) <= set(multi)
 
     def test_lsh_returns_subset_quality(self, spark):
         exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))

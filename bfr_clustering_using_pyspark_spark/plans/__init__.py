@@ -39,11 +39,11 @@ _COST_S = {
     "dedup_minhash_lsh": 9.7, "q5_local_supplier": 1.6, "ann_ivf": 2.2,
     "kmeans_fit": 2.3, "q_approx_distinct": 2.6, "q_set_ops": 2.7,
     "text_winnow_fingerprint": 3.0, "stream_session_window": 3.0,
-    "intermediate_stats": 3.1, "stream_events_window": 3.7,
-    "bfr_fit": 3.8, "dedup_ngram_jaccard": 3.8, "stream_dedup": 4.1,
-    "q_asof_grouped": 3.0, "stream_sessionize_stateful": 4.3,
+    "intermediate_stats": 3.1, "stream_events_window": 2.1,
+    "bfr_fit": 3.8, "dedup_ngram_jaccard": 3.8, "stream_dedup": 1.9,
+    "q_asof_grouped": 3.0, "stream_sessionize_stateful": 3.4,
     "q1_pricing_summary": 5.2, "dedup_fuzzy_names": 6.2,
-    "stream_stream_join": 12.2, "text_repetition": 2.0,
+    "stream_stream_join": 3.7, "text_repetition": 2.0,
     "text_pii_scrub": 2.0, "ann_ivf_rerank": 2.5,
     "dedup_components": 15.0, "q_window_funcs": 1.1,
     "q_grouping_sets": 1.1, "q_gap_fill": 2.0,

@@ -52,16 +52,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
     spark = stream_df.sparkSession
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # Stateful streaming pays a per-partition state-store cost each
+    # micro-batch; at test volumes 8 partitions beat 32 by ~4× (a
+    # real cluster sizes this to executor-cores × executors — the
+    # partition count is fixed at first checkpoint, so choose per
+    # deployment, not per query).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 

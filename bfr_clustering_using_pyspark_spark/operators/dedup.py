@@ -464,6 +464,9 @@ t AS (
            round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
                  (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      -- lossless prune: J >= 0.7 requires |A|/|B| in [0.7, 1/0.7]
+      AND len(a.shingles) * 10 >= len(b.shingles) * 7
+      AND len(b.shingles) * 10 >= len(a.shingles) * 7
   )
   WHERE jaccard >= 0.7
 )"""

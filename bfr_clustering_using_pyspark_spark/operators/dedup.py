@@ -493,15 +493,31 @@ def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -
     rounds on skewed graphs. Oracle: DuckDB recursive-CTE transitive
     closure."""
     pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) pair
+    list via min-label propagation. Returns (doc_id, comp) for every
+    node that appears in a pair; comp = min doc_id of the component.
+    ``max_rounds`` bounds worst-case chains (rounds ≈ diameter);
+    convergence usually stops the loop much earlier.
+
+    Each round ends in ``localCheckpoint(eager=True)``: iterative
+    self-referencing joins double the logical-plan tree every round
+    (labels appears twice in the next plan), so without lineage
+    truncation Catalyst analysis goes exponential — persist() caches
+    data but not the plan. On a real cluster with fault-tolerance
+    requirements, set a checkpoint dir and swap in ``checkpoint()``."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("comp", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(8):
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -513,7 +529,7 @@ def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             labels.select("doc_id", F.col("comp").alias("old_comp"))

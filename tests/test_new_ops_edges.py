@@ -1,0 +1,109 @@
+"""Edge-case tests for the round-2 operators: connected components on
+constructed graphs (chains force multi-round convergence the testdata
+never exercises), and gap-fill / repetition / PII scrub behavior on
+hand-built tables written to a temp sf_dir."""
+
+import pandas as pd
+import pytest
+
+from bfr_clustering_using_pyspark_spark.operators.dedup import connected_components
+from bfr_clustering_using_pyspark_spark.operators.textstats import (
+    text_pii_scrub,
+    text_repetition,
+)
+from bfr_clustering_using_pyspark_spark.plans.tpch_ext import q_gap_fill
+
+
+def _comp_map(df):
+    return {r["doc_id"]: r["comp"] for r in df.collect()}
+
+
+class TestConnectedComponents:
+    def test_chain_converges_to_one_component(self, spark):
+        # 0-1-2-3-4-5-6-7: diameter 7 needs several propagation rounds
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(7)), "doc_b": list(range(1, 8))})
+        )
+        comp = _comp_map(connected_components(pairs))
+        assert comp == {i: 0 for i in range(8)}
+
+    def test_two_components_stay_separate(self, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+        )
+        comp = _comp_map(connected_components(pairs))
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_empty_pairs_empty_result(self, spark):
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components(pairs).count() == 0
+
+
+@pytest.fixture()
+def tiny_sf(tmp_path, spark):
+    """A minimal sf_dir with hand-built documents + orders tables."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam spam spam spam spam spam",  # maximal repetition
+                "one two three four five six seven eight",  # all distinct
+                "hi",  # < 3 tokens -> excluded from repetition
+                "alpha beta gamma alpha beta gamma alpha beta gamma",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [29, 39, 2, 49],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["F", "F", "O"],
+            "o_totalprice": [10.0, 20.0, 30.0],
+            # day 2024-01-02 is missing -> gap-fill must emit a zero row
+            "o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-04"]),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(orders).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestTextEdges:
+    def test_repetition_extremes(self, spark, tiny_sf):
+        rows = {r["doc_id"]: r for r in text_repetition(spark, tiny_sf).collect()}
+        assert 2 not in rows  # < 3 tokens excluded
+        assert rows[0]["dup_3gram_frac"] > 0.7  # spam x6 -> 4 identical grams
+        assert rows[0]["top_token_frac"] == 1.0
+        assert rows[1]["dup_3gram_frac"] == 0.0  # all distinct
+        assert rows[3]["dup_3gram_frac"] > 0.5  # periodic text
+
+    def test_pii_scrub_counts_and_redaction(self, spark, tiny_sf):
+        rows = {r["doc_id"]: r for r in text_pii_scrub(spark, tiny_sf).collect()}
+        # doc_id % 5 injection: 0 -> email, 1 -> url, 2 -> phone, 3 -> none
+        assert (rows[0]["n_emails"], rows[0]["n_urls"], rows[0]["n_phones"]) == (1, 0, 0)
+        assert (rows[1]["n_emails"], rows[1]["n_urls"], rows[1]["n_phones"]) == (0, 1, 0)
+        assert (rows[2]["n_emails"], rows[2]["n_urls"], rows[2]["n_phones"]) == (0, 0, 1)
+        assert (rows[3]["n_emails"], rows[3]["n_urls"], rows[3]["n_phones"]) == (0, 0, 0)
+        # hashes of scrubbed text differ from raw only where PII existed
+        import hashlib
+
+        raw3 = hashlib.md5("alpha beta gamma alpha beta gamma alpha beta gamma".encode()).hexdigest()
+        assert rows[3]["clean_hash"] == raw3
+
+
+class TestGapFill:
+    def test_missing_day_zero_filled(self, spark, tiny_sf):
+        rows = {str(r["day"]): r for r in q_gap_fill(spark, tiny_sf).collect()}
+        assert set(rows) == {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"}
+        assert rows["2024-01-02"]["n_orders"] == 0
+        assert rows["2024-01-02"]["revenue"] == 0.0
+        # trailing average includes the explicit zero day
+        assert rows["2024-01-03"]["avg_7d"] == 10.0  # (10 + 0 + 20) / 3

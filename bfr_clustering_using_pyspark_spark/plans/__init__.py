@@ -45,7 +45,7 @@ _COST_S = {
     "q1_pricing_summary": 5.2, "dedup_fuzzy_names": 6.2,
     "stream_stream_join": 3.7, "text_repetition": 2.0,
     "text_pii_scrub": 2.0, "ann_ivf_rerank": 2.5,
-    "dedup_components": 15.0, "q_window_funcs": 1.1,
+    "dedup_components": 15.0, "stream_components": 30.0, "q_window_funcs": 1.1,
     "q_grouping_sets": 1.1, "q_gap_fill": 2.0,
     "ann_lsh_multiprobe": 3.0,
 }

@@ -12,8 +12,11 @@ from .events_stream import (
     stream_sessionize_stateful,
     stream_stream_join,
 )
+from ..operators.dedup import DEDUP_COMPONENTS_SQL
+from .docs_stream import stream_components
 
 QUERIES = {
+    "stream_components": stream_components,
     "stream_events_window": stream_events_window,
     "stream_dedup": stream_dedup,
     "stream_sessionize_stateful": stream_sessionize_stateful,
@@ -22,6 +25,9 @@ QUERIES = {
     "stream_bfr_update": stream_bfr_update,
 }
 ORACLES: dict[str, str] = {
+    # incremental discovery is exhaustive over band collisions, so the
+    # drained labelling equals batch dedup_components — same oracle
+    "stream_components": DEDUP_COMPONENTS_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,

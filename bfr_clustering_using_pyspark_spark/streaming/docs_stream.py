@@ -1,0 +1,164 @@
+"""Streaming document pipeline: incremental near-duplicate component
+maintenance.
+
+``stream_components`` is the streaming face of the batch
+``dedup_components`` (operators/dedup.py): documents arrive as a
+file-source stream in chunk files (the same ingestion shape as the
+reference's sorted chunk directory, ``/root/reference/code/bfr.py``
+chunk loop), and every micro-batch
+
+1. minhashes ONLY the new documents (the same JVM-shingle →
+   vectorized-NumPy kernel as the batch path),
+2. appends their band signatures + shingle sets to a parquet state
+   store,
+3. finds candidate pairs by joining the NEW signatures against the
+   accumulated store (new×new ∪ new×old — never old×old, so each
+   pair is discovered exactly once, when its later member arrives),
+4. exact-Jaccard-verifies candidates, and
+5. folds the verified pairs into the running component labelling by
+   re-running min-label propagation over (new pairs ∪ label edges)
+   — the label table acts as a contracted graph (one doc_id→comp
+   edge per node), so the per-batch CC input is O(new pairs + nodes
+   in components), not O(all pairs ever seen).
+
+State is parquet-append (signatures, shingles) + overwrite (labels);
+on a production cluster those become Delta/Iceberg tables with MERGE
+and the stream runs continuously — per-batch work is bounded by
+batch size × band-collision rate, independent of history size except
+through the bucket join, which shuffles on (band, sig) exactly like
+the batch LSH.
+
+Because candidate discovery is incremental-exhaustive (every colliding
+pair is seen once), the final labelling after AvailableNow equals the
+batch ``dedup_components`` output — so this streaming operator is
+hash-gated against the same recursive-CTE DuckDB oracle rather than
+rows-only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.dedup import (
+    _minhash_kernel,
+    _minhash_params,
+    _shingles_expr,
+    _tokens,
+    connected_components,
+)
+from ..sources.readers import load_table
+
+
+def stream_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7, n_chunks: int = 2
+) -> DataFrame:
+    """Drain a chunked copy of ``documents`` through the incremental
+    component maintainer and return the final (doc_id, comp) table.
+
+    The table is re-chunked into ``n_chunks`` files and streamed with
+    ``maxFilesPerTrigger=1`` so the drain genuinely exercises
+    multi-batch incrementality (a single-file source would collapse
+    to one batch). Oracle: same transitive-closure SQL as
+    ``dedup_components``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a_p, b_p = _minhash_params()
+
+    with tempfile.TemporaryDirectory(prefix="streamcc_") as tmp:
+        src = f"{tmp}/src"
+        docs.repartition(n_chunks).write.parquet(src)
+        sig_path = f"{tmp}/state/sigs"
+        sh_path = f"{tmp}/state/shingles"
+        lbl_path = f"{tmp}/state/labels"
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            base = (
+                batch_df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+                .filter(F.size("toks") >= 3)
+                .select("doc_id", _shingles_expr().alias("shingles"))
+                .persist()
+            )
+            try:
+                hashed = base.select(
+                    "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
+                )
+                bands = hashed.mapInPandas(
+                    _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
+                )
+                bands.write.mode("append").parquet(sig_path)
+                base.write.mode("append").parquet(sh_path)
+                new_bands = bands.localCheckpoint(eager=True)
+                all_bands = sp.read.parquet(sig_path)
+                cand = (
+                    new_bands.alias("n")
+                    .join(
+                        all_bands.alias("o"),
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.sig") == F.col("o.sig"))
+                        & (F.col("n.doc_id") != F.col("o.doc_id")),
+                    )
+                    .select(
+                        F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                        F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+                    )
+                    .distinct()
+                )
+                all_sh = sp.read.parquet(sh_path)
+                sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+                sb = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+                inter = F.size(F.array_intersect("sh_a", "sh_b"))
+                union = F.size("sh_a") + F.size("sh_b") - inter
+                pairs = (
+                    cand.join(sa, "doc_a")
+                    .join(sb, "doc_b")
+                    .filter(F.round(inter / union, 4) >= threshold)
+                    .select("doc_a", "doc_b")
+                )
+                try:
+                    prev = sp.read.parquet(lbl_path).select(
+                        F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+                    )
+                    edges = pairs.union(prev)
+                except AnalysisException:
+                    edges = pairs
+                # connected_components eagerly localCheckpoints its
+                # inputs, so overwriting lbl_path below never races
+                # the lazy read above
+                labels = connected_components(edges)
+                labels.write.mode("overwrite").parquet(lbl_path)
+            finally:
+                base.unpersist()
+
+        # per-batch state is tiny relative to the cluster — bound the
+        # shuffle width during the drain (same reasoning as
+        # events_stream._run_to_memory: partition count is a
+        # per-deployment knob, not a per-query one)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+        try:
+            with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+                q = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .format("parquet")
+                    .option("maxFilesPerTrigger", 1)
+                    .load(src)
+                    .writeStream.foreachBatch(process)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        try:
+            final = spark.read.parquet(lbl_path)
+        except AnalysisException:
+            return spark.createDataFrame([], "doc_id long, comp long")
+        # the state dir dies with the context manager — materialize
+        rows = final.orderBy("doc_id").collect()
+        return spark.createDataFrame(rows or [], "doc_id long, comp long")

@@ -29,3 +29,19 @@ def test_stream_bfr_update_totals(spark):
     out = QUERIES["stream_bfr_update"](spark, SF_SMALL).collect()
     assert sum(r["n"] for r in out) == 1000  # all events folded in
     assert all(r["std_value"] >= 0 for r in out)
+
+
+def test_stream_components_matches_batch(spark):
+    """Incremental multi-batch component maintenance must converge to
+    the same labelling as the batch LSH + connected-components path."""
+    from bfr_clustering_using_pyspark_spark.operators.dedup import dedup_components
+
+    sc_rows = {
+        (r["doc_id"], r["comp"])
+        for r in QUERIES["stream_components"](spark, SF_SMALL).collect()
+    }
+    batch_rows = {
+        (r["doc_id"], r["comp"]) for r in dedup_components(spark, SF_SMALL).collect()
+    }
+    assert sc_rows == batch_rows
+    assert sc_rows  # non-trivial: testdata contains near-dup groups

@@ -4,9 +4,9 @@ similarity search, multimodal column plumbing.
 Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
-from . import dedup, embeddings_ops, merge, multimodal, similarity, textstats
+from . import dedup, embeddings_ops, merge, multimodal, sampling, similarity, textstats
 
-_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge)
+_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling)
 
 
 def all_queries():

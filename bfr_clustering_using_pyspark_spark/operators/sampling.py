@@ -1,0 +1,172 @@
+"""Deterministic sampling / splitting / decontamination operators —
+the reproducibility layer of a training-data pipeline.
+
+``rand()``-based sampling is not reproducible across engines, runs,
+or partitionings; every op here derives membership from a
+content-independent hash of the primary key
+(``conv(substr(md5(id),1,15),16,10)`` — 60 bits, portable to any
+engine with md5), so the same document lands in the same
+sample/split on Spark, DuckDB, or a 1000-executor cluster, and the
+ops are hash-gated end to end.
+
+Scale: all three are single-pass map-side hash + one keyed
+aggregation — no joins except decontamination's shingle semi-join,
+whose build side is the benchmark set (fixed cardinality in real
+deployments: benchmarks don't grow with the corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import _tokens
+
+SAMPLE_PCT = 20  # deterministic 20% sample
+TRAIN_PCT, VAL_PCT = 80, 10  # 80/10/10 split
+
+
+def _bucket(col):
+    """Stable 0..99 bucket from the md5 of the key — identical in
+    Spark and DuckDB (and any engine with md5 + hex parse)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of a deterministic 20% document sample.
+    ``sampled_id_sum`` pins exact membership (the gate hash then
+    proves both engines selected the same documents, not just the
+    same counts)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (_bucket(F.col("doc_id")) < SAMPLE_PCT).alias("in_sample")
+    )
+    flag = F.col("in_sample").cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(flag).alias("n_sampled"),
+            F.sum(flag * F.col("doc_id")).alias("sampled_id_sum"),
+            F.round(F.sum(flag) / F.count("*"), 4).alias("frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum,
+       round(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac
+FROM h GROUP BY lang ORDER BY lang
+"""
+
+
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment, reported as
+    per-(split, lang) counts with a membership checksum."""
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", split.alias("split")
+    )
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split", "lang")
+    )
+
+
+SAMPLE_TRAIN_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM h GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+# 4-token shingles: long enough that cross-doc collisions mean real
+# shared phrasing (3-grams flag a third of the synthetic corpus),
+# short enough to produce hits; real decontamination uses 8-13
+DECON_N = 4
+
+
+def _ngram_shingles(n: int):
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idx})))"
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least one 4-token shingle with the held-out benchmark set (here:
+    every 97th document, standing in for an eval suite).
+
+    Map-side shingle explode on both sides, then a shingle-keyed join
+    against the DISTINCT benchmark shingles. In production the
+    benchmark side is fixed-size (eval suites don't scale with the
+    corpus) and broadcasts; here the hint is left to AQE because the
+    synthetic benchmark grows with SF. Output: contaminated doc_id +
+    how many distinct benchmark shingles it shares."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= DECON_N
+    )
+    sh = toks.select("doc_id", F.explode(_ngram_shingles(DECON_N)).alias("sh"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+_DECON_SHINGLE = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([{_DECON_SHINGLE}
+                                       for i in generate_series(1, len(toks) - {DECON_N - 1})])) AS sh
+  FROM t WHERE len(toks) >= {DECON_N}
+)
+SELECT c.doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared
+FROM sh c JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0) b USING (sh)
+WHERE c.doc_id % 97 <> 0
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_train_split": sample_train_split,
+    "decontaminate": decontaminate,
+}
+
+ORACLES = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+}

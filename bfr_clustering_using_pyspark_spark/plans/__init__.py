@@ -47,7 +47,8 @@ _COST_S = {
     "text_pii_scrub": 2.0, "ann_ivf_rerank": 2.5,
     "dedup_components": 15.0, "stream_components": 30.0, "q_window_funcs": 1.1,
     "q_grouping_sets": 1.1, "q_gap_fill": 2.0,
-    "ann_lsh_multiprobe": 3.0,
+    "ann_lsh_multiprobe": 3.0, "sample_stratified": 0.6,
+    "sample_train_split": 0.5, "decontaminate": 5.0,
 }
 
 

@@ -1,0 +1,55 @@
+"""Sampling / split / decontamination operators: determinism,
+partition-invariance, and oracle agreement (the gate replica covers
+value hashes; these tests pin the semantic properties)."""
+
+from bfr_clustering_using_pyspark_spark.operators.sampling import (
+    decontaminate,
+    sample_stratified,
+    sample_train_split,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_sample_deterministic_and_plausible(spark):
+    a = {tuple(r) for r in sample_stratified(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in sample_stratified(spark, SF_SMALL).collect()}
+    assert a == b  # re-run identical (no rand())
+    rows = sample_stratified(spark, SF_SMALL).collect()
+    n_total = sum(r["n_total"] for r in rows)
+    n_sampled = sum(r["n_sampled"] for r in rows)
+    # md5 buckets are uniform: 20% target, generous tolerance at n=500
+    assert 0.10 <= n_sampled / n_total <= 0.32
+
+
+def test_split_partitions_every_doc_once(spark):
+    rows = sample_train_split(spark, SF_SMALL).collect()
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    n_total = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert n_total == docs.count()  # exhaustive and disjoint
+    n_train = sum(r["n_docs"] for r in rows if r["split"] == "train")
+    assert n_train / n_total > 0.6  # ~80% target
+
+
+def test_sample_partition_invariant(spark):
+    """Membership must not depend on physical layout: hash of doc_id,
+    not of position. Re-partitioning the input changes nothing."""
+    base = sample_stratified(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("_tmp_docs_reparted")
+    # same op, via the same code path (load_table reads the parquet);
+    # the property we rely on is that _bucket() is pure — verify by
+    # recomputing membership on the repartitioned frame directly
+    from bfr_clustering_using_pyspark_spark.operators.sampling import SAMPLE_PCT, _bucket
+    from pyspark.sql import functions as F
+
+    n = docs.filter(_bucket(F.col("doc_id")) < SAMPLE_PCT).count()
+    assert n == sum(r["n_sampled"] for r in base)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    rows = decontaminate(spark, SF_SMALL).collect()
+    assert rows  # synthetic corpus contains shared 4-grams
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert all(r["n_shared"] >= 1 for r in rows)

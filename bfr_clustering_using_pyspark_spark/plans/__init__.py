@@ -9,9 +9,9 @@ both sides (the gate hashes values after sorting columns by name).
 from ..operators import all_oracles as _op_oracles
 from ..operators import all_queries as _op_queries
 from .. import streaming as _streaming
-from . import events, ml_queries, tpch, tpch_ext
+from . import events, ml_queries, tpch, tpch_deep, tpch_ext
 
-_MODULES = (tpch, tpch_ext, events, ml_queries)
+_MODULES = (tpch, tpch_ext, tpch_deep, events, ml_queries)
 
 # Measured sf0.01 wall-seconds per query (tools/check_correctness.py
 # full run). The external gate walks queries() in dict order under a
@@ -48,6 +48,9 @@ _COST_S = {
     "dedup_components": 15.0, "stream_components": 30.0, "q_window_funcs": 1.1,
     "q_grouping_sets": 1.1, "q_gap_fill": 2.0,
     "ann_lsh_multiprobe": 3.0, "sample_stratified": 0.6,
+    "q7_volume_shipping": 1.5, "q9_product_profit": 1.2,
+    "q13_cust_distribution": 0.8, "q17_small_qty_revenue": 0.8,
+    "q22_idle_customers": 0.8,
     "sample_train_split": 0.5, "decontaminate": 5.0,
 }
 

@@ -42,6 +42,14 @@ AUDIT = {
     "embedding_normalize": (False, False, 1),
     "dedup_fuzzy_names": (False, False, 3),
     "q_date_funcs": (False, False, 2),
+    "q7_volume_shipping": (True, True, 3),
+    "q9_product_profit": (True, True, 3),
+    "q13_cust_distribution": (True, True, 3),
+    "q17_small_qty_revenue": (True, True, 4),
+    "q22_idle_customers": (True, True, 3),
+    "sample_stratified": (False, False, 2),
+    "sample_train_split": (False, False, 2),
+    "decontaminate": (True, True, 5),
 }
 
 

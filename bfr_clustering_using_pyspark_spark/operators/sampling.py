@@ -159,14 +159,64 @@ WHERE c.doc_id % 97 <> 0
 GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
+MIX_ALPHA = 0.7  # temperature exponent: upsample small sources
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: weight_s ∝ tokens_s^0.7 —
+    the standard move for balancing corpus sources in a training mix
+    (plain proportional sampling starves small sources; uniform
+    over-trains them). Emits each source's share and its doc quota
+    per 1000 sampled.
+
+    One groupBy(source) over a map-side token count, then a global
+    normalizer joined back via an unpartitioned window — safe because
+    the grouped frame has one row per SOURCE (a catalog-sized set,
+    thousands at most), not per document."""
+    from pyspark.sql import Window as W
+
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(_tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    scaled = F.pow(F.col("n_tokens"), MIX_ALPHA)
+    tot = F.sum(scaled).over(W.partitionBy())
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(scaled / tot, 4).alias("weight"),
+            F.floor(scaled / tot * 1000).cast("long").alias("docs_per_1000"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT sum(pow(n_tokens, {MIX_ALPHA})) AS tot FROM s)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens, {MIX_ALPHA}) / tot, 4) AS weight,
+       CAST(floor(pow(n_tokens, {MIX_ALPHA}) / tot * 1000) AS BIGINT) AS docs_per_1000
+FROM s, t ORDER BY source
+"""
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "corpus_mix": corpus_mix,
     "sample_train_split": sample_train_split,
     "decontaminate": decontaminate,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "corpus_mix": CORPUS_MIX_SQL,
     "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,
     "decontaminate": DECONTAMINATE_SQL,
 }

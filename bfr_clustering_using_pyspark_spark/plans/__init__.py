@@ -51,7 +51,7 @@ _COST_S = {
     "q7_volume_shipping": 1.5, "q9_product_profit": 1.2,
     "q13_cust_distribution": 0.8, "q17_small_qty_revenue": 0.8,
     "q22_idle_customers": 0.8,
-    "sample_train_split": 0.5, "decontaminate": 5.0,
+    "sample_train_split": 0.5, "decontaminate": 5.0, "corpus_mix": 0.7,
 }
 
 

@@ -53,3 +53,18 @@ def test_decontaminate_excludes_benchmark_docs(spark):
     assert rows  # synthetic corpus contains shared 4-grams
     assert all(r["doc_id"] % 97 != 0 for r in rows)
     assert all(r["n_shared"] >= 1 for r in rows)
+
+
+def test_corpus_mix_weights_normalize(spark):
+    from bfr_clustering_using_pyspark_spark.operators.sampling import corpus_mix
+
+    rows = corpus_mix(spark, SF_SMALL).collect()
+    assert len(rows) > 1
+    total_w = sum(r["weight"] for r in rows)
+    assert abs(total_w - 1.0) < 0.01  # rounded weights still ~sum to 1
+    # temperature scaling must compress the spread vs proportional
+    toks = {r["source"]: r["n_tokens"] for r in rows}
+    w = {r["source"]: r["weight"] for r in rows}
+    big = max(toks, key=toks.get)
+    small = min(toks, key=toks.get)
+    assert w[big] / w[small] < toks[big] / toks[small]

@@ -55,11 +55,29 @@ FROM documents ORDER BY doc_id
 """
 
 
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on"]
+
+
+def quality_flag_expr(text_col):
+    """The composite pass/fail quality gate as a reusable boolean
+    expression (shared by the batch scorer and the streaming ingest
+    filter so both stay semantically identical)."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit("[^a-zA-Z0-9 ]"), 0))
+    return (
+        (F.length(text_col) >= 50)
+        & (n_stop_hits / F.greatest(n_tok, F.lit(1)) > 0.05)
+        & (n_punct / F.greatest(F.length(text_col), F.lit(1)) < 0.3)
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, punctuation /
     stopword / digit ratios, composite score."""
     docs = load_table(spark, sf_dir, "documents")
-    stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
+    stop = STOPWORDS
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_stop_hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
@@ -73,11 +91,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
         F.round(n_digit / F.greatest(F.length("text"), F.lit(1)), 4).alias("digit_ratio"),
         F.round(n_stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
-        (
-            (F.length("text") >= 50)
-            & (n_stop_hits / F.greatest(n_tok, F.lit(1)) > 0.05)
-            & (n_punct / F.greatest(F.length("text"), F.lit(1)) < 0.3)
-        ).cast("int").alias("passes_quality"),
+        quality_flag_expr(F.col("text")).cast("int").alias("passes_quality"),
     ).orderBy("doc_id")
 
 

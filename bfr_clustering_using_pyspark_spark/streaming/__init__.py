@@ -13,10 +13,11 @@ from .events_stream import (
     stream_stream_join,
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
-from .docs_stream import stream_components
+from .docs_stream import STREAM_QUALITY_FILTER_SQL, stream_components, stream_quality_filter
 
 QUERIES = {
     "stream_components": stream_components,
+    "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
     "stream_dedup": stream_dedup,
     "stream_sessionize_stateful": stream_sessionize_stateful,
@@ -28,6 +29,8 @@ ORACLES: dict[str, str] = {
     # incremental discovery is exhaustive over band collisions, so the
     # drained labelling equals batch dedup_components — same oracle
     "stream_components": DEDUP_COMPONENTS_SQL,
+    # stateless filter + complete-mode agg: drained result ≡ batch agg
+    "stream_quality_filter": STREAM_QUALITY_FILTER_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,

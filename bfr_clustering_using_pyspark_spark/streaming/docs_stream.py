@@ -53,6 +53,45 @@ from ..operators.dedup import (
 from ..sources.readers import load_table
 
 
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest quality gate: the batch ``text_quality``
+    composite filter applied on arrival, reported as per-language
+    pass/fail counts (complete mode — the running ingest dashboard a
+    pipeline actually watches). Stateless row-wise filter + one
+    bounded aggregation: state is O(languages), not O(documents)."""
+    from ..operators.textstats import quality_flag_expr
+    from .events_stream import _run_to_memory
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .format("parquet")
+        .load(f"{sf_dir}/documents*.parquet")
+    )
+    agg = (
+        docs.select("lang", quality_flag_expr(F.col("text")).cast("int").alias("passes_quality"))
+        .groupBy("lang", "passes_quality")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    out = _run_to_memory(agg, "stream_quality_filter_sink", mode="complete")
+    return out.orderBy("lang", "passes_quality")
+
+
+STREAM_QUALITY_FILTER_SQL = """
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) >= 50
+              AND len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                  x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+                  / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) > 0.05
+              AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
+                  / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
+  FROM documents
+)
+SELECT lang, passes_quality, CAST(count(*) AS BIGINT) AS n_docs
+FROM t GROUP BY lang, passes_quality ORDER BY lang, passes_quality
+"""
+
+
 def stream_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.7, n_chunks: int = 2
 ) -> DataFrame:

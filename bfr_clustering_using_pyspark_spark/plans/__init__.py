@@ -52,7 +52,7 @@ _COST_S = {
     "q13_cust_distribution": 0.8, "q17_small_qty_revenue": 0.8,
     "q22_idle_customers": 0.8,
     "sample_train_split": 0.5, "decontaminate": 5.0, "corpus_mix": 0.7,
-    "stream_quality_filter": 2.0,
+    "stream_quality_filter": 2.0, "q_events_retention": 1.0,
 }
 
 

@@ -160,8 +160,74 @@ ORDER BY user_id, purchase_seq
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    tracked by distinct-active count per week offset, with the share
+    of the cohort still active.
+
+    Cohort = first week the user appears at all; "active" = weeks
+    with a PURCHASE (any-event activity is saturated in this data —
+    every user fires events weekly — so purchases give the matrix its
+    decay). Two aggregations on the same user-key shuffle (first-seen,
+    then per-(cohort, week) distinct users) and a cohort-size join
+    that is broadcastable at any data scale — cohorts are calendar
+    weeks, so that side grows with TIME, not with data volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cohort_size = (
+        first_seen.groupBy("cohort_week").agg(F.countDistinct("user_id").alias("cohort_users"))
+    )
+    return (
+        active.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_users",
+            F.round(F.col("n_active") / F.col("cohort_users"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), first_seen AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+), active AS (
+  SELECT cohort_week,
+         CAST(floor(date_diff('day', cohort_week, week) / 7.0) AS INT) AS week_offset,
+         count(DISTINCT ev.user_id) AS n_active
+  FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
+  WHERE ev.event_type = 'purchase'
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_users FROM first_seen GROUP BY 1
+)
+SELECT a.cohort_week, week_offset, n_active, cohort_users,
+       round(n_active * 1.0 / cohort_users, 4) AS retention
+FROM active a JOIN size_ s ON a.cohort_week = s.cohort_week
+ORDER BY a.cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
+    "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
     "q_running_total": q_running_total,
@@ -169,6 +235,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
+    "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
     "q_running_total": Q_RUNNING_TOTAL_SQL,

@@ -4,9 +4,9 @@ similarity search, multimodal column plumbing.
 Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
-from . import dedup, embeddings_ops, merge, multimodal, sampling, similarity, textstats
+from . import dedup, embeddings_ops, graph, merge, multimodal, sampling, similarity, textstats
 
-_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling)
+_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling, graph)
 
 
 def all_queries():

@@ -488,9 +488,10 @@ def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -
     its own and its neighbors' labels (one hash-join + groupBy per
     round, early-stop on convergence). Rounds needed = graph
     diameter; near-dup components are shallow (pairs ≥ 0.7 Jaccard
-    are near-cliques). At 100 TB you'd switch to the
-    large-star/small-star formulation — same join primitive, fewer
-    rounds on skewed graphs. Oracle: DuckDB recursive-CTE transitive
+    are near-cliques). For deep/skewed graphs the O(log n)-round
+    ``connected_components_star`` below is the drop-in scale path
+    (equivalence-tested against propagation on chains, hubs, and
+    random graphs). Oracle: DuckDB recursive-CTE transitive
     closure."""
     pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b")
     return connected_components(pairs)
@@ -540,6 +541,77 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels.orderBy("doc_id")
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round formulation for DEEP graphs, where plain
+    min-label propagation (``connected_components``) needs
+    diameter-many rounds. Same output contract: (doc_id, comp) for
+    every node in a pair, comp = component min.
+
+    Each star op is one groupBy (per-node min neighbor) + one join
+    (re-point edges at that min) — the same shuffle primitive as
+    propagation, but the star moves EVERY neighbor to the min at
+    once, halving tree heights per round. Convergence = the
+    node→min-neighbor labelling stops changing. localCheckpoint per
+    round for the same lineage reason as propagation."""
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def min_nbr(e: DataFrame) -> DataFrame:
+        # m(u) = min over u's neighbors and u itself
+        return (
+            sym(e)
+            .groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+        )
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: strictly-larger neighbors re-point at m(u)
+        m = min_nbr(edges)
+        s = sym(edges)
+        large = (
+            s.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # small-star: u AND each ≤ neighbor re-point at m(u) — both
+        # emissions are required (dropping the neighbor side strands
+        # leaf nodes whose only link was to a larger node)
+        m2 = min_nbr(large)
+        s2 = sym(large)
+        small_nb = s2.filter(F.col("dst") <= F.col("src")).join(m2, "src")
+        small = (
+            small_nb.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(small_nb.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        sig = edges.agg(
+            F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["s"]):
+            break
+        prev_sig = (sig["n"], sig["s"])
+    # converged: every edge points a node at its component min
+    labels = (
+        sym(edges)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("doc_id", F.least(F.col("mn"), F.col("doc_id")).alias("comp"))
+    )
     return labels.orderBy("doc_id")
 
 

@@ -107,3 +107,46 @@ class TestGapFill:
         assert rows["2024-01-02"]["revenue"] == 0.0
         # trailing average includes the explicit zero day
         assert rows["2024-01-03"]["avg_7d"] == 10.0  # (10 + 0 + 20) / 3
+
+
+class TestStarComponents:
+    """large-star/small-star must agree with min-label propagation on
+    every graph shape (it is the O(log n)-round scale path)."""
+
+    def _both(self, spark, pairs_df):
+        from bfr_clustering_using_pyspark_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        prop = _comp_map(connected_components(pairs_df))
+        star = _comp_map(connected_components_star(pairs_df))
+        return prop, star
+
+    def test_chain(self, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(9)), "doc_b": list(range(1, 10))})
+        )
+        prop, star = self._both(spark, pairs)
+        assert prop == star == {i: 0 for i in range(10)}
+
+    @pytest.mark.parametrize("seed,n,m", [(7, 60, 45), (21, 40, 80), (99, 80, 30)])
+    def test_random_graph_matches_propagation(self, spark, seed, n, m):
+        import random
+
+        rng = random.Random(seed)
+        edges = sorted({(min(a, b), max(a, b)) for a, b in
+                        ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+                        if a != b})
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [e[0] for e in edges], "doc_b": [e[1] for e in edges]})
+        )
+        prop, star = self._both(spark, pairs)
+        assert prop == star
+
+    def test_star_graph_one_round_shape(self, spark):
+        # hub-and-spoke: already a star; must converge immediately
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [0] * 6, "doc_b": list(range(1, 7))})
+        )
+        prop, star = self._both(spark, pairs)
+        assert prop == star == {i: 0 for i in range(7)}

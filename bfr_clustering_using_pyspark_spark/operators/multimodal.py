@@ -215,5 +215,103 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.crossJoin(counts).orderBy("media_type")
 
 
-QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline}
-ORACLES: dict[str, str] = {"mm_decode": MM_DECODE_SQL}
+PGM_SCHEMA = "doc_id long, width int, height int, n_pixels int, mean_px double, min_px int, max_px int"
+
+
+def _pgm_payload(doc_id: int) -> bytes:
+    """A REAL binary PGM (P5) image: ASCII header + raw 8-bit pixel
+    buffer. Dimensions and pixels derive deterministically from
+    doc_id so the oracle can verify the decode in closed form."""
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 3) % 7
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    px = ((doc_id + 31 * r + 7 * c) % 256).astype(np.uint8)
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _pgm_decode(payload: bytes) -> tuple[int, int, "object"]:
+    """A REAL P5 decoder: parse the three header tokens, then read
+    the raw pixel buffer with ``np.frombuffer``. This is the same
+    parse any netpbm reader performs — no codec library needed,
+    which is exactly why PGM proves the binary plumbing end-to-end
+    where JPEG/PNG (PIL swap point) cannot run in this container."""
+    import numpy as np
+
+    magic, dims, maxval_and_rest = payload.split(b"\n", 2)
+    if magic != b"P5":
+        raise ValueError(f"not a P5 PGM payload: {magic!r}")
+    w, h = (int(t) for t in dims.split())
+    _maxval, raw = maxval_and_rest.split(b"\n", 1)
+    px = np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+    return w, h, px
+
+
+def mm_pgm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format media pipeline: encode a genuine PGM image per
+    document (stage 1), decode it back by actually parsing the bytes
+    (stage 2), emit pixel statistics. The oracle recomputes the
+    statistics from the pixel formula directly — a hash match proves
+    encoder, binary transport, and decoder agree with ground truth.
+
+    Two Arrow-batched Python stages over an opaque binary column —
+    the exact shape of a production decode pipeline, with the
+    PGM codec swapped for PIL/ffmpeg on a real cluster."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_pgm_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _pgm_decode(bytes(payload))
+                s = int(px.sum())
+                n = w * h
+                # integer-floor mean: exact and engine-portable
+                rows.append((doc_id, w, h, n, (s * 10000 // n) / 10000.0, int(px.min()), int(px.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "mean_px", "min_px", "max_px"],
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return encoded.mapInPandas(decode, schema=PGM_SCHEMA).orderBy("doc_id")
+
+
+MM_PGM_ROUNDTRIP_SQL = """
+WITH px AS (
+  -- fixed-bound series + filter (DuckDB generate_series takes no
+  -- lateral refs); w ∈ [8,16], h ∈ [8,14] by construction
+  SELECT d.doc_id,
+         8 + d.doc_id % 9 AS width,
+         8 + (d.doc_id * 3) % 7 AS height,
+         (d.doc_id + 31 * r.r + 7 * c.c) % 256 AS v
+  FROM documents d,
+       generate_series(0, 13) AS r(r),
+       generate_series(0, 15) AS c(c)
+  WHERE r.r < 8 + (d.doc_id * 3) % 7 AND c.c < 8 + d.doc_id % 9
+)
+SELECT doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width * height AS INT) AS n_pixels,
+       CAST(sum(v) * 10000 // (width * height) AS DOUBLE) / 10000 AS mean_px,
+       CAST(min(v) AS INT) AS min_px,
+       CAST(max(v) AS INT) AS max_px
+FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+"""
+
+QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline, "mm_pgm_roundtrip": mm_pgm_roundtrip}
+ORACLES: dict[str, str] = {"mm_decode": MM_DECODE_SQL, "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL}

@@ -54,3 +54,36 @@ def test_mm_pipeline_summary(spark):
     assert set(out) == {"image", "audio", "video"}
     assert all(r["n_items"] > 0 for r in out.values())
     assert next(iter(out.values()))["n_sampled_frames"] > 0
+
+
+def test_pgm_codec_roundtrip_pure():
+    """The PGM encoder/decoder pair is a real codec: bytes begin with
+    the P5 magic, and decode recovers exact dimensions and pixels."""
+    import numpy as np
+    import pytest
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        _pgm_decode,
+        _pgm_payload,
+    )
+
+    for doc_id in (0, 7, 123, 9999):
+        payload = _pgm_payload(doc_id)
+        assert payload.startswith(b"P5\n")
+        w, h, px = _pgm_decode(payload)
+        assert (w, h) == (8 + doc_id % 9, 8 + (doc_id * 3) % 7)
+        assert px.shape == (h, w)
+        assert px[0, 0] == doc_id % 256
+        assert px[1, 2] == (doc_id + 31 + 14) % 256
+    with pytest.raises(ValueError):
+        _pgm_decode(b"P6\n2 2\n255\n" + b"\x00" * 12)
+
+
+def test_pgm_roundtrip_query(spark):
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import mm_pgm_roundtrip
+    from tests.conftest import SF_SMALL
+
+    rows = mm_pgm_roundtrip(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    assert all(0 <= r["min_px"] <= r["max_px"] <= 255 for r in rows)
+    assert all(r["n_pixels"] == r["width"] * r["height"] for r in rows)

@@ -54,6 +54,7 @@ _COST_S = {
     "sample_train_split": 0.5, "decontaminate": 5.0, "corpus_mix": 0.7,
     "stream_quality_filter": 2.0, "q_events_retention": 1.0,
     "graph_pagerank": 12.0, "mm_pgm_roundtrip": 5.0,
+    "embedding_quantize": 1.0,
 }
 
 

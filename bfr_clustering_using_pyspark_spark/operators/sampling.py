@@ -207,11 +207,101 @@ SELECT source, n_docs, n_tokens,
 FROM s, t ORDER BY source
 """
 
+PACK_BUDGET = 512  # tokens per training sequence
+PACK_SHARDS = 8  # independent packing shards (scale: ~n_docs/50k)
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: place documents into fixed token-budget
+    training sequences (budget 512 word-tokens), the step between a
+    cleaned corpus and a dataloader. Greedy next-fit in doc_id order
+    within each of 8 md5-hash shards; a doc longer than the budget
+    gets a bin of its own (fill_frac > 1 marks it for truncation
+    downstream). Emits one row per bin: size, token fill, and a
+    doc_id checksum pinning exact membership.
+
+    Scale: packing is inherently sequential, so the corpus is hash-
+    sharded and each shard packs independently inside one Arrow batch
+    (applyInPandas, O(shard) single pass); shard count grows with the
+    corpus (~50k docs/shard) so no task sees unbounded data, and the
+    kernel emits bin-level rows, not per-doc rows. The only shuffle
+    is the shard hash-partition."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % PACK_SHARDS
+        ).alias("shard"),
+        F.size(_tokens(F.col("text"))).alias("t"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        out, bin_id, fill, n, chk = [], -1, 0, 0, 0
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            t = int(t)
+            if bin_id < 0 or fill + t > PACK_BUDGET:
+                if bin_id >= 0:
+                    out.append((shard, bin_id, n, fill, chk))
+                bin_id, fill, n, chk = bin_id + 1, t, 1, int(doc_id)
+            else:
+                fill, n, chk = fill + t, n + 1, chk + int(doc_id)
+        if bin_id >= 0:
+            out.append((shard, bin_id, n, fill, chk))
+        return pd.DataFrame(
+            out, columns=["shard", "bin", "n_docs", "bin_tokens", "id_checksum"]
+        )
+
+    packed = docs.groupBy("shard").applyInPandas(
+        pack,
+        schema="shard long, bin long, n_docs long, bin_tokens long, id_checksum long",
+    )
+    # fill_frac JVM-side: F.round is HALF_UP like DuckDB's round();
+    # pandas .round is half-to-even and diverges on exact ties (k/512).
+    return packed.select(
+        "shard",
+        "bin",
+        "n_docs",
+        "bin_tokens",
+        F.round(F.col("bin_tokens") / PACK_BUDGET, 4).alias("fill_frac"),
+        "id_checksum",
+    ).orderBy("shard", "bin")
+
+
+SEQ_PACK_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn, doc_id, t
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {PACK_SHARDS} AS shard,
+           doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents)
+), packed AS (
+  SELECT shard, rn, doc_id, t, 0 AS bin, t AS fill FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.t,
+         CASE WHEN p.fill + d.t > {PACK_BUDGET} THEN p.bin + 1 ELSE p.bin END AS bin,
+         CASE WHEN p.fill + d.t > {PACK_BUDGET} THEN d.t ELSE p.fill + d.t END AS fill
+  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS bin_tokens,
+       round(sum(t) * 1.0 / {PACK_BUDGET}, 4) AS fill_frac,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM packed GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "corpus_mix": corpus_mix,
     "sample_train_split": sample_train_split,
     "decontaminate": decontaminate,
+    "seq_pack": seq_pack,
 }
 
 ORACLES = {
@@ -219,4 +309,5 @@ ORACLES = {
     "corpus_mix": CORPUS_MIX_SQL,
     "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "seq_pack": SEQ_PACK_SQL,
 }

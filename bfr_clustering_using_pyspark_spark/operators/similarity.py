@@ -402,16 +402,65 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-probe LSH path against the brute-force
+    ground truth, per query vector — the evaluation loop every ANN
+    deployment runs before trading recall for speed. Both inputs are
+    deterministic (md5-derived hyperplanes), so even the EVALUATION
+    is hash-gated: the oracle composes the two query oracles and
+    joins them exactly like this plan."""
+    truth = ann_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    approx = ann_lsh_multiprobe(spark, sf_dir).select("q_id", "vec_id")
+    n_truth = truth.groupBy("q_id").agg(F.count("*").alias("n_truth"))
+    n_hit = (
+        truth.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_truth.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_truth"), 4).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({ANN_BRUTEFORCE_SQL})
+), approx AS (
+  SELECT q_id, vec_id FROM ({ANN_LSH_MULTIPROBE_SQL})
+), nt AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY q_id
+), nh AS (
+  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY t.q_id
+)
+SELECT nt.q_id, n_truth,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) * 1.0 / n_truth, 4) AS recall
+FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id
+ORDER BY nt.q_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf": ann_ivf,
     "ann_ivf_rerank": ann_ivf_rerank,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLES = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
+    "ann_recall_eval": ANN_RECALL_EVAL_SQL,
 }

@@ -225,8 +225,99 @@ ORDER BY a.cohort_week, week_offset
 """
 
 
+ANOMALY_TRAIL = 10  # trailing purchases in the baseline window
+ANOMALY_MIN_N = 5  # need this many priors before scoring
+ANOMALY_Z = 2.0
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: flag purchases whose value is >2
+    sample-stddevs from that user's trailing-10-purchase baseline
+    (min 5 priors). The standard online fraud/telemetry outlier
+    screen, expressed as one window pass.
+
+    Scale: a single hash-shuffle on user_id, then sort-within-
+    partition; the frame is bounded (10 rows) so state per row is
+    O(1) and the whole thing stays in whole-stage codegen — no
+    self-join against a baseline table, which is the naive two-pass
+    formulation.
+
+    Cross-engine determinism: window SUMS run in exact integer cents
+    (float summation order differs between engines — Spark re-scans
+    sliding frames, DuckDB uses segment trees — so sum(double) can
+    drift an ulp and flip a rounded digit); avg and sample variance
+    are then derived from the exact integer sums, and membership is
+    decided on the rounded z-score."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    trail = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents.alias("c"),
+        F.count(cents).over(trail).alias("n_base"),
+        F.sum(cents).over(trail).alias("s1"),
+        F.sum(cents * cents).over(trail).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_base"), F.col("s1"), F.col("s2")
+    base_avg = F.round(s1 / (100.0 * n), 4)
+    # sample variance in cents² from exact integer sums, then →
+    # currency units; sqrt/division of identical doubles is IEEE-
+    # deterministic on both engines
+    var_c2 = (n * s2 - s1 * s1) / (n * (n - 1))
+    base_std = F.round(F.sqrt(var_c2) / 100.0, 4)
+    value = F.round(F.col("c") / 100.0, 2)
+    z = F.round((value - base_avg) / base_std, 3)
+    return (
+        scored.filter(n >= ANOMALY_MIN_N)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            value.alias("value"),
+            base_avg.alias("base_avg"),
+            base_std.alias("base_std"),
+            z.alias("z"),
+        )
+        .filter((F.col("base_std") > 0) & (F.abs(F.col("z")) > ANOMALY_Z))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+Q_EVENTS_ANOMALY_SQL = f"""
+WITH scored AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS c,
+         count(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS n_base,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS s1,
+         sum(CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)) OVER w AS s2
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+), derived AS (
+  SELECT user_id, event_id, ts,
+         round(c / 100.0, 2) AS value,
+         round(s1 / (100.0 * n_base), 4) AS base_avg,
+         round(sqrt((n_base * s2 - s1 * s1) * 1.0 / (n_base * (n_base - 1))) / 100.0, 4) AS base_std,
+         round((round(c / 100.0, 2) - round(s1 / (100.0 * n_base), 4))
+               / round(sqrt((n_base * s2 - s1 * s1) * 1.0 / (n_base * (n_base - 1))) / 100.0, 4), 3) AS z
+  FROM scored WHERE n_base >= {ANOMALY_MIN_N}
+)
+SELECT user_id, event_id, ts, value, base_avg, base_std, z
+FROM derived
+WHERE base_std > 0 AND abs(z) > {ANOMALY_Z}
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
+    "q_events_anomaly": q_events_anomaly,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
@@ -235,6 +326,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
+    "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,

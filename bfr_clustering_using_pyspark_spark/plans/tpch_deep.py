@@ -202,8 +202,61 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY 1 ORDER BY nation
 """
 
+def q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 "suppliers who kept orders waiting" shape (reference has
+    no commit/receipt dates, so "failed" = shipped a RETURNED line):
+    in orders touched by ≥2 distinct suppliers, find the supplier who
+    was the ONLY one with a returned line, and rank by blame count.
+
+    Classic Q21 is EXISTS + NOT EXISTS self-joins on the fact table —
+    three scans and two shuffles of lineitem. Reformulated Spark-first:
+    both conditions are per-order aggregates (distinct-supplier count,
+    distinct-returning-supplier count), so ONE groupBy(l_orderkey)
+    pass computes them together; the blamed supplier falls out of the
+    same aggregate via min(CASE). Fact table is shuffled once on the
+    natural key, the supplier dim joins AQE-broadcast at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("blamed_suppkey"),
+    )
+    blamed = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    return (
+        blamed.groupBy("blamed_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("blamed_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed_suppkey
+  FROM lineitem GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON blamed_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q21_blame_supplier": q21_blame_supplier,
     "q9_product_profit": q9_product_profit,
     "q13_cust_distribution": q13_cust_distribution,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -212,6 +265,7 @@ QUERIES = {
 
 ORACLES = {
     "q7_volume_shipping": Q7_SQL,
+    "q21_blame_supplier": Q21_SQL,
     "q9_product_profit": Q9_SQL,
     "q13_cust_distribution": Q13_SQL,
     "q17_small_qty_revenue": Q17_SQL,

@@ -68,3 +68,38 @@ def test_corpus_mix_weights_normalize(spark):
     big = max(toks, key=toks.get)
     small = min(toks, key=toks.get)
     assert w[big] / w[small] < toks[big] / toks[small]
+
+
+def test_seq_pack_invariants(spark):
+    """Greedy next-fit invariants: multi-doc bins fit the budget,
+    every doc lands in exactly one bin, bins are contiguous per
+    shard, and >budget docs sit alone (truncation candidates)."""
+    from bfr_clustering_using_pyspark_spark.operators.sampling import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+        seq_pack,
+    )
+    from bfr_clustering_using_pyspark_spark.operators.dedup import _tokens
+    import pyspark.sql.functions as F
+
+    rows = seq_pack(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["shard"] < PACK_SHARDS
+        if r["n_docs"] > 1:
+            assert r["bin_tokens"] <= PACK_BUDGET
+        if r["bin_tokens"] > PACK_BUDGET:
+            assert r["n_docs"] == 1  # overflow doc isolated for truncation
+    # exhaustive: doc counts and token mass match the corpus
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs.count()
+    tok_total = docs.select(F.sum(F.size(_tokens(F.col("text")))).alias("s")).first()["s"]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["bin_tokens"] for r in rows) == tok_total
+    assert sum(r["id_checksum"] for r in rows) == n_docs * (n_docs - 1) // 2
+    # bins contiguous 0..max per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bins in by_shard.values():
+        assert sorted(bins) == list(range(len(bins)))

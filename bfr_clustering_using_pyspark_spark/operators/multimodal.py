@@ -313,5 +313,134 @@ SELECT doc_id,
 FROM px GROUP BY doc_id, width, height ORDER BY doc_id
 """
 
-QUERIES = {"mm_decode": mm_decode, "mm_pipeline": mm_pipeline, "mm_pgm_roundtrip": mm_pgm_roundtrip}
-ORACLES: dict[str, str] = {"mm_decode": MM_DECODE_SQL, "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL}
+WAV_SR = 8000  # sample rate baked into the generated files
+WAV_SCHEMA = "doc_id long, n_samples int, sample_rate int, duration_ms int, mean_sq double, peak int"
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    """A REAL RIFF/WAVE file: canonical 44-byte header + 16-bit
+    little-endian mono PCM. Sample values derive from doc_id in
+    closed form so the oracle can recompute every statistic."""
+    import struct
+
+    import numpy as np
+
+    n = 64 + doc_id % 129
+    i = np.arange(n, dtype=np.int64)
+    pcm = (((doc_id * 7919 + i * 104729) % 65536) - 32768).astype("<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, WAV_SR, WAV_SR * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _wav_decode(payload: bytes) -> tuple[int, "object"]:
+    """A REAL WAV reader: validate RIFF/WAVE magic, walk the chunk
+    list (the part naive 44-byte-offset readers get wrong), unpack
+    fmt, then ``np.frombuffer`` the PCM. Same parse as the stdlib
+    ``wave`` module, no codec library needed."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, pcm = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV format")
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sr is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, pcm
+
+
+def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format AUDIO pipeline: write a genuine RIFF/WAV file per
+    document, ship it as an opaque binary column, parse it back by
+    walking the chunk structure, emit PCM statistics. The oracle
+    recomputes the statistics from the sample formula — a hash match
+    proves encoder, binary transport, and chunk-walking decoder
+    agree end to end. Companion to ``mm_pgm_roundtrip`` (image);
+    swap the PCM parse for soundfile/ffmpeg on a real cluster.
+
+    Stats stay in exact integer space (floor-scaled mean of squares)
+    so no float summation order can diverge between engines."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, pcm = _wav_decode(bytes(payload))
+                n = len(pcm)
+                ssq = int((pcm.astype(np.int64) ** 2).sum())
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        sr,
+                        n * 1000 // sr,
+                        (ssq * 10000 // n) / 10000.0,
+                        int(np.abs(pcm.astype(np.int64)).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "duration_ms", "mean_sq", "peak"],
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return encoded.mapInPandas(decode, schema=WAV_SCHEMA).orderBy("doc_id")
+
+
+MM_WAV_ROUNDTRIP_SQL = f"""
+WITH pcm AS (
+  SELECT d.doc_id,
+         64 + d.doc_id % 129 AS n_samples,
+         ((d.doc_id * 7919 + i.i * 104729) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, 192) AS i(i)
+  WHERE i.i < 64 + d.doc_id % 129
+)
+SELECT doc_id,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST({WAV_SR} AS INT) AS sample_rate,
+       CAST(n_samples * 1000 // {WAV_SR} AS INT) AS duration_ms,
+       CAST(sum(v * v) * 10000 // n_samples AS DOUBLE) / 10000 AS mean_sq,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM pcm GROUP BY doc_id, n_samples ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "mm_decode": mm_decode,
+    "mm_pipeline": mm_pipeline,
+    "mm_pgm_roundtrip": mm_pgm_roundtrip,
+    "mm_wav_roundtrip": mm_wav_roundtrip,
+}
+ORACLES: dict[str, str] = {
+    "mm_decode": MM_DECODE_SQL,
+    "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,
+    "mm_wav_roundtrip": MM_WAV_ROUNDTRIP_SQL,
+}

@@ -87,3 +87,44 @@ def test_pgm_roundtrip_query(spark):
     assert len(rows) == 500
     assert all(0 <= r["min_px"] <= r["max_px"] <= 255 for r in rows)
     assert all(r["n_pixels"] == r["width"] * r["height"] for r in rows)
+
+
+def test_wav_payload_is_real_wav():
+    """The stdlib `wave` module — an independent, third-party RIFF
+    parser — must accept our payload and agree with our decoder on
+    every field. This is the proof the bytes are a REAL WAV file,
+    not a look-alike."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        WAV_SR,
+        _wav_decode,
+        _wav_payload,
+    )
+
+    for doc_id in [0, 1, 7, 128, 129, 500]:
+        payload = _wav_payload(doc_id)
+        with wave.open(io.BytesIO(payload)) as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 2
+            assert wf.getframerate() == WAV_SR
+            stdlib_pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        sr, ours = _wav_decode(payload)
+        assert sr == WAV_SR
+        assert np.array_equal(stdlib_pcm, ours)
+        assert len(ours) == 64 + doc_id % 129
+
+
+def test_wav_roundtrip_query(spark):
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import mm_wav_roundtrip
+
+    rows = mm_wav_roundtrip(spark, SF_SMALL).limit(50).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["sample_rate"] == 8000
+        assert 64 <= r["n_samples"] <= 192
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 8000
+        assert 0 <= r["peak"] <= 32768

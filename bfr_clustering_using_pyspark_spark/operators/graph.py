@@ -127,5 +127,98 @@ LIMIT 20"""
 
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
-QUERIES = {"graph_pagerank": graph_pagerank}
-ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL}
+TRI_Q = 0.95  # keep the top-5% strongest co-occurrence ties
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (edge =
+    two suppliers serving the same order at least p95-many times —
+    the threshold is a QUANTILE of the tie-strength distribution, so
+    the graph stays sparse at any scale factor). Returns the top-20
+    suppliers by triangle participation with their degree — the
+    clustering-structure signal behind community detection.
+
+    Scale design: per-order supplier sets are bounded (orders hold a
+    handful of lines), so pairs come from an in-row combination
+    explode over collect_set — NOT a lineitem self-join, whose
+    output would be quadratic in lines-per-order before the dedup.
+    Triangle enumeration is the classic ordered-edge (a<b) two-hop
+    join: each triangle counted once, two hash-shuffles of the
+    (thresholded, sparse) edge list. At real scale the standard skew
+    upgrade is degree-ordering instead of id-ordering; id-ordering
+    keeps the oracle replay exact here."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count("*").alias("c"))
+    thr = pc.agg(F.ceil(F.percentile("c", TRI_Q)).alias("t"))
+    edges = (
+        pc.crossJoin(F.broadcast(thr))
+        .filter(F.col("c") >= F.col("t"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused 4× (3-way self-join + degrees)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    degree = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        per_node.join(degree, "node")
+        .select("node", "degree", "n_tri")
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH pc AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(DISTINCT l1.l_orderkey) AS c
+  FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+  WHERE l1.l_suppkey < l2.l_suppkey
+  GROUP BY 1, 2
+), thr AS (
+  SELECT CAST(ceil(quantile_cont(c, {TRI_Q})) AS BIGINT) AS t FROM pc
+), e AS (
+  SELECT a, b FROM pc, thr WHERE c >= t
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+), degree AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT per_node.node, degree, n_tri
+FROM per_node JOIN degree USING (node)
+ORDER BY n_tri DESC, node
+LIMIT 20
+"""
+
+QUERIES = {"graph_pagerank": graph_pagerank, "graph_triangles": graph_triangles}
+ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL, "graph_triangles": GRAPH_TRIANGLES_SQL}

@@ -37,3 +37,22 @@ def test_pagerank_mass_conserved(spark):
     )
     total = new_ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_triangles_invariants(spark):
+    """Every triangle participant's degree must be ≥ 2, and triangle
+    participation is bounded by C(degree, 2) (a node can't be in
+    more triangles than pairs of its neighbors)."""
+    from bfr_clustering_using_pyspark_spark.operators.graph import graph_triangles
+    from tests.conftest import SF_MED
+
+    # sf0.001's thresholded graph has 5 edges and no triangles —
+    # the co-occurrence structure only emerges at sf0.01+
+    rows = graph_triangles(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r["degree"] >= 2
+        assert 1 <= r["n_tri"] <= r["degree"] * (r["degree"] - 1) // 2
+    # top-20 is sorted by participation
+    tris = [r["n_tri"] for r in rows]
+    assert tris == sorted(tris, reverse=True)

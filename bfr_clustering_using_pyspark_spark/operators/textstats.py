@@ -490,7 +490,91 @@ FROM base ORDER BY doc_id
 """
 
 
+LOGPROB_SCALE = 1_000_000  # token scores as exact scaled integers
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring — the perplexity-proxy quality filter every
+    training pipeline runs (CCNet/Gopher style, with the KenLM model
+    replaced by the corpus's own unigram distribution): score each
+    document by its average token negative-log-probability and flag
+    the most surprising 10% for review.
+
+    Scale: one explode + token-keyed count builds the LM (vocabulary
+    is Zipf-bounded, so the dictionary side stays small relative to
+    the corpus and AQE broadcasts it); one join + groupBy(doc) scores.
+    Per-token scores are rounded to scaled INTEGERS before the
+    per-doc sum, so no float summation order can perturb the result
+    (doc score = exact integer sum / exact count).
+
+    The cut-point is a quantile of the score distribution, so the
+    flag rate self-tunes at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # scalar corpus size via broadcast join, not a partitionBy()-less
+    # window (which would drag the whole vocabulary to one partition)
+    total = lm.agg(F.sum("cnt").alias("total"))
+    lm_q = lm.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("cnt") / F.col("total")) * LOGPROB_SCALE, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    scored = (
+        toks.join(lm_q, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("sq") / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens")), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    cut = scored.agg(
+        F.round(F.percentile("avg_neg_logprob", 0.9), 4).alias("cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logprob",
+            (F.col("avg_neg_logprob") > F.col("cut")).alias("flag_surprising"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+), lm AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), lm_q AS (
+  SELECT tok,
+         CAST(round(-ln(cnt * 1.0 / (SELECT sum(cnt) FROM lm)) * {LOGPROB_SCALE}, 0) AS BIGINT) AS q
+  FROM lm
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(q) AS BIGINT) / ({LOGPROB_SCALE}.0 * count(*)), 4) AS avg_neg_logprob
+  FROM toks JOIN lm_q USING (tok)
+  GROUP BY doc_id
+), cut AS (
+  SELECT round(quantile_cont(avg_neg_logprob, 0.9), 4) AS cut FROM scored
+)
+SELECT doc_id, n_tokens, avg_neg_logprob, avg_neg_logprob > cut AS flag_surprising
+FROM scored, cut
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_unigram_logprob": text_unigram_logprob,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
@@ -505,6 +589,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,

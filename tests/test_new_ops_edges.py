@@ -150,3 +150,20 @@ class TestStarComponents:
         )
         prop, star = self._both(spark, pairs)
         assert prop == star == {i: 0 for i in range(7)}
+
+
+def test_unigram_logprob_semantics(spark):
+    """Common tokens score low, rare tokens high; the flag rate is
+    ~10% by construction of the quantile cut."""
+    from bfr_clustering_using_pyspark_spark.operators.textstats import (
+        text_unigram_logprob,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = text_unigram_logprob(spark, SF_SMALL).collect()
+    assert rows
+    flagged = sum(r["flag_surprising"] for r in rows)
+    assert 0.03 <= flagged / len(rows) <= 0.15
+    for r in rows:
+        assert r["avg_neg_logprob"] > 0
+        assert r["n_tokens"] > 0

@@ -4,9 +4,19 @@ similarity search, multimodal column plumbing.
 Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
-from . import dedup, embeddings_ops, graph, merge, multimodal, sampling, similarity, textstats
+from . import (
+    dedup,
+    embeddings_ops,
+    graph,
+    merge,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    textstats,
+)
 
-_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling, graph)
+_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling, graph, sketches)
 
 
 def all_queries():

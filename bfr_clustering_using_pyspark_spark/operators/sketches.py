@@ -1,0 +1,237 @@
+"""Probabilistic sketch operators with ENGINE-PORTABLE hashing.
+
+Sketches are the workhorse of 100 TB analytics (bounded state,
+map-side mergeable, one pass), but most implementations are
+engine-specific and therefore untestable across engines. Every hash
+here derives from md5 — available bit-identically in Spark, DuckDB,
+and any serious engine — so the sketches themselves are
+deterministic and the correctness gate hash-matches their CONTENTS,
+not just their shapes:
+
+- ``q_countmin_topk``: count-min sketch over corpus tokens, with
+  the CMS estimate vs the exact count for the top-20 tokens (the
+  overcount column IS the sketch's error, measured not assumed).
+- ``q_bloom_filter_join``: bloom-filter semi-join pruning — the
+  standard trick for cutting a fact-table shuffle before a join —
+  with the false-positive rate measured against the exact semi-join.
+
+Scale: both sketches are fixed-size (d×w counters / m bits)
+regardless of input cardinality, build map-side in one groupBy, and
+broadcast to the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import _tokens
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOPK = 20
+
+
+def _md5_bucket(col, seed: int, width: int):
+    """Portable hash_seed(x) % width: 60 bits of md5(seed || ':' || x)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def _md5_bucket_sql(expr: str, seed: int, width: int) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT % {width}"
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens: build the d×w counter
+    matrix, then read back estimates for the exact top-20 tokens and
+    report each token's overcount (estimate − exact ≥ 0 always; how
+    much is the collision error at w=1024).
+
+    Build is one token-keyed count (the same shuffle the exact count
+    needs) followed by a d-way in-row explode to (seed, bucket) —
+    counters are CMS_D×CMS_W cells total, a broadcast-sized object at
+    any corpus size. The estimate lookup joins 20×d rows against the
+    counter table."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    cells = lm.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _md5_bucket(F.col("tok"), s, CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    )
+    counters = cells.groupBy("sb.seed", "sb.bucket").agg(F.sum("cnt").alias("counter"))
+    top = lm.orderBy(F.desc("cnt"), "tok").limit(CMS_TOPK)
+    probes = top.select(
+        "tok",
+        F.col("cnt").alias("exact"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _md5_bucket(F.col("tok"), s, CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("tok", "exact", "sb.seed", "sb.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("counter").alias("estimate"))
+        .select(
+            "tok",
+            "exact",
+            "estimate",
+            (F.col("estimate") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact"), "tok")
+    )
+
+
+_CMS_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT tok, cnt, {s} AS seed, {_md5_bucket_sql('tok', s, CMS_W)} AS bucket FROM lm"
+    for s in range(CMS_D)
+)
+
+Q_COUNTMIN_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+), lm AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), cells AS (
+  {_CMS_BUCKETS_SQL}
+), counters AS (
+  SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS counter FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT tok, cnt AS exact FROM lm ORDER BY cnt DESC, tok LIMIT {CMS_TOPK}
+), probes AS (
+  {" UNION ALL ".join(
+    f"SELECT tok, exact, {s} AS seed, {_md5_bucket_sql('tok', s, CMS_W)} AS bucket FROM top"
+    for s in range(CMS_D)
+  )}
+)
+SELECT tok, exact, min(counter) AS estimate, min(counter) - exact AS overcount
+FROM probes JOIN counters USING (seed, bucket)
+GROUP BY tok, exact
+ORDER BY exact DESC, tok
+"""
+
+
+BLOOM_K = 5  # hash functions
+BLOOM_M = 8192  # bits
+
+
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, with its error measured: build
+    an m=8192/k=5 bloom filter over the custkeys of AUTOMOBILE-
+    segment customers, probe every order against it, and compare to
+    the exact semi-join. Output: per-verdict order counts — bloom
+    true-positives, false positives (pass bloom, not in segment),
+    and rejects. The FP row is the pruning waste a real deployment
+    pays; rejects never shuffle.
+
+    The filter is the distinct set of set bits (≤ m values) — a
+    broadcast-sized object regardless of build-side cardinality; the
+    probe is k portable md5 hashes + a size-k array check, all
+    JVM-side. This is what Spark's runtime row-level bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter) does under the hood,
+    spelled out and cross-engine-verified."""
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_md5_bucket(F.col("c_custkey"), s, BLOOM_M) for s in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probed = orders.crossJoin(F.broadcast(bits)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "forall(array("
+            + ", ".join(
+                f"cast(conv(substring(md5(concat('{s}:', cast(o_custkey as string))), 1, 15), 16, 10) as bigint) % {BLOOM_M}"
+                for s in range(BLOOM_K)
+            )
+            + "), b -> array_contains(bits, b))"
+        ).alias("bloom_pass"),
+    )
+    truth = build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "in_segment", F.lit(True)
+    )
+    verdict = (
+        probed.join(F.broadcast(truth), "o_custkey", "left")
+        .select(
+            F.when(F.col("bloom_pass") & F.col("in_segment").isNotNull(), "true_positive")
+            .when(F.col("bloom_pass"), "false_positive")
+            .otherwise("rejected")
+            .alias("verdict")
+        )
+    )
+    return verdict.groupBy("verdict").agg(F.count("*").alias("n_orders")).orderBy("verdict")
+
+
+_BLOOM_HASHES_SQL = ", ".join(
+    _md5_bucket_sql("CAST(o_custkey AS VARCHAR)", s, BLOOM_M) for s in range(BLOOM_K)
+)
+
+Q_BLOOM_FILTER_JOIN_SQL = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+      f"SELECT {_md5_bucket_sql('CAST(c_custkey AS VARCHAR)', s, BLOOM_M)} AS bit FROM build"
+      for s in range(BLOOM_K)
+    )}
+  )
+), probed AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM bits
+          WHERE bit IN ({_BLOOM_HASHES_SQL})) = {BLOOM_K} AS bloom_pass
+  FROM orders
+)
+SELECT CASE WHEN bloom_pass AND b.c_custkey IS NOT NULL THEN 'true_positive'
+            WHEN bloom_pass THEN 'false_positive'
+            ELSE 'rejected' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM probed LEFT JOIN build b ON probed.o_custkey = b.c_custkey
+GROUP BY 1 ORDER BY verdict
+"""
+
+
+QUERIES = {
+    "q_countmin_topk": q_countmin_topk,
+    "q_bloom_filter_join": q_bloom_filter_join,
+}
+
+ORACLES = {
+    "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
+    "q_bloom_filter_join": Q_BLOOM_FILTER_JOIN_SQL,
+}

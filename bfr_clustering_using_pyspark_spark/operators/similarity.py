@@ -402,6 +402,107 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_SAMPLE = 1024  # codebook training sample
+PQ_ITERS = 10
+
+
+def _pq_train(sample: "np.ndarray") -> "np.ndarray":
+    """Deterministic Lloyd k-means per subspace → (M, K, d/M)
+    codebooks. Seeded init + fixed iteration count: same sample,
+    same codebooks, every run."""
+    rng = np.random.RandomState(13)
+    n, d = sample.shape
+    dsub = d // PQ_M
+    books = np.zeros((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        X = sample[:, m * dsub : (m + 1) * dsub]
+        centers = X[rng.choice(n, PQ_K, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    centers[k] = X[mask].mean(0)
+        books[m] = centers
+    return books
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IVF-PQ memory recipe):
+    train M=8 per-subspace codebooks of K=16 centroids on a bounded
+    sample, compress every vector to 8 4-bit codes (64 dims × 4 B →
+    4 B per vector, a 64× memory cut), then answer queries entirely
+    from codes via asymmetric-distance lookup tables. [rows-only;
+    recall vs ann_bruteforce asserted in tests]
+
+    Scale: codebooks train on a FIXED-size sample on the driver (the
+    production pattern — PQ training never sees the full corpus) and
+    broadcast; encoding is one vectorized NumPy pass (argmin against
+    16 centroids per subspace); search is one pass over the code
+    table with a per-query LUT of M×K dots — no full-precision
+    vectors touched after encoding. Combine with ann_ivf's lists to
+    prune which codes each query scans at 100 TB."""
+    base = _base(spark, sf_dir)
+    unit = base.select(
+        "vec_id", F.zip_with("v", F.array_repeat("nrm", 64), lambda x, n: x / n).alias("u")
+    )
+    sample = np.stack(
+        unit.orderBy("vec_id").limit(PQ_SAMPLE).toPandas()["u"].to_numpy()
+    )
+    books = _pq_train(sample)
+    dsub = sample.shape[1] // PQ_M
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["u"].to_numpy())
+            codes = np.empty((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                d2 = (
+                    (X[:, m * dsub : (m + 1) * dsub, None] - books[m].T[None, :, :]) ** 2
+                ).sum(1)
+                codes[:, m] = d2.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    coded = unit.mapInPandas(encode, schema="vec_id long, codes array<int>")
+    qrows = unit.filter(F.col("vec_id") % QUERY_MOD == 0).orderBy("vec_id").toPandas()
+    q_ids = qrows["vec_id"].to_numpy()
+    Q = np.stack(qrows["u"].to_numpy())
+    # per-query LUT: lut[q, m, k] = <q_sub_m, center_mk>; approx cosine
+    # of a code word = sum_m lut[q, m, code_m]
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, M)
+            # gather: scores[q, i] = sum_m lut[q, m, codes[i, m]]
+            scores = lut[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)  # (q, n)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "approx_cos": np.round(scores.ravel(), 4),
+                }
+            )
+            yield out[out["q_id"] != out["vec_id"]]
+
+    scored = coded.mapInPandas(adc, schema="q_id long, vec_id long, approx_cos double")
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_cos"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "approx_cos", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the multi-probe LSH path against the brute-force
     ground truth, per query vector — the evaluation loop every ANN
@@ -455,6 +556,7 @@ QUERIES = {
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf": ann_ivf,
     "ann_ivf_rerank": ann_ivf_rerank,
+    "ann_pq": ann_pq,
     "ann_recall_eval": ann_recall_eval,
 }
 

@@ -55,6 +55,10 @@ _COST_S = {
     "stream_quality_filter": 2.0, "q_events_retention": 1.0,
     "graph_pagerank": 12.0, "mm_pgm_roundtrip": 5.0,
     "embedding_quantize": 1.0,
+    "seq_pack": 1.0, "q21_blame_supplier": 1.0, "q_events_anomaly": 1.0,
+    "mm_wav_roundtrip": 2.0, "graph_triangles": 4.0,
+    "text_unigram_logprob": 2.0, "q_countmin_topk": 1.5,
+    "q_bloom_filter_join": 1.5, "ann_recall_eval": 4.0, "ann_pq": 3.0,
 }
 
 

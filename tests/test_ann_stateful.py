@@ -101,3 +101,29 @@ class TestStatefulSessionize:
         assert len(emitted) >= len(batch) - spark.read.parquet(
             f"{SF_SMALL}/events.parquet"
         ).select("user_id").distinct().count()
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ at 8×4-bit codes (64× compression) must stay well above
+    chance recall (top-5 of ~500 ⇒ chance ≈ 0.01) and be exactly
+    reproducible (seeded codebooks, fixed iteration count)."""
+    from bfr_clustering_using_pyspark_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce,
+        ann_pq,
+    )
+    from tests.conftest import SF_MED
+
+    pq = ann_pq(spark, SF_MED)
+    got = {(r["q_id"], r["vec_id"]) for r in pq.collect()}
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in ann_bruteforce(spark, SF_MED).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.2
+    again = {(r["q_id"], r["vec_id"]) for r in ann_pq(spark, SF_MED).collect()}
+    assert again == got
+    per_q = {}
+    for q, v in got:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(n == TOP_K for n in per_q.values())

@@ -515,11 +515,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar corpus size via broadcast join, not a partitionBy()-less
     # window (which would drag the whole vocabulary to one partition)
     total = lm.agg(F.sum("cnt").alias("total"))
-    lm_q = lm.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.round(-F.log(F.col("cnt") / F.col("total")) * LOGPROB_SCALE, 0)
-        .cast("long")
-        .alias("q"),
+    # materialize the (small, Zipf-bounded) dictionary and the per-doc
+    # scores: both are consumed twice below, and without lineage
+    # truncation the explode+count subtree is re-shuffled per consumer
+    lm_q = (
+        lm.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(-F.log(F.col("cnt") / F.col("total")) * LOGPROB_SCALE, 0)
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=True)
     )
     scored = (
         toks.join(lm_q, "tok")
@@ -532,6 +539,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_neg_logprob"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     cut = scored.agg(
         F.round(F.percentile("avg_neg_logprob", 0.9), 4).alias("cut")

@@ -50,6 +50,12 @@ AUDIT = {
     "sample_stratified": (False, False, 2),
     "sample_train_split": (False, False, 2),
     "decontaminate": (True, True, 5),
+    "q21_blame_supplier": (False, True, 4),  # one fact shuffle + agg + dim join + sort
+    "q_events_anomaly": (True, False, 2),  # one user_id shuffle + final sort
+    "seq_pack": (False, False, 2),  # one shard shuffle + final sort
+    "text_unigram_logprob": (False, True, 5),  # dict build + broadcast scalar + score
+    "q_countmin_topk": (False, True, 5),
+    "q_bloom_filter_join": (True, True, 3),
 }
 
 

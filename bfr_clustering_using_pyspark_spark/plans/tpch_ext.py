@@ -686,7 +686,69 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics — the measurement behind every
+    salting / AQE-skew-join decision: per candidate shuffle key,
+    cardinality, row mass, heaviest-key size, p50/p99 key sizes, and
+    the skew factor (max key / mean key). A skew factor near 1 means
+    hash partitioning balances; ≫1 means the heaviest reducer owns
+    the job's tail latency and the key needs salting.
+
+    One count-shuffle per profiled key, then an O(distinct-keys)
+    aggregate — the profile itself never materializes row-level
+    data, so it is safe to run against the full 100 TB fact table."""
+
+    def profile(df: DataFrame, key: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count("*").alias("n"))
+        return counts.agg(
+            F.lit(key).alias("key_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+            F.round(F.percentile("n", 0.5), 2).alias("p50_key_rows"),
+            F.round(F.percentile("n", 0.99), 2).alias("p99_key_rows"),
+            F.round(F.max("n") * F.count("*") / F.sum("n"), 2).alias("skew_factor"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        profile(li, "l_suppkey")
+        .unionByName(profile(li, "l_orderkey"))
+        .unionByName(profile(orders, "o_custkey"))
+        .unionByName(profile(ev, "event_type"))
+        .orderBy("key_name")
+    )
+
+
+_SKEW_PROFILE_ONE = """
+SELECT '{key}' AS key_name,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       round(quantile_cont(n, 0.5), 2) AS p50_key_rows,
+       round(quantile_cont(n, 0.99), 2) AS p99_key_rows,
+       round(max(n) * count(*) * 1.0 / sum(n), 2) AS skew_factor
+FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {key})
+"""
+
+Q_KEY_SKEW_PROFILE_SQL = (
+    " UNION ALL ".join(
+        _SKEW_PROFILE_ONE.format(key=k, table=t)
+        for k, t in [
+            ("l_suppkey", "lineitem"),
+            ("l_orderkey", "lineitem"),
+            ("o_custkey", "orders"),
+            ("event_type", "events"),
+        ]
+    )
+    + " ORDER BY key_name"
+)
+
+
 QUERIES = {
+    "q_key_skew_profile": q_key_skew_profile,
     "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
     "q_scalar_subquery": q_scalar_subquery,
@@ -711,6 +773,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_key_skew_profile": Q_KEY_SKEW_PROFILE_SQL,
     "q_asof_grouped": Q_ASOF_GROUPED_SQL,
     "q_set_ops": Q_SET_OPS_SQL,
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,

@@ -13,9 +13,16 @@ from .events_stream import (
     stream_stream_join,
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
-from .docs_stream import STREAM_QUALITY_FILTER_SQL, stream_components, stream_quality_filter
+from .docs_stream import (
+    STREAM_COUNTMIN_SQL,
+    STREAM_QUALITY_FILTER_SQL,
+    stream_components,
+    stream_countmin,
+    stream_quality_filter,
+)
 
 QUERIES = {
+    "stream_countmin": stream_countmin,
     "stream_components": stream_components,
     "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
@@ -26,6 +33,9 @@ QUERIES = {
     "stream_bfr_update": stream_bfr_update,
 }
 ORACLES: dict[str, str] = {
+    # CMS merge is exact (commutative integer sums), so the drained
+    # sketch equals the batch sketch over the same corpus
+    "stream_countmin": STREAM_COUNTMIN_SQL,
     # incremental discovery is exhaustive over band collisions, so the
     # drained labelling equals batch dedup_components — same oracle
     "stream_components": DEDUP_COMPONENTS_SQL,

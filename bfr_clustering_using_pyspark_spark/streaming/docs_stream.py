@@ -201,3 +201,103 @@ def stream_components(
         # the state dir dies with the context manager — materialize
         rows = final.orderBy("doc_id").collect()
         return spark.createDataFrame(rows or [], "doc_id long, comp long")
+
+
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count-min sketch maintenance over the document
+    stream: each micro-batch contributes its own partial CMS cells
+    (token → d portable md5 buckets → per-cell counts, computed
+    distributed) and the driver folds them into the running d×w
+    counter matrix with integer adds. CMS merge is exact — counters
+    are commutative sums — so the drained sketch EQUALS the batch
+    sketch over the same corpus, and the per-seed summary is
+    hash-gated against a DuckDB replay of the full-corpus sketch.
+
+    State is d×w int64 (a few KiB) no matter how many documents
+    stream through; per-batch transfer is ≤ d×w partial cells. This
+    is the always-on ingest-frequency monitor a production pipeline
+    runs next to the exact batch counts."""
+    import numpy as np
+
+    from ..operators.sketches import CMS_D, CMS_W, _md5_bucket
+    from .events_stream import _run_to_memory  # noqa: F401  (shared pattern)
+
+    state = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("seed"),
+                                _md5_bucket(F.col("tok"), s, CMS_W).alias("bucket"),
+                            )
+                            for s in range(CMS_D)
+                        ]
+                    )
+                ).alias("sb")
+            )
+            .groupBy("sb.seed", "sb.bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        for row in cells:
+            state[int(row["seed"]), int(row["bucket"])] += int(row["cnt"])
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string, source string, n_chars long"
+                )
+                .format("parquet")
+                .option("maxFilesPerTrigger", 1)
+                .load(f"{sf_dir}/documents*.parquet")
+                .writeStream.foreachBatch(update)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    rows = [
+        {
+            "seed": s,
+            "n_buckets_used": int((state[s] > 0).sum()),
+            "total_count": int(state[s].sum()),
+            "max_counter": int(state[s].max()),
+        }
+        for s in range(CMS_D)
+    ]
+    return spark.createDataFrame(rows, "seed int, n_buckets_used long, total_count long, max_counter long").orderBy("seed")
+
+
+STREAM_COUNTMIN_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+), lm AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), cells AS (
+  SELECT 0 AS seed, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT % 1024 AS bucket, cnt FROM lm
+  UNION ALL
+  SELECT 1, ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT % 1024, cnt FROM lm
+  UNION ALL
+  SELECT 2, ('0x' || substr(md5('2:' || tok), 1, 15))::BIGINT % 1024, cnt FROM lm
+  UNION ALL
+  SELECT 3, ('0x' || substr(md5('3:' || tok), 1, 15))::BIGINT % 1024, cnt FROM lm
+), counters AS (
+  SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS counter FROM cells GROUP BY 1, 2
+)
+SELECT CAST(seed AS INT) AS seed,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST(sum(counter) AS BIGINT) AS total_count,
+       CAST(max(counter) AS BIGINT) AS max_counter
+FROM counters GROUP BY seed ORDER BY seed
+"""

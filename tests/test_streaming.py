@@ -45,3 +45,23 @@ def test_stream_components_matches_batch(spark):
     }
     assert sc_rows == batch_rows
     assert sc_rows  # non-trivial: testdata contains near-dup groups
+
+
+def test_stream_countmin_equals_batch_sketch(spark):
+    """Mergeability proof: the streamed sketch's per-seed mass must
+    equal the corpus token count exactly (every token lands in
+    exactly one bucket per seed), and merge order cannot matter."""
+    import pyspark.sql.functions as F
+
+    from bfr_clustering_using_pyspark_spark.operators.dedup import _tokens
+    from bfr_clustering_using_pyspark_spark.streaming.docs_stream import stream_countmin
+    from tests.conftest import SF_SMALL
+
+    rows = stream_countmin(spark, SF_SMALL).collect()
+    assert [r["seed"] for r in rows] == [0, 1, 2, 3]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_tokens = docs.select(F.sum(F.size(_tokens(F.col("text")))).alias("s")).first()["s"]
+    for r in rows:
+        assert r["total_count"] == n_tokens
+        assert r["max_counter"] >= n_tokens // 1024
+        assert r["n_buckets_used"] <= 1024

@@ -60,6 +60,7 @@ _COST_S = {
     "text_unigram_logprob": 2.0, "q_countmin_topk": 1.5,
     "q_bloom_filter_join": 1.5, "ann_recall_eval": 4.0, "ann_pq": 3.0,
     "q_key_skew_profile": 1.5, "stream_countmin": 8.0,
+    "q8_market_share": 1.5, "q15_top_supplier": 1.0,
 }
 
 

@@ -254,8 +254,123 @@ LIMIT 20
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national-market-share shape: of all revenue flowing to
+    customers in region ASIA, what fraction was supplied by NATION_0
+    suppliers, per order year. The two-level aggregate (conditional
+    revenue / total revenue) over a 5-way join.
+
+    Only nation and region — fixed-cardinality catalogs — carry
+    broadcast hints; customer/supplier/lineitem/orders joins are
+    AQE's call. The share division happens after ONE grouped pass
+    (sum + conditional sum together), not two joins of separate
+    aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_region = (
+        cust.join(
+            broadcast(
+                nation.join(
+                    broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey, "left_semi")
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_0'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top-supplier shape: revenue per supplier over one quarter,
+    return the supplier(s) hitting the maximum — the classic
+    view + scalar-subquery pattern. The revenue view materializes
+    once (it feeds both the max and the filter; supplier cardinality
+    scales with SF, so a partitionless window would funnel it all to
+    one task — the scalar max joins back broadcast instead), and
+    lineitem is scanned exactly once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
     "q21_blame_supplier": q21_blame_supplier,
     "q9_product_profit": q9_product_profit,
     "q13_cust_distribution": q13_cust_distribution,
@@ -265,6 +380,8 @@ QUERIES = {
 
 ORACLES = {
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q15_top_supplier": Q15_SQL,
     "q21_blame_supplier": Q21_SQL,
     "q9_product_profit": Q9_SQL,
     "q13_cust_distribution": Q13_SQL,

@@ -503,6 +503,64 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval: predict each query vector's label by
+    majority vote of its top-5 cosine neighbors (ties broken by the
+    smaller label — deterministic), then report per-true-label
+    accuracy. Composes the brute-force plan, so even this ML
+    evaluation is hash-gated — the oracle replays the vote over the
+    same neighbor sets.
+
+    (The embeddings are barely separable — see tests — so accuracy
+    hovers near chance; the operator's value is the verified VOTE
+    mechanics, which transfer unchanged to separable corpora.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nn = ann_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    votes = (
+        nn.join(emb, "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("n_votes"), "label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "q_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
+
+
+KNN_CLASSIFY_EVAL_SQL = f"""
+WITH nn AS (
+  SELECT q_id, vec_id FROM ({ANN_BRUTEFORCE_SQL})
+), votes AS (
+  SELECT q_id, label, count(*) AS n_votes
+  FROM nn JOIN embeddings USING (vec_id)
+  GROUP BY q_id, label
+), pred AS (
+  SELECT q_id, label AS pred_label FROM (
+    SELECT q_id, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT e.label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred JOIN embeddings e ON pred.q_id = e.vec_id
+GROUP BY 1 ORDER BY true_label
+"""
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the multi-probe LSH path against the brute-force
     ground truth, per query vector — the evaluation loop every ANN
@@ -557,6 +615,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_rerank": ann_ivf_rerank,
     "ann_pq": ann_pq,
+    "knn_classify_eval": knn_classify_eval,
     "ann_recall_eval": ann_recall_eval,
 }
 
@@ -565,4 +624,5 @@ ORACLES = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

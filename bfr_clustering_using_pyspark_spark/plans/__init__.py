@@ -61,6 +61,7 @@ _COST_S = {
     "q_bloom_filter_join": 1.5, "ann_recall_eval": 4.0, "ann_pq": 3.0,
     "q_key_skew_profile": 1.5, "stream_countmin": 8.0,
     "q8_market_share": 1.5, "q15_top_supplier": 1.0,
+    "q_histogram": 0.6, "knn_classify_eval": 3.0,
 }
 
 

@@ -747,7 +747,61 @@ Q_KEY_SKEW_PROFILE_SQL = (
 )
 
 
+N_HIST_BINS = 20
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals with data-derived bounds:
+    pass 1 computes min/max (tiny aggregate, broadcast back), pass 2
+    buckets every row map-side — the standard two-pass distributed
+    histogram; no sort, no sampling, exact counts.
+
+    The bucket expression uses floor() (not int-cast) so Spark and
+    any oracle engine agree on boundary values (CAST rounds in some
+    engines, truncates in others)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / N_HIST_BINS
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(N_HIST_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+            (F.col("o_totalprice")).alias("p"),
+            "lo",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("p"), 2).alias("bin_min"),
+            F.round(F.max("p"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / {N_HIST_BINS})),
+                  {N_HIST_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders, bounds
+GROUP BY 1 ORDER BY bin
+"""
+
+
 QUERIES = {
+    "q_histogram": q_histogram,
     "q_key_skew_profile": q_key_skew_profile,
     "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
@@ -773,6 +827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_histogram": Q_HISTOGRAM_SQL,
     "q_key_skew_profile": Q_KEY_SKEW_PROFILE_SQL,
     "q_asof_grouped": Q_ASOF_GROUPED_SQL,
     "q_set_ops": Q_SET_OPS_SQL,

@@ -7,6 +7,7 @@ Each module exposes QUERIES / ORACLES like ``plans/``.
 from . import (
     dedup,
     embeddings_ops,
+    formats,
     graph,
     merge,
     multimodal,
@@ -16,7 +17,18 @@ from . import (
     textstats,
 )
 
-_MODULES = (textstats, dedup, similarity, multimodal, embeddings_ops, merge, sampling, graph, sketches)
+_MODULES = (
+    textstats,
+    dedup,
+    similarity,
+    multimodal,
+    embeddings_ops,
+    merge,
+    sampling,
+    graph,
+    sketches,
+    formats,
+)
 
 
 def all_queries():

@@ -62,7 +62,7 @@ _COST_S = {
     "q_key_skew_profile": 1.5, "stream_countmin": 8.0,
     "q8_market_share": 1.5, "q15_top_supplier": 1.0,
     "q_histogram": 0.6, "knn_classify_eval": 3.0,
-    "orc_roundtrip": 1.0, "json_roundtrip": 1.5,
+    "orc_roundtrip": 1.0, "json_roundtrip": 1.5, "q_zorder_layout": 0.8,
 }
 
 

@@ -800,7 +800,89 @@ GROUP BY 1 ORDER BY bin
 """
 
 
+Z_BITS = 8  # bits per dimension in the z-key
+Z_BUCKET_SHIFT = 10  # bucket = zkey >> shift → 64 buckets
+
+
+def _zkey_expr(a, b):
+    """Bit-interleave two Z_BITS-wide ints: bit i of a → position 2i,
+    bit i of b → position 2i+1. Pure integer shifts — identical in
+    any engine."""
+    expr = F.lit(0)
+    for i in range(Z_BITS):
+        expr = (
+            expr
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return expr
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout analysis — the math behind
+    Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the bits of two
+    query dimensions (customer bucket × order month) into one sort
+    key, bucket the keyspace, and report each bucket's span in BOTH
+    dimensions. Tight per-bucket min/max ranges on both columns are
+    exactly what lets a 100 TB scan skip files on either predicate;
+    a single-column sort would leave the other dimension's span at
+    full width.
+
+    Everything is integer bit arithmetic (shifts + masks), exact in
+    any engine, one aggregate over the mapped keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_b = F.pmod(F.col("o_custkey"), F.lit(1 << Z_BITS)).cast("long")
+    month_b = F.pmod(
+        (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1,
+        F.lit(1 << Z_BITS),
+    ).cast("long")
+    z = _zkey_expr(cust_b, month_b)
+    return (
+        orders.select(
+            F.shiftright(z, Z_BUCKET_SHIFT).alias("z_bucket"),
+            cust_b.alias("cb"),
+            month_b.alias("mb"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cb").alias("cust_min"),
+            F.max("cb").alias("cust_max"),
+            F.min("mb").alias("month_min"),
+            F.max("mb").alias("month_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zkey_sql(a: str, b: str) -> str:
+    # every term fully parenthesized: DuckDB's << binds LOOSER than +,
+    # so bare `x << 2 + y << 3` nests the shifts instead of summing
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+Q_ZORDER_LAYOUT_SQL = f"""
+WITH mapped AS (
+  SELECT o_custkey % {1 << Z_BITS} AS cb,
+         ((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1) % {1 << Z_BITS} AS mb
+  FROM orders
+)
+SELECT CAST(({_zkey_sql("cb", "mb")}) >> {Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(cb) AS BIGINT) AS cust_min,
+       CAST(max(cb) AS BIGINT) AS cust_max,
+       CAST(min(mb) AS BIGINT) AS month_min,
+       CAST(max(mb) AS BIGINT) AS month_max
+FROM mapped GROUP BY 1 ORDER BY z_bucket
+"""
+
+
 QUERIES = {
+    "q_zorder_layout": q_zorder_layout,
     "q_histogram": q_histogram,
     "q_key_skew_profile": q_key_skew_profile,
     "q_asof_grouped": q_asof_grouped,
@@ -827,6 +909,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_zorder_layout": Q_ZORDER_LAYOUT_SQL,
     "q_histogram": Q_HISTOGRAM_SQL,
     "q_key_skew_profile": Q_KEY_SKEW_PROFILE_SQL,
     "q_asof_grouped": Q_ASOF_GROUPED_SQL,

@@ -226,12 +226,60 @@ GROUP BY 1 ORDER BY verdict
 """
 
 
+LC_M = 4096  # linear-counting bitmap size
+
+
+def q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting cardinality sketch next to the exact count:
+    hash every order key into an m=4096 bitmap per return flag,
+    estimate distinct = m·ln(m / empty_buckets), report the
+    relative error. The portable-hash counterpart to
+    ``q_approx_distinct``'s HLL (engine-specific, rows-only) — this
+    sketch the gate can hash-match, error and all.
+
+    One grouped pass computes the exact distinct and the occupied-
+    bucket count together; sketch state is m bits per group."""
+    orders = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    bucket = _md5_bucket(F.col("l_orderkey"), 0, LC_M)
+    agg = orders.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.countDistinct(bucket).alias("used"),
+    )
+    est = F.round(LC_M * F.log(F.lit(float(LC_M)) / (LC_M - F.col("used"))), 2)
+    return (
+        agg.select(
+            "l_returnflag",
+            "exact",
+            est.alias("lc_estimate"),
+            F.round(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_LINEAR_COUNT_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact,
+         CAST(count(DISTINCT {_md5_bucket_sql("CAST(l_orderkey AS VARCHAR)", 0, LC_M)}) AS BIGINT) AS used
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, exact,
+       round({LC_M} * ln({LC_M}.0 / ({LC_M} - used)), 2) AS lc_estimate,
+       round(abs(round({LC_M} * ln({LC_M}.0 / ({LC_M} - used)), 2) - exact) / exact, 4) AS rel_err
+FROM agg ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_countmin_topk": q_countmin_topk,
     "q_bloom_filter_join": q_bloom_filter_join,
+    "q_linear_count": q_linear_count,
 }
 
 ORACLES = {
     "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
     "q_bloom_filter_join": Q_BLOOM_FILTER_JOIN_SQL,
+    "q_linear_count": Q_LINEAR_COUNT_SQL,
 }

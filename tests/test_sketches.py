@@ -35,3 +35,16 @@ def test_bloom_no_false_negatives(spark):
     # FP rate is bounded: (1-e^{-kn/m})^k is tiny at this build size
     assert rows.get("false_positive", 0) <= orders.count() * 0.05
     assert sum(rows.values()) == orders.count()
+
+
+def test_linear_count_accuracy(spark):
+    """At load factor ~2 (7k keys into 4096 buckets) linear counting
+    should land within a few percent of exact."""
+    from bfr_clustering_using_pyspark_spark.operators.sketches import q_linear_count
+    from tests.conftest import SF_MED
+
+    rows = q_linear_count(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.05
+        assert r["lc_estimate"] > 0

@@ -79,3 +79,32 @@ def test_bfr_extreme_skew(spark):
     assigned = bfr.fit(pts)
     assert assigned.count() == len(X)
     assert nmi_score(assigned, pts.select("id", "label")) > 0.95
+
+
+def test_ivf_lists_partition_pruned(spark, tmp_path):
+    """The IVF 100 TB story made physical: store vectors partitioned
+    by their coarse-quantizer list, probe a handful of lists, and the
+    scan must show PartitionFilters — Spark reads ONLY the probed
+    lists' directories, so per-query IO is n·nprobe/nlists, not n."""
+    import pyspark.sql.functions as F
+
+    from bfr_clustering_using_pyspark_spark.ml.kmeans import mllib_kmeans
+    from bfr_clustering_using_pyspark_spark.operators.similarity import _base
+    from tests.conftest import SF_SMALL
+
+    base = _base(spark, SF_SMALL)
+    pts = base.select(F.col("vec_id").alias("id"), F.col("v").alias("features"))
+    assigned, _ = mllib_kmeans(pts, k=8, max_iter=5, seed=7)
+    listed = base.join(
+        assigned.select(F.col("id").alias("vec_id"), F.col("cluster").alias("list_id")),
+        "vec_id",
+    )
+    store = str(tmp_path / "ivf_store")
+    listed.write.partitionBy("list_id").mode("overwrite").parquet(store)
+
+    probed = spark.read.parquet(store).filter(F.col("list_id").isin([1, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "list_id" in plan.split("PartitionFilters:")[1][:200]
+    # and the probe really is a subset
+    assert probed.count() < listed.count()

@@ -238,11 +238,17 @@ def q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch the gate can hash-match, error and all.
 
     One grouped pass computes the exact distinct and the occupied-
-    bucket count together; sketch state is m bits per group."""
-    orders = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    bucket count together; sketch state is m bits per group. Keys
+    are distinct-ed BEFORE hashing so the md5 runs once per distinct
+    key, not once per fact row."""
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
     bucket = _md5_bucket(F.col("l_orderkey"), 0, LC_M)
-    agg = orders.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact"),
+    agg = keys.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("exact"),
         F.countDistinct(bucket).alias("used"),
     )
     est = F.round(LC_M * F.log(F.lit(float(LC_M)) / (LC_M - F.col("used"))), 2)
@@ -258,11 +264,13 @@ def q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_LINEAR_COUNT_SQL = f"""
-WITH agg AS (
+WITH keys AS (
+  SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+), agg AS (
   SELECT l_returnflag,
-         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact,
+         CAST(count(l_orderkey) AS BIGINT) AS exact,
          CAST(count(DISTINCT {_md5_bucket_sql("CAST(l_orderkey AS VARCHAR)", 0, LC_M)}) AS BIGINT) AS used
-  FROM lineitem
+  FROM keys
   GROUP BY 1
 )
 SELECT l_returnflag, exact,

@@ -315,9 +315,65 @@ ORDER BY user_id, ts, event_id
 """
 
 
+MAD_K = 3.0  # flag beyond 3 robust sigmas
+MAD_SIGMA = 1.4826  # MAD → sigma for a normal distribution
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via median absolute
+    deviation — the screen that, unlike z-scores, does not let the
+    outliers inflate their own threshold. Per type: median, MAD,
+    the 3-robust-sigma cutoff, and how many events exceed it.
+
+    Two grouped exact-percentile passes (median, then MAD on
+    residuals) with the per-type scalars joined back broadcast —
+    group count is catalog-sized (event types), so the joins never
+    shuffle the fact side twice for them."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5), 4).alias("mad")
+    )
+    cutoff = F.round(F.col("med") + MAD_K * MAD_SIGMA * F.col("mad"), 4)
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select("event_type", "value", "med", "mad", cutoff.alias("cutoff"))
+        .groupBy("event_type", "med", "mad", "cutoff")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") > F.col("cutoff")).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type GROUP BY 1
+)
+SELECT e.event_type, med, mad,
+       round(med + {MAD_K} * {MAD_SIGMA} * mad, 4) AS cutoff,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value > round(med + {MAD_K} * {MAD_SIGMA} * mad, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type, med, mad, cutoff
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
     "q_events_anomaly": q_events_anomaly,
+    "q_mad_outliers": q_mad_outliers,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
@@ -327,6 +383,7 @@ QUERIES = {
 ORACLES = {
     "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
+    "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,

@@ -4,12 +4,14 @@ from .events_stream import (
     STREAM_EVENTS_WINDOW_SQL,
     STREAM_SESSION_WINDOW_SQL,
     STREAM_SESSIONIZE_STATEFUL_SQL,
+    STREAM_STATIC_JOIN_SQL,
     STREAM_STREAM_JOIN_SQL,
     stream_bfr_update,
     stream_dedup,
     stream_events_window,
     stream_session_window,
     stream_sessionize_stateful,
+    stream_static_join,
     stream_stream_join,
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
@@ -30,6 +32,7 @@ QUERIES = {
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "stream_session_window": stream_session_window,
     "stream_stream_join": stream_stream_join,
+    "stream_static_join": stream_static_join,
     "stream_bfr_update": stream_bfr_update,
 }
 ORACLES: dict[str, str] = {
@@ -46,5 +49,8 @@ ORACLES: dict[str, str] = {
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,
     "stream_session_window": STREAM_SESSION_WINDOW_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    # stream-static joins are stateless enrichment: drained complete-
+    # mode agg ≡ the batch join + agg
+    "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_bfr_update": STREAM_BFR_UPDATE_SQL,
 }

@@ -374,3 +374,50 @@ SELECT user_id % 8 AS bucket, count(*) AS n,
                            - (sum(value) / count(*)) * (sum(value) / count(*)), 0.0)), 4) AS std_value
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the purchase stream joins the
+    STATIC customer dimension (user_id = c_custkey in this data) and
+    aggregates revenue per market segment in complete mode — the
+    canonical "enrich events with a dimension on arrival" pattern.
+
+    Stream-static joins are STATELESS in Structured Streaming (no
+    watermark, no join state store — the static side is just re-read
+    per micro-batch, broadcast when small), which is exactly why
+    they're the preferred enrichment shape at scale; only the
+    downstream complete-mode agg keeps state, O(segments)."""
+    from ..sources.readers import load_table
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(cust, "user_id")
+    # streaming aggs forbid countDistinct → aggregate at (segment,
+    # user) grain in the stream (state O(users)), roll up to segment
+    # after the drain where distinct is just a row count
+    agg = joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    out = _run_to_memory(agg, "stream_static_join_sink", mode="complete")
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_purchases"),
+            F.count("*").alias("n_users"),
+            F.round(F.sum("s"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS revenue
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY c_mktsegment
+"""

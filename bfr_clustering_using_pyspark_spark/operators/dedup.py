@@ -629,7 +629,86 @@ reach(a, b) AS (
 SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY doc_id
 """
 
+CONTAIN_T = 0.9  # directional containment threshold
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup detection: containment(A→B) =
+    |A∩B| / |A| over trigram shingles — the score that catches a
+    document EMBEDDED inside a larger one, which symmetric Jaccard
+    dilutes below threshold when |B| ≫ |A| (the quote-a-whole-
+    article case every training-data dedup has to handle).
+
+    Candidate blocking is containment-aware: A's 1-permutation
+    MinHash (min md5 over its shingles) must literally appear in B's
+    shingle set — true with probability = containment, so ≥ 0.9
+    recall at the threshold, and bucket size is bounded by the
+    frequency of one shingle value, independent of corpus size. The
+    oracle replays the identical blocking, so the gate hash pins the
+    exact candidate protocol, probabilistic recall and all."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", _shingles_expr().alias("shingles"))
+        .withColumn(
+            "hashes",
+            F.expr(
+                "transform(shingles, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn("minsh", F.array_min("hashes"))
+    )
+    a = base.select("doc_id", "shingles", "minsh").alias("a")
+    b = base.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("b_shingles"),
+        F.explode("hashes").alias("h"),
+    ).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b_shingles")))
+    return (
+        a.join(b, (F.col("a.minsh") == F.col("h")) & (F.col("a.doc_id") != F.col("b_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("b_id").alias("doc_container"),
+            F.round(inter / F.size(F.col("a.shingles")), 4).alias("containment"),
+            F.size(F.col("a.shingles")).alias("n_sh_a"),
+            F.size(F.col("b_shingles")).alias("n_sh_b"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+        .distinct()
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in generate_series(1, len(toks) - 2)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+), h AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hashes,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minsh
+  FROM sh
+)
+SELECT DISTINCT a.doc_id AS doc_contained,
+       b.doc_id AS doc_container,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 / len(a.shingles), 4) AS containment,
+       CAST(len(a.shingles) AS INT) AS n_sh_a,
+       CAST(len(b.shingles) AS INT) AS n_sh_b
+FROM h a JOIN h b ON a.doc_id <> b.doc_id AND list_contains(b.hashes, a.minsh)
+WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 / len(a.shingles), 4) >= {CONTAIN_T}
+ORDER BY doc_contained, doc_container
+"""
+
+
 QUERIES = {
+    "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
     "dedup_fuzzy_names": dedup_fuzzy_names,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -640,6 +719,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fuzzy_names": DEDUP_FUZZY_NAMES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

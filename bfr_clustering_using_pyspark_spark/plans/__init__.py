@@ -64,7 +64,7 @@ _COST_S = {
     "q_histogram": 0.6, "knn_classify_eval": 3.0,
     "orc_roundtrip": 1.0, "json_roundtrip": 1.5, "q_zorder_layout": 0.8,
     "q_linear_count": 2.0, "q_mad_outliers": 1.0, "stream_static_join": 4.0,
-    "dedup_containment": 5.0,
+    "dedup_containment": 5.0, "q_scd2_history": 0.6,
 }
 
 

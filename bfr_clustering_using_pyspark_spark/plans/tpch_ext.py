@@ -881,7 +881,44 @@ FROM mapped GROUP BY 1 ORDER BY z_bucket
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension building — the warehouse pattern for
+    keeping full history of a changing attribute: each customer's
+    order stream becomes versioned rows with [valid_from, valid_to)
+    ranges and a current-row flag. One window pass (lead over the
+    per-customer order sequence) — no self-join, no correlated
+    subquery; at scale this is a single hash-shuffle on the
+    dimension key. Limited to 3 customers' histories for a readable
+    result; the plan shape is identical unbounded."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 3)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.round("o_totalprice", 2).alias("attr_totalprice"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.coalesce(nxt.cast("date"), F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("o_custkey", "version")
+
+
+Q_SCD2_HISTORY_SQL = """
+SELECT o_custkey,
+       row_number() OVER w AS version,
+       round(o_totalprice, 2) AS attr_totalprice,
+       CAST(o_orderdate AS DATE) AS valid_from,
+       CAST(coalesce(lead(o_orderdate) OVER w, TIMESTAMP '9999-12-31') AS DATE) AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WHERE o_custkey <= 3
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, version
+"""
+
+
 QUERIES = {
+    "q_scd2_history": q_scd2_history,
     "q_zorder_layout": q_zorder_layout,
     "q_histogram": q_histogram,
     "q_key_skew_profile": q_key_skew_profile,
@@ -909,6 +946,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scd2_history": Q_SCD2_HISTORY_SQL,
     "q_zorder_layout": Q_ZORDER_LAYOUT_SQL,
     "q_histogram": Q_HISTOGRAM_SQL,
     "q_key_skew_profile": Q_KEY_SKEW_PROFILE_SQL,

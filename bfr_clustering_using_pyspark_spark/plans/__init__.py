@@ -68,7 +68,7 @@ _COST_S = {
     "dedup_ngram_jaccard": 3.5, "dedup_containment": 3.7,
     "dedup_minhash_lsh": 4.4, "points_source": 4.5,
     "dedup_fuzzy_names": 6.8, "dedup_components": 8.0,
-    "stream_components": 12.2,
+    "stream_components": 12.2, "q_corr_matrix": 0.9,
 }
 
 

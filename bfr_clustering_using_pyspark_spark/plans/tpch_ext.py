@@ -917,7 +917,103 @@ ORDER BY o_custkey, version
 """
 
 
+_CORR_COLS = {
+    # column → integer scaling (exact in int64 even at SF 1000:
+    # dollars ≤ 1e5 → squares 1e10 × 1e9 rows ≈ 1e19... price scaled
+    # to whole dollars keeps Σx² within int64 through sf ~100; the
+    # oracle's HUGEINT and Spark's long agree on every value here)
+    "qty": ("l_quantity", 1),
+    "price_usd": ("l_extendedprice", 0),  # floor to whole dollars
+    "discount_bp": ("l_discount", 10000),
+    "tax_bp": ("l_tax", 10000),
+}
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between lineitem's numeric
+    columns, computed from EXACT integer sufficient statistics
+    (n, Σx, Σx², Σxy) — one map-side pass, one tiny aggregate, and a
+    result no float summation order can perturb (the reason this is
+    hash-gated while a naive corr() over doubles is not). The same
+    single-pass moment formulation BFR's sufficient statistics use.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ints = {}
+    for name, (col, scale) in _CORR_COLS.items():
+        c = F.col(col) * scale if scale else F.floor(F.col(col))
+        ints[name] = F.round(c, 0).cast("long") if scale else c.cast("long")
+    sel = li.select(*[v.alias(k) for k, v in ints.items()])
+    names = list(_CORR_COLS)
+    # sums stay EXACT int64; the derived moments are computed in
+    # double (cast each exact sum once, identical expression tree on
+    # both engines) because n·Σx² overflows int64
+    aggs = [F.count("*").cast("double").alias("n")]
+    for k in names:
+        aggs.append(F.sum(F.col(k)).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).cast("double").alias(f"ss_{k}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}"))
+    m = sel.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        rows.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6).alias("pearson_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
+
+
+def _corr_sql() -> str:
+    names = list(_CORR_COLS)
+    exprs = []
+    for name, (col, scale) in _CORR_COLS.items():
+        if scale:
+            exprs.append(f"CAST(round({col} * {scale}, 0) AS BIGINT) AS {name}")
+        else:
+            exprs.append(f"CAST(floor({col}) AS BIGINT) AS {name}")
+    # exact BIGINT sums cast ONCE to double; all derived arithmetic
+    # in double with the same expression tree as the Spark plan
+    aggs = ["CAST(count(*) AS DOUBLE) AS n"]
+    for k in names:
+        aggs.append(f"CAST(CAST(sum({k}) AS BIGINT) AS DOUBLE) AS s_{k}")
+        aggs.append(f"CAST(CAST(sum({k} * {k}) AS BIGINT) AS DOUBLE) AS ss_{k}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(f"CAST(CAST(sum({a} * {b}) AS BIGINT) AS DOUBLE) AS sp_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b})), 6) AS pearson_r "
+            f"FROM m"
+        )
+    return (
+        "WITH ints AS (SELECT "
+        + ", ".join(exprs)
+        + " FROM lineitem), m AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM ints) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+Q_CORR_MATRIX_SQL = _corr_sql()
+
+
 QUERIES = {
+    "q_corr_matrix": q_corr_matrix,
     "q_scd2_history": q_scd2_history,
     "q_zorder_layout": q_zorder_layout,
     "q_histogram": q_histogram,
@@ -946,6 +1042,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_corr_matrix": Q_CORR_MATRIX_SQL,
     "q_scd2_history": Q_SCD2_HISTORY_SQL,
     "q_zorder_layout": Q_ZORDER_LAYOUT_SQL,
     "q_histogram": Q_HISTOGRAM_SQL,

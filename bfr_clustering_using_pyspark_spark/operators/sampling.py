@@ -296,7 +296,47 @@ FROM packed GROUP BY shard, bin ORDER BY shard, bin
 """
 
 
+WS_K = 50  # weighted-sample size
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each doc draws u ∈ (0,1] from a DETERMINISTIC md5 hash of its id
+    and is ranked by -ln(u)/w with w = n_chars; the k smallest keys
+    are an exact weighted sample — long docs proportionally more
+    likely, same selection on every engine and every run. This is
+    how a pipeline takes a quality- or length-weighted subsample
+    reproducibly (rand()-based sampling can't be replayed or gated).
+
+    One map-side key computation + a global top-k (TakeOrdered — no
+    full sort at scale)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # 60-bit md5 → u in (0, 1]; +1 avoids u=0
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 60)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", F.round(key * 1e6, 6).alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(WS_K)
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       round(-ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1.0)
+                 / {float(1 << 60)}) / n_chars * 1e6, 6) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT {WS_K}
+"""
+
+
 QUERIES = {
+    "q_weighted_sample": q_weighted_sample,
     "sample_stratified": sample_stratified,
     "corpus_mix": corpus_mix,
     "sample_train_split": sample_train_split,
@@ -305,6 +345,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "corpus_mix": CORPUS_MIX_SQL,
     "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,

@@ -103,3 +103,22 @@ def test_seq_pack_invariants(spark):
         by_shard.setdefault(r["shard"], []).append(r["bin"])
     for bins in by_shard.values():
         assert sorted(bins) == list(range(len(bins)))
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """The E-S sample must over-represent long documents relative to
+    a uniform draw, and be exactly reproducible."""
+    from bfr_clustering_using_pyspark_spark.operators.sampling import (
+        WS_K,
+        q_weighted_sample,
+    )
+    import pyspark.sql.functions as F
+
+    rows = q_weighted_sample(spark, SF_SMALL).collect()
+    assert len(rows) == WS_K
+    again = q_weighted_sample(spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_avg > corpus_avg  # weight = n_chars pulls long docs in

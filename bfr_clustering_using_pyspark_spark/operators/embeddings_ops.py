@@ -198,7 +198,90 @@ def pca_project(spark: SparkSession, sf_dir: str, n_components: int = 8) -> Data
     return out
 
 
+DRIFT_SCALE = 1_000_000  # embedding components → exact scaled ints
+DRIFT_T = 0.05  # flag labels whose centroid moved more than this
+
+
+def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into
+    two halves by vec_id parity (standing in for before/after a
+    pipeline change), compute each label's centroid in both halves,
+    and report the L2 shift — the standard production check that a
+    new ingest batch hasn't moved the representation space.
+
+    Components are rounded to scaled integers BEFORE summation
+    (float sums are partition-order-dependent; integer sums are
+    exact), so the centroids — and therefore the drift metric — are
+    bit-reproducible and hash-gated. One posexplode + one grouped
+    sum: dims × labels × 2 rows of state, independent of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    cells = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.expr(f"transform(v, x -> cast(round(x * {DRIFT_SCALE}, 0) as bigint))")),
+    )
+    sums = cells.groupBy("label", "half", "pos").agg(
+        F.sum("col").alias("s"), F.count("*").alias("n")
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("s0"), F.col("n").alias("n0")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    diff = (
+        F.col("s0").cast("double") / F.col("n0") - F.col("s1").cast("double") / F.col("n1")
+    ) / DRIFT_SCALE
+    per_label = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").alias("n_first"),
+            F.max("n1").alias("n_second"),
+            F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_shift"),
+        )
+    )
+    return per_label.select(
+        "label",
+        "n_first",
+        "n_second",
+        "centroid_shift",
+        (F.col("centroid_shift") > DRIFT_T).alias("drifted"),
+    ).orderBy("label")
+
+
+Q_DRIFT_DETECT_SQL = f"""
+WITH cells AS (
+  -- no WITH ORDINALITY / lateral generate_series in DuckDB: fixed
+  -- 64-wide series + bounds filter (embeddings are 64-dim)
+  SELECT label, vec_id % 2 AS half, g.p - 1 AS pos,
+         CAST(round(CAST(embedding[g.p] AS DOUBLE) * {DRIFT_SCALE}, 0) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) AS g(p)
+  WHERE g.p <= len(embedding)
+), sums AS (
+  SELECT label, half, pos, CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2, 3
+), joined AS (
+  SELECT a.label, a.pos,
+         (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / {DRIFT_SCALE} AS d,
+         a.n AS n0, b.n AS n1
+  FROM sums a JOIN sums b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       CAST(max(n0) AS BIGINT) AS n_first,
+       CAST(max(n1) AS BIGINT) AS n_second,
+       round(sqrt(sum(d * d)), 6) AS centroid_shift,
+       round(sqrt(sum(d * d)), 6) > {DRIFT_T} AS drifted
+FROM joined GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
+    "q_drift_detect": q_drift_detect,
     "embedding_normalize": embedding_normalize,
     "embedding_quantize": embedding_quantize,
     "tfidf_top_terms": tfidf_top_terms,
@@ -206,6 +289,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_drift_detect": Q_DRIFT_DETECT_SQL,
     "embedding_normalize": EMBEDDING_NORMALIZE_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "tfidf_top_terms": TFIDF_SQL,

@@ -69,7 +69,7 @@ _COST_S = {
     "dedup_minhash_lsh": 4.4, "points_source": 4.5,
     "dedup_fuzzy_names": 6.8, "dedup_components": 8.0,
     "stream_components": 12.2, "q_corr_matrix": 0.9,
-    "q_weighted_sample": 0.5,
+    "q_weighted_sample": 0.5, "q_drift_detect": 1.0,
 }
 
 

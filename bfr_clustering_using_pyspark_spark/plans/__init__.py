@@ -70,6 +70,7 @@ _COST_S = {
     "dedup_fuzzy_names": 6.8, "dedup_components": 8.0,
     "stream_components": 12.2, "q_corr_matrix": 0.9,
     "q_weighted_sample": 0.5, "q_drift_detect": 1.0,
+    "q_rfm_segmentation": 0.7, "q_market_basket": 1.3, "q_path_3grams": 0.8,
 }
 
 

@@ -370,10 +370,53 @@ ORDER BY e.event_type
 """
 
 
+def q_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 15 most common 3-step event-type
+    sequences users actually walk (click>view>purchase, …), with how
+    many distinct users walk each. Two lead() calls on the per-user
+    time-ordered window — one user_id shuffle, sequences formed
+    in-row, no self-joins — then a path-keyed count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    steps = ev.select(
+        "user_id",
+        path.alias("path"),
+        F.lead("event_type", 2).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        steps.groupBy("path")
+        .agg(F.count("*").alias("n_walks"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n_walks"), "path")
+        .limit(15)
+    )
+
+
+Q_PATH_3GRAMS_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS _last
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_walks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM steps WHERE _last IS NOT NULL
+GROUP BY path ORDER BY n_walks DESC, path LIMIT 15
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
     "q_events_anomaly": q_events_anomaly,
     "q_mad_outliers": q_mad_outliers,
+    "q_path_3grams": q_path_3grams,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
@@ -384,6 +427,7 @@ ORACLES = {
     "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+    "q_path_3grams": Q_PATH_3GRAMS_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,

@@ -1012,7 +1012,124 @@ def _corr_sql() -> str:
 Q_CORR_MATRIX_SQL = _corr_sql()
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (last
+    order date), Frequency (order count), Monetary (total spend),
+    combined into a segment code — the classic marketing rollup.
+    One groupBy(customer) pass for the three metrics, then exact
+    ntile windows over the customer aggregate. NOTE the exact-ntile
+    total order funnels the aggregate through one task; at 10⁹+
+    customers swap the ntiles for broadcast quantile cutoffs
+    (percentile_approx on the aggregate → map-side score) — same
+    output contract, no total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), "o_custkey"))
+    fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(5).over(W.orderBy(F.desc("monetary"), "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", r.alias("r_score"), fq.alias("f_score"), m.alias("m_score")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+        .orderBy(F.desc("n_customers"), "r_score", "f_score", "m_score")
+    )
+
+
+Q_RFM_SEGMENTATION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+HAVING count(*) >= 5
+ORDER BY n_customers DESC, r_score, f_score, m_score
+"""
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part BRANDS: for brand
+    pairs co-occurring in an order, support, confidence(A→B), and
+    lift — the classic recommendation primer. Per-order brand sets
+    are bounded (a handful of lines), so pairs come from an in-row
+    combination explode, never an order-keyed self-join; the
+    brand-count table is catalog-sized and broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    per_order = ob.groupBy("l_orderkey").agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_n = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    na = brand_n.select(F.col("p_brand").alias("a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.round(F.col("n_ab") / n_orders, 5).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 5).alias("confidence"),
+            F.round(F.col("n_ab") * n_orders / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+Q_MARKET_BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+), tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+pair_n AS (
+  SELECT o1.p_brand AS a, o2.p_brand AS b, count(*) AS n_ab
+  FROM ob o1 JOIN ob o2 ON o1.l_orderkey = o2.l_orderkey AND o1.p_brand < o2.p_brand
+  GROUP BY 1, 2
+), brand_n AS (
+  SELECT p_brand, count(*) AS n FROM ob GROUP BY 1
+)
+SELECT a AS brand_a, b AS brand_b,
+       round(n_ab * 1.0 / n_orders, 5) AS support,
+       round(n_ab * 1.0 / na.n, 5) AS confidence,
+       round(n_ab * 1.0 * n_orders / (na.n * nb.n), 4) AS lift
+FROM pair_n, tot
+JOIN brand_n na ON pair_n.a = na.p_brand
+JOIN brand_n nb ON pair_n.b = nb.p_brand
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q_rfm_segmentation": q_rfm_segmentation,
+    "q_market_basket": q_market_basket,
     "q_corr_matrix": q_corr_matrix,
     "q_scd2_history": q_scd2_history,
     "q_zorder_layout": q_zorder_layout,
@@ -1042,6 +1159,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_rfm_segmentation": Q_RFM_SEGMENTATION_SQL,
+    "q_market_basket": Q_MARKET_BASKET_SQL,
     "q_corr_matrix": Q_CORR_MATRIX_SQL,
     "q_scd2_history": Q_SCD2_HISTORY_SQL,
     "q_zorder_layout": Q_ZORDER_LAYOUT_SQL,

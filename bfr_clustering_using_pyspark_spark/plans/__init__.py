@@ -19,58 +19,57 @@ _MODULES = (tpch, tpch_ext, tpch_deep, events, ml_queries)
 # maximizes how many get a CORRECTNESS row before the budget runs
 # out. Unlisted keys sort at 1.0s.
 _COST_S = {
-    "text_pii_scrub": 0.3, "corpus_mix": 0.4, "q_grouping_sets": 0.4,
-    "q_scd2_history": 0.4, "q_window_funcs": 0.4, "sample_stratified": 0.4,
-    "mm_wav_roundtrip": 0.5, "q13_cust_distribution": 0.5,
-    "q17_small_qty_revenue": 0.5, "q1_pricing_summary": 0.5,
-    "q3_shipping_priority": 0.5, "q6_forecast_revenue": 0.5,
-    "q_events_anomaly": 0.5, "q_gap_fill": 0.5, "q_rollup": 0.5,
-    "q_salted_agg": 0.5, "q_unpivot": 0.5, "q_zorder_layout": 0.5,
-    "sample_train_split": 0.5, "cluster_profile": 0.6,
-    "json_roundtrip": 0.6, "mm_decode": 0.6, "q12_shipmode": 0.6,
-    "q15_top_supplier": 0.6, "q_asof_join": 0.6, "q_date_funcs": 0.6,
-    "q_key_skew_profile": 0.6, "q_linear_count": 0.6, "q_moving_avg": 0.6,
-    "q_order_priority": 0.6, "q_outer_join": 0.6, "q_part_pivot": 0.6,
-    "q_range_join": 0.6, "q_regression": 0.6, "q_top_customers": 0.6,
-    "text_bigrams": 0.6, "text_langid": 0.6, "text_repetition": 0.6,
-    "text_tokens": 0.6, "ann_bruteforce": 0.7, "ann_pq": 0.7,
-    "decontaminate": 0.7, "model_per_key": 0.7, "q10_returned_items": 0.7,
-    "q16_supplier_cnt": 0.7, "q19_disjunctive": 0.7,
-    "q21_blame_supplier": 0.7, "q22_idle_customers": 0.7,
-    "q5_local_supplier": 0.7, "q_cube": 0.7, "q_events_json": 0.7,
-    "q_events_retention": 0.7, "q_events_sessionize": 0.7,
-    "q_events_windowed": 0.7, "q_histogram": 0.7, "q_percentiles": 0.7,
-    "q_scalar_subquery": 0.7, "suffstats": 0.7, "text_clean_pipeline": 0.7,
-    "dedup_exact": 0.8, "embedding_normalize": 0.8,
-    "knn_classify_eval": 0.8, "mm_pgm_roundtrip": 0.8,
-    "orc_roundtrip": 0.8, "q18_large_orders": 0.8,
-    "q2_min_cost_supplier": 0.8, "q7_volume_shipping": 0.8,
-    "q9_product_profit": 0.8, "q_countmin_topk": 0.8,
-    "q_mad_outliers": 0.8, "text_unigram_logprob": 0.8,
-    "mahalanobis_assign": 0.9, "nmi_eval": 0.9, "pca_project": 0.9,
-    "q_events_funnel": 0.9, "q_running_total": 0.9,
-    "stream_quality_filter": 0.9, "text_quality": 0.9,
-    "text_top_terms": 0.9, "dedup_embedding": 1.0, "dedup_simhash": 1.0,
-    "kmeans_assign": 1.0, "kmeans_fit": 1.0, "q_merge_upsert": 1.0,
-    "tfidf_top_terms": 1.0, "ann_lsh": 1.1, "q8_market_share": 1.1,
-    "stream_static_join": 1.1, "graph_triangles": 1.2,
-    "ann_lsh_multiprobe": 1.3, "seq_pack": 1.3,
-    "text_winnow_fingerprint": 1.3, "ann_ivf_rerank": 1.5,
-    "stream_countmin": 1.5, "stream_events_window": 1.5,
-    "stream_bfr_update": 1.6, "ann_recall_eval": 1.8,
-    "q14_promo_revenue": 1.8, "stream_dedup": 1.8,
-    "stream_session_window": 1.8, "mm_pipeline": 2.1,
-    "q_approx_distinct": 2.1, "q_set_ops": 2.1,
-    "stream_sessionize_stateful": 2.3, "text_fingerprint": 2.3,
-    "graph_pagerank": 2.4, "q_asof_grouped": 2.4, "ann_ivf": 2.5,
-    "bfr_fit": 2.8, "q_bloom_filter_join": 2.8, "intermediate_stats": 2.9,
-    "stream_stream_join": 3.1, "embedding_quantize": 3.2,
-    "dedup_ngram_jaccard": 3.5, "dedup_containment": 3.7,
-    "dedup_minhash_lsh": 4.4, "points_source": 4.5,
-    "dedup_fuzzy_names": 6.8, "dedup_components": 8.0,
-    "stream_components": 12.2, "q_corr_matrix": 0.9,
-    "q_weighted_sample": 0.5, "q_drift_detect": 1.0,
-    "q_rfm_segmentation": 0.7, "q_market_basket": 1.3, "q_path_3grams": 0.8,
+    "points_source": 0.2, "q_weighted_sample": 0.2,
+    "q6_forecast_revenue": 0.3, "q_events_funnel": 0.3,
+    "text_fingerprint": 0.3, "q14_promo_revenue": 0.4,
+    "q18_large_orders": 0.4, "q_running_total": 0.4,
+    "q_scalar_subquery": 0.4, "q_unpivot": 0.4, "sample_train_split": 0.4,
+    "text_quality": 0.4, "text_tokens": 0.4, "text_top_terms": 0.4,
+    "mm_pgm_roundtrip": 0.5, "q19_disjunctive": 0.5, "q_cube": 0.5,
+    "q_date_funcs": 0.5, "q_events_json": 0.5, "q_histogram": 0.5,
+    "q_moving_avg": 0.5, "q_path_3grams": 0.5, "q_rfm_segmentation": 0.5,
+    "stream_bfr_update": 0.5, "suffstats": 0.5, "text_bigrams": 0.5,
+    "dedup_embedding": 0.6, "dedup_exact": 0.6, "mm_decode": 0.6,
+    "q12_shipmode": 0.6, "q_events_windowed": 0.6, "q_order_priority": 0.6,
+    "q_range_join": 0.6, "q_salted_agg": 0.6, "q_zorder_layout": 0.6,
+    "sample_stratified": 0.6, "text_clean_pipeline": 0.6,
+    "text_langid": 0.6, "cluster_profile": 0.7, "nmi_eval": 0.7,
+    "q15_top_supplier": 0.7, "q1_pricing_summary": 0.7, "q_asof_join": 0.7,
+    "q_events_anomaly": 0.7, "q_mad_outliers": 0.7, "q_regression": 0.7,
+    "ann_bruteforce": 0.8, "q10_returned_items": 0.8,
+    "q22_idle_customers": 0.8, "q2_min_cost_supplier": 0.8,
+    "q3_shipping_priority": 0.8, "q9_product_profit": 0.8,
+    "q_countmin_topk": 0.8, "q_drift_detect": 0.8, "q_gap_fill": 0.8,
+    "q_outer_join": 0.8, "q_rollup": 0.8, "dedup_simhash": 0.9,
+    "json_roundtrip": 0.9, "kmeans_assign": 0.9, "mahalanobis_assign": 0.9,
+    "orc_roundtrip": 0.9, "pca_project": 0.9, "q16_supplier_cnt": 0.9,
+    "q17_small_qty_revenue": 0.9, "q7_volume_shipping": 0.9,
+    "q_events_sessionize": 0.9, "q_linear_count": 0.9,
+    "q_merge_upsert": 0.9, "q_part_pivot": 0.9, "q_percentiles": 0.9,
+    "q_scd2_history": 0.9, "q_top_customers": 0.9, "q_window_funcs": 0.9,
+    "text_repetition": 0.9, "text_unigram_logprob": 0.9,
+    "tfidf_top_terms": 0.9, "decontaminate": 1.0,
+    "embedding_normalize": 1.0, "mm_pipeline": 1.0, "model_per_key": 1.0,
+    "q13_cust_distribution": 1.0, "q21_blame_supplier": 1.0,
+    "q5_local_supplier": 1.0, "q_corr_matrix": 1.0,
+    "q_events_retention": 1.0, "q_key_skew_profile": 1.0, "ann_pq": 1.1,
+    "knn_classify_eval": 1.1, "q8_market_share": 1.1,
+    "q_grouping_sets": 1.2, "q_set_ops": 1.3, "stream_static_join": 1.3,
+    "ann_lsh": 1.4, "q_market_basket": 1.4, "graph_triangles": 1.6,
+    "seq_pack": 1.6, "text_winnow_fingerprint": 1.6,
+    "ann_lsh_multiprobe": 1.7, "stream_events_window": 1.9,
+    "stream_dedup": 2.0, "stream_quality_filter": 2.0,
+    "stream_session_window": 2.0, "ann_ivf": 2.1, "mm_wav_roundtrip": 2.1,
+    "q_approx_distinct": 2.2, "ann_recall_eval": 2.3,
+    "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 2.4,
+    "stream_countmin": 2.5, "q_asof_grouped": 2.7,
+    "stream_sessionize_stateful": 2.7, "corpus_mix": 2.8,
+    "graph_pagerank": 2.8, "kmeans_fit": 2.8, "intermediate_stats": 3.1,
+    "embedding_quantize": 3.5, "stream_stream_join": 3.7,
+    "dedup_ngram_jaccard": 3.8, "bfr_fit": 3.9, "dedup_containment": 3.9,
+    "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
+    "text_pii_scrub": 5.8, "dedup_components": 8.7,
+    "stream_components": 13.3,
 }
 
 

@@ -172,3 +172,16 @@ class TestNMI:
         )
         h = -2 * (0.5 * math.log(0.5))
         assert val == pytest.approx(mi / (h / 1.0) * 2 / 2, rel=1e-9)
+
+
+def test_silhouette_bounds(spark):
+    """Silhouette is bounded in [-1, 1] by construction; on the
+    non-separable embeddings it must sit near 0 (|s| < 0.25)."""
+    from bfr_clustering_using_pyspark_spark.plans.ml_queries import silhouette_eval
+    from tests.conftest import SF_SMALL
+
+    rows = silhouette_eval(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert abs(r["mean_silhouette"]) < 0.25

@@ -707,7 +707,71 @@ ORDER BY doc_contained, doc_container
 """
 
 
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the step AFTER entity matching:
+    within each name-prefix entity block holding ≥2 customers, elect
+    the survivor (highest account balance, key as tie-break) and
+    merge the block's attributes onto it (member count, combined
+    balance, member-key checksum pinning exact block membership).
+
+    Same bounded blocking as ``dedup_fuzzy_names``; election is one
+    window rank inside the block — no cross-block data movement, so
+    the whole resolution is a single hash-shuffle on the block key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.expr("substring(c_name, 1, greatest(length(c_name) - 3, 1))").alias("blk"),
+    )
+    w = F.count("*").over(W.partitionBy("blk"))
+    rk = F.row_number().over(W.partitionBy("blk").orderBy(F.desc("c_acctbal"), "c_custkey"))
+    stats = cust.select(
+        "blk",
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        w.alias("n_members"),
+        rk.alias("rk"),
+        F.sum("c_acctbal").over(W.partitionBy("blk")).alias("total_bal"),
+        F.sum("c_custkey").over(W.partitionBy("blk")).alias("key_sum"),
+    )
+    return (
+        stats.filter((F.col("n_members") >= 2) & (F.col("rk") == 1))
+        .select(
+            F.col("c_custkey").alias("survivor_key"),
+            F.col("c_name").alias("survivor_name"),
+            "n_members",
+            F.round("total_bal", 2).alias("total_acctbal"),
+            F.col("key_sum").alias("member_key_sum"),
+        )
+        .orderBy("survivor_key")
+    )
+
+
+Q_SURVIVORSHIP_SQL = """
+WITH blk AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         substr(c_name, 1, greatest(length(c_name) - 3, 1)) AS blk
+  FROM customer
+), stats AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY blk) AS n_members,
+         row_number() OVER (PARTITION BY blk ORDER BY c_acctbal DESC, c_custkey) AS rk,
+         sum(c_acctbal) OVER (PARTITION BY blk) AS total_bal,
+         sum(c_custkey) OVER (PARTITION BY blk) AS key_sum
+  FROM blk
+)
+SELECT c_custkey AS survivor_key, c_name AS survivor_name,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(total_bal, 2) AS total_acctbal,
+       CAST(key_sum AS BIGINT) AS member_key_sum
+FROM stats WHERE n_members >= 2 AND rk = 1
+ORDER BY survivor_key
+"""
+
+
 QUERIES = {
+    "q_survivorship": q_survivorship,
     "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
     "dedup_fuzzy_names": dedup_fuzzy_names,
@@ -719,6 +783,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_survivorship": Q_SURVIVORSHIP_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fuzzy_names": DEDUP_FUZZY_NAMES_SQL,

@@ -412,11 +412,87 @@ GROUP BY path ORDER BY n_walks DESC, path LIMIT 15
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by a
+    DETERMINISTIC md5 hash (the assignment is replayable — rand()
+    splits aren't auditable), conversion = user made ≥1 purchase;
+    output per-arm rates plus the pooled two-proportion z statistic
+    and a |z| > 1.96 significance flag. The md5 split is independent
+    of behavior, so the expected true effect is zero — a permanent
+    A/A sanity check that the testing pipeline itself is unbiased.
+
+    One groupBy(user) pass → two-row aggregate → closed-form stats
+    in the plan; nothing leaves the cluster but six numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    # conversion = "high-value purchaser" (> $180 max purchase) —
+    # every user in this data purchases eventually, so plain
+    # any-purchase conversion saturates at 100% (zero variance)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 180)).cast("int")
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    j = a.crossJoin(b)
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    z = F.round((p0 - p1) / se, 4)
+    return j.select(
+        "n0",
+        "c0",
+        F.round(p0, 4).alias("rate_a"),
+        "n1",
+        "c1",
+        F.round(p1, 4).alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+Q_AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+  FROM per_user GROUP BY arm
+), j AS (
+  SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
+  FROM (SELECT n, c FROM arms WHERE arm = 0) a, (SELECT n, c FROM arms WHERE arm = 1) b
+)
+SELECT n0, c0, round(c0 * 1.0 / n0, 4) AS rate_a,
+       n1, c1, round(c1 * 1.0 / n1, 4) AS rate_b,
+       round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+             / sqrt((c0 + c1) * 1.0 / (n0 + n1) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat,
+       abs(round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+             / sqrt((c0 + c1) * 1.0 / (n0 + n1) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4)) > 1.96 AS significant
+FROM j
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
     "q_events_anomaly": q_events_anomaly,
     "q_mad_outliers": q_mad_outliers,
     "q_path_3grams": q_path_3grams,
+    "q_ab_test": q_ab_test,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
@@ -428,6 +504,7 @@ ORACLES = {
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,
+    "q_ab_test": Q_AB_TEST_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,

@@ -487,12 +487,58 @@ FROM j
 """
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, first view → first
+    purchase delay; reported as user counts plus p50/p90/max hours —
+    the funnel-speed metric next to ``q_events_funnel``'s volume one.
+    One groupBy(user) pass (two conditional mins), then a tiny
+    percentile aggregate. Timestamps compare in floor-millis, which
+    both engines reach identically from their native precisions
+    (micros in Spark, nanos in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_millis("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))).alias("first_buy"),
+    )
+    conv = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") > F.col("first_view"))
+    ).select(((F.col("first_buy") - F.col("first_view")) / 3600000.0).alias("hours"))
+    return conv.agg(
+        F.count("*").alias("n_converting_users"),
+        F.round(F.percentile("hours", 0.5), 3).alias("p50_hours"),
+        F.round(F.percentile("hours", 0.9), 3).alias("p90_hours"),
+        F.round(F.max("hours"), 3).alias("max_hours"),
+    )
+
+
+Q_TIME_TO_CONVERT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_buy
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT (first_buy - first_view) / 3600000.0 AS hours
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL AND first_buy > first_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converting_users,
+       round(quantile_cont(hours, 0.5), 3) AS p50_hours,
+       round(quantile_cont(hours, 0.9), 3) AS p90_hours,
+       round(max(hours), 3) AS max_hours
+FROM conv
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
     "q_events_anomaly": q_events_anomaly,
     "q_mad_outliers": q_mad_outliers,
     "q_path_3grams": q_path_3grams,
     "q_ab_test": q_ab_test,
+    "q_time_to_convert": q_time_to_convert,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
     "q_events_funnel": q_events_funnel,
@@ -505,6 +551,7 @@ ORACLES = {
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,
     "q_ab_test": Q_AB_TEST_SQL,
+    "q_time_to_convert": Q_TIME_TO_CONVERT_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,

@@ -70,7 +70,7 @@ _COST_S = {
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
     "text_pii_scrub": 5.8, "dedup_components": 8.7,
     "stream_components": 13.3, "silhouette_eval": 2.0, "q_survivorship": 0.7,
-    "q_ab_test": 0.7, "q_time_to_convert": 0.6,
+    "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
 }
 
 

@@ -1127,7 +1127,46 @@ LIMIT 20
 """
 
 
+def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rollup — the aggregate-reuse pattern every
+    lakehouse runs: materialize DAILY partial aggregates to storage
+    (the MV), then answer the MONTHLY question by re-aggregating the
+    partials, never rescanning the fact table. The oracle computes
+    monthly straight from the facts, so the hash match PROVES the
+    partials re-aggregate losslessly (counts/sums are mergeable;
+    averages are re-derived from them, never averaged-of-averages).
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    mv = tempfile.mkdtemp(prefix="mv_daily_")
+    daily.write.mode("overwrite").parquet(mv)
+    daily_mv = spark.read.parquet(mv)
+    return (
+        daily_mv.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev") / F.sum("n"), 4).alias("avg_order_value"),
+        )
+        .orderBy("month")
+    )
+
+
+Q_MV_ROLLUP_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(o_totalprice) / count(*), 4) AS avg_order_value
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
 QUERIES = {
+    "q_mv_rollup": q_mv_rollup,
     "q_rfm_segmentation": q_rfm_segmentation,
     "q_market_basket": q_market_basket,
     "q_corr_matrix": q_corr_matrix,
@@ -1159,6 +1198,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_mv_rollup": Q_MV_ROLLUP_SQL,
     "q_rfm_segmentation": Q_RFM_SEGMENTATION_SQL,
     "q_market_basket": Q_MARKET_BASKET_SQL,
     "q_corr_matrix": Q_CORR_MATRIX_SQL,

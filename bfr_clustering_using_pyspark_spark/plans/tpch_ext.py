@@ -954,7 +954,10 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
     for a, b in pairs:
         aggs.append(F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}"))
-    m = sel.agg(*aggs)
+    # materialize the single-row moment table: each pair's SELECT
+    # below reads it, and without lineage truncation every union
+    # branch would re-run the full fact scan
+    m = sel.agg(*aggs).localCheckpoint(eager=True)
     rows = []
     for a, b in pairs:
         num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")

@@ -56,6 +56,16 @@ AUDIT = {
     "text_unigram_logprob": (False, True, 5),  # dict build + broadcast scalar + score
     "q_countmin_topk": (False, True, 5),
     "q_bloom_filter_join": (True, True, 3),
+    "q_histogram": (False, True, 3),  # bounds broadcast + bucket agg + sort
+    "q_scd2_history": (True, False, 2),  # one dim-key window + sort
+    "q_mad_outliers": (False, True, 5),  # two percentile passes are inherent to MAD
+    "q_path_3grams": (False, False, 3),  # user window + path agg + sort
+    "q_corr_matrix": (False, False, 2),  # one map pass; materialized moments feed the branches
+    "q_survivorship": (False, False, 2),  # one block-key window + sort
+    "q_time_to_convert": (False, False, 2),  # user agg + scalar percentile agg
+    "q8_market_share": (False, True, 4),
+    "q15_top_supplier": (False, True, 3),
+    "q_mv_rollup": (False, False, 3),  # daily agg (materialized) + monthly agg + sort
 }
 
 

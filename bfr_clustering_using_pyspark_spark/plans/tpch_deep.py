@@ -12,6 +12,7 @@ to AQE to pick broadcast vs shuffle at runtime.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -367,8 +368,127 @@ ORDER BY s_suppkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification). No partsupp
+    in the testdata, so lineitem is the part<->supplier bridge (same
+    substitution as q2): a part's "stock value" is the cents sum of
+    extendedprice shipped by suppliers of one region's nations, and
+    the HAVING keeps parts above 0.1% of the grand total.
+
+    The correlated scalar aggregate is decorrelated into a 1-row
+    broadcast cross join; the threshold compare is exact integer
+    (value*1000 > total) so the gate hash is engine-stable. At scale:
+    one shuffle for the part-level agg, a 1-row broadcast for the
+    total, nation broadcast — the fact table shuffles once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.join(broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 0
+  GROUP BY 1
+)
+SELECT p_partkey, value_cents
+FROM val
+WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM val)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+def q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion). No partsupp
+    availqty, so the "supplier holds excess stock of a promoted part"
+    predicate becomes "supplier dominates a small part's 1997 supply":
+    per (part, supplier) shipped quantity in [1997, 1998) for parts
+    with p_size <= 5, a supplier qualifies when its share exceeds 1/4
+    of the part's total (4*supp_qty > part_qty — exact integers).
+    The qualifying-supplier set semi-joins back to supplier, keeping
+    the original nested IN-subquery shape.
+
+    Scale: one shuffle for the (part, supplier) agg, the per-part
+    total reuses that partitioning as a window, and the final
+    left-semi join is AQE-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    qty = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    dom = (
+        qty.withColumn("part_qty", F.sum("supp_qty").over(W.partitionBy("l_partkey")))
+        .filter(F.col("supp_qty") * 4 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 5
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), dom AS (
+  SELECT l_suppkey
+  FROM (SELECT l_suppkey, supp_qty,
+               sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM qty)
+  WHERE supp_qty * 4 > part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q11_important_stock": q11_important_stock,
+    "q20_potential_promo": q20_potential_promo,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q21_blame_supplier": q21_blame_supplier,
@@ -380,6 +500,8 @@ QUERIES = {
 
 ORACLES = {
     "q7_volume_shipping": Q7_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q20_potential_promo": Q20_SQL,
     "q8_market_share": Q8_SQL,
     "q15_top_supplier": Q15_SQL,
     "q21_blame_supplier": Q21_SQL,

@@ -402,6 +402,134 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
+    """Coarse-quantizer centroid j: md5-derived uniform components
+    normalized to unit length, so BOTH engines replay the identical
+    quantizer (the embeddings are unit-norm, so unit centroids give
+    argmin-distance == argmax-dot Voronoi cells). A trained k-means
+    quantizer (ann_ivf) clusters better but is seed-dependent; this
+    family keeps the physical-layout op hash-gateable."""
+    import hashlib
+
+    raw = [
+        (int(hashlib.md5(f"ivfcent{j}_{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(d)
+    ]
+    nrm = sum(x * x for x in raw) ** 0.5
+    return [x / nrm for x in raw]
+
+
+def _centroid_rank_expr(v_col: str):
+    """array of (d2, j) structs sorted ascending — slot 0 is the
+    assignment, the first N_PROBE slots are a query's probe lists.
+    Pure JVM fold per centroid: a map-side projection, no shuffle."""
+    structs = []
+    for j in range(N_IVF_LISTS):
+        lit = F.array(*[F.lit(x) for x in _ivf_centroid(j)])
+        d2 = F.aggregate(
+            F.zip_with(F.col(v_col), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+    return F.array_sort(F.array(*structs))
+
+
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with lists as PHYSICAL partition keys — the 100 TB layout
+    ann_ivf's docstring promises. The corpus is written once to
+    parquet ``partitionBy(list_id)`` (one directory per inverted
+    list); each query computes its ``N_PROBE`` nearest lists and the
+    probe scan reads ONLY those directories — Spark's partition
+    pruning drops the rest at planning time, so a query touches
+    nprobe/nlists of the bytes no matter how big the corpus gets
+    (tests assert the pruned file set).
+
+    Assignment and probing share one deterministic md5-derived
+    quantizer (``_ivf_centroid``), so unlike the k-means-seeded
+    ``ann_ivf`` this end-to-end path is hash-gated: the oracle
+    replays quantizer, probes, and ranking in SQL."""
+    import tempfile
+
+    base = _base(spark, sf_dir)
+    ranked = _centroid_rank_expr("v")
+    assigned = base.withColumn("list_id", ranked[0]["j"])
+    out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
+
+    queries = (
+        base.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+                "probe_list"
+            ),
+        )
+    )
+    # the union of probed lists is bounded by nlists (16 values), not
+    # by data size — collecting it drives directory-level pruning
+    probe_ids = sorted(r[0] for r in queries.select("probe_list").distinct().collect())
+    data = spark.read.parquet(out_dir).filter(F.col("list_id").isin(probe_ids))
+
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        data.join(
+            F.broadcast(queries),
+            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivf_partitioned_oracle_sql() -> str:
+    rows = ", ".join(
+        "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
+        for j in range(N_IVF_LISTS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), cent(j, c) AS (VALUES {rows}),
+dists AS (
+  SELECT vec_id, v, nrm, j,
+         list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))), j) AS rk
+  FROM base CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, j AS list_id FROM dists WHERE rk = 1
+), qprobe AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, j AS probe_list
+  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND rk <= {N_PROBE}
+), scored AS (
+  SELECT q.q_id, a.vec_id,
+         round(list_sum(list_transform(list_zip(a.v, q.q_v), p -> p[1] * p[2])) / (a.nrm * q.q_nrm), 4) AS cosine
+  FROM assigned a JOIN qprobe q ON a.list_id = q.probe_list AND a.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ANN_IVF_PARTITIONED_SQL = _ivf_partitioned_oracle_sql()
+
 PQ_M = 8  # subspaces
 PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_SAMPLE = 1024  # codebook training sample
@@ -613,6 +741,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf": ann_ivf,
+    "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_rerank": ann_ivf_rerank,
     "ann_pq": ann_pq,
     "knn_classify_eval": knn_classify_eval,
@@ -623,6 +752,7 @@ ORACLES = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
+    "ann_ivf_partitioned": ANN_IVF_PARTITIONED_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

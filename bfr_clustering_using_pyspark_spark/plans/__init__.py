@@ -72,6 +72,7 @@ _COST_S = {
     "stream_components": 13.3, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
+    "ann_ivf_partitioned": 2.6,
 }
 
 

@@ -69,6 +69,57 @@ class TestANNRecall:
             assert ns <= all_ids
             assert q not in ns  # self excluded
 
+    def test_ivf_partitioned_recall(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.similarity import (
+            ann_ivf_partitioned,
+        )
+
+        exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))
+        approx = _neighbor_sets(ann_ivf_partitioned(spark, SF_SMALL))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total > 0.3  # measured 0.46 (md5 quantizer, nprobe 4/16)
+        assert set(approx) == set(exact)
+
+    def test_ivf_partitioned_prunes_directories(self, spark):
+        """The scale claim itself: a probe scan over the partitioned
+        layout must read ONLY the probed list_id directories."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bfr_clustering_using_pyspark_spark.operators.similarity import (
+            N_IVF_LISTS,
+            _base,
+            _centroid_rank_expr,
+        )
+
+        base = _base(spark, SF_SMALL)
+        assigned = base.withColumn("list_id", _centroid_rank_expr("v")[0]["j"])
+        out = tempfile.mkdtemp(prefix="ivf_prune_test_")
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(out)
+        n_lists = assigned.select("list_id").distinct().count()
+        assert n_lists > 4  # layout actually spread across lists
+
+        probes = [0, 1]
+        pruned = spark.read.parquet(out).filter(F.col("list_id").isin(probes))
+        # inputFiles() ignores filters; the proof is in the physical
+        # plan: the probe predicate must land in PartitionFilters (a
+        # planning-time directory prune, not a post-scan filter)
+        plan = pruned._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "list_id" in m.group(1), plan
+        # and the pruned scan's actual row reach is exactly the two lists
+        per_list = {r["list_id"]: r["n"] for r in (
+            assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        )}
+        want = sum(per_list.get(p, 0) for p in probes)
+        assert pruned.count() == want and 0 < want < sum(per_list.values())
+
 
 class TestSessionWindow:
     def test_native_session_window_matches_batch(self, spark):

@@ -6,6 +6,7 @@ Each module exposes QUERIES / ORACLES like ``plans/``.
 
 from . import (
     dedup,
+    dq,
     embeddings_ops,
     formats,
     graph,
@@ -28,6 +29,7 @@ _MODULES = (
     graph,
     sketches,
     formats,
+    dq,
 )
 
 

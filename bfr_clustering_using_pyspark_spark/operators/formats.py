@@ -63,12 +63,80 @@ SELECT lang, source,
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
+N_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join via bucketed storage — the layout
+    that kills the #1 cost at 100 TB. Both orders and lineitem are
+    written ``bucketBy(8, orderkey)`` + ``sortBy``; Spark's bucketed
+    scan then feeds the sort-merge join with NO Exchange on either
+    side (tests assert exactly one shuffle in the whole query — the
+    final year rollup — vs three for the plain-parquet plan). At
+    scale this is the difference between re-shuffling two fact tables
+    on every join and a map-side merge forever after.
+
+    Revenue is exact scaled-integer (price-cents × discount-bps), so
+    the hash gate is engine-stable end to end: write → bucketed scan
+    → merge join → rollup."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # an in-memory catalog forgets tables between sessions but the
+    # warehouse directory persists — clear both or saveAsTable fails
+    # with LOCATION_ALREADY_EXISTS on the next fresh session
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_lineitem")
+    )
+    o, l = spark.table("bkt_orders"), spark.table("bkt_lineitem")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    # hint("merge") keeps the join an SMJ (the fact-fact strategy the
+    # bucketing serves) even where AQE would broadcast at small SF
+    return (
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.count("*").alias("n_items"), F.sum(rev_e4).alias("rev_e4"))
+        .orderBy("o_year")
+    )
+
+
+Q_BUCKETED_JOIN_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY o_year
+"""
+
 QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "json_roundtrip": json_roundtrip,
+    "q_bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
     "orc_roundtrip": _ROUNDTRIP_SQL,
     "json_roundtrip": _ROUNDTRIP_SQL,
+    "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
 }

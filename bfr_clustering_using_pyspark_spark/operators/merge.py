@@ -152,10 +152,78 @@ def model_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots — the diff
+    feed every incremental pipeline consumes (Delta CDF / Iceberg
+    changelog shape). Two deterministic snapshots derive from
+    orders: the OLD snapshot lacks keys %7==0 (later inserts), the
+    NEW snapshot lacks keys %5==0 (deletes) and bumps price by $5
+    where key %11==0 (updates). One full-outer join on the key
+    classifies every row I/D/U; unchanged rows are dropped. All
+    prices travel as integer cents, so the row-level feed itself is
+    hash-gated, not a summary of it.
+
+    Scale: the only shuffle is the outer join's key exchange (none
+    at all if both snapshots are bucketed on the key); the change
+    classification is a projection."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("key"), F.col("price_cents").alias("old_cents")
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.col("price_cents") + 500)
+            .otherwise(F.col("price_cents"))
+            .alias("new_cents"),
+        )
+    )
+    j = old.join(new, "key", "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("old_cents").isNull(), F.lit("I"))
+            .when(F.col("new_cents").isNull(), F.lit("D"))
+            .when(F.col("old_cents") != F.col("new_cents"), F.lit("U")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select("key", "change_type", "old_cents", "new_cents")
+        .orderBy("key")
+    )
+
+
+Q_CDC_SNAPSHOT_DIFF_SQL = """
+WITH orders_c AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+), old AS (
+  SELECT o_orderkey AS key, price_cents AS old_cents FROM orders_c WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 11 = 0 THEN price_cents + 500 ELSE price_cents END AS new_cents
+  FROM orders_c WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(old.key, new.key) AS key,
+       CASE WHEN old_cents IS NULL THEN 'I'
+            WHEN new_cents IS NULL THEN 'D'
+            WHEN old_cents <> new_cents THEN 'U' END AS change_type,
+       old_cents, new_cents
+FROM old FULL OUTER JOIN new ON old.key = new.key
+WHERE (CASE WHEN old_cents IS NULL THEN 'I'
+            WHEN new_cents IS NULL THEN 'D'
+            WHEN old_cents <> new_cents THEN 'U' END) IS NOT NULL
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_regression": q_regression,
     "model_per_key": model_per_key,
+    "q_cdc_snapshot_diff": q_cdc_snapshot_diff,
 }
 
 ORACLES = {
@@ -164,4 +232,5 @@ ORACLES = {
     # same output contract as q_regression; per-group NumPy OLS ==
     # built-in regr_* after round(6)/round(4)
     "model_per_key": Q_REGRESSION_SQL,
+    "q_cdc_snapshot_diff": Q_CDC_SNAPSHOT_DIFF_SQL,
 }

@@ -280,14 +280,90 @@ FROM agg ORDER BY l_returnflag
 """
 
 
+KMV_K = 256
+KMV_M = 1 << 60  # hash domain: 15 hex digits of md5
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketch per
+    return flag: keep the k=256 smallest md5 hash values of the
+    order keys; distinct ≈ (k-1)·M/h_k where h_k is the k-th
+    smallest. Unlike HLL the state is mergeable by a trivial
+    merge-and-truncate AND portable — both engines replay the same
+    md5, so the gate hash-matches the estimate and its measured
+    error, not just the shape.
+
+    Scale: state is k hashes per group regardless of input size; the
+    distinct-before-hash keeps md5 to one call per distinct key; the
+    k-th order statistic is one bounded window per group."""
+    from pyspark.sql import Window as W
+
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("l_orderkey").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = keys.select("l_returnflag", h.alias("h"))
+    w = W.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("l_returnflag", F.col("h").alias("h_k"))
+    )
+    exact = hashed.groupBy("l_returnflag").agg(F.count("*").alias("exact"))
+    est = F.round(F.lit(float(KMV_K - 1)) * KMV_M / F.col("h_k"), 2)
+    return (
+        exact.join(kth, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact",
+            "h_k",
+            est.alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_KMV_DISTINCT_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+), hashed AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM keys
+), kth AS (
+  SELECT l_returnflag, h AS h_k FROM (
+    SELECT l_returnflag, h,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+    FROM hashed
+  ) WHERE rk = {KMV_K}
+), exact AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact FROM hashed GROUP BY 1
+)
+SELECT l_returnflag, exact, h_k,
+       round({KMV_K - 1}.0 * {KMV_M} / h_k, 2) AS kmv_estimate,
+       round(abs(round({KMV_K - 1}.0 * {KMV_M} / h_k, 2) - exact) / exact, 4) AS rel_err
+FROM exact JOIN kth USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_countmin_topk": q_countmin_topk,
     "q_bloom_filter_join": q_bloom_filter_join,
     "q_linear_count": q_linear_count,
+    "q_kmv_distinct": q_kmv_distinct,
 }
 
 ORACLES = {
     "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
     "q_bloom_filter_join": Q_BLOOM_FILTER_JOIN_SQL,
     "q_linear_count": Q_LINEAR_COUNT_SQL,
+    "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
 }

@@ -73,6 +73,8 @@ _COST_S = {
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
     "ann_ivf_partitioned": 2.6,
+    "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,
+    "q_bucketed_join": 2.4,
 }
 
 

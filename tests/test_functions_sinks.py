@@ -52,6 +52,27 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "1-URGENT" in plan
 
 
+def test_bucketed_join_has_single_shuffle(spark):
+    """The whole point of q_bucketed_join: the SMJ over two tables
+    bucketed on the join key must need NO Exchange on either input —
+    the only shuffle left is the final year rollup."""
+    import re
+
+    from bfr_clustering_using_pyspark_spark.operators.formats import q_bucketed_join
+
+    df = q_bucketed_join(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
+    # the two remaining exchanges are the year rollup (hash) and the
+    # final orderBy (range) — NEITHER join input may shuffle on its key
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    assert n_exch == 2, plan
+
+
 def test_cluster_map_json_sink(spark, tmp_path):
     df = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "cluster": [0, 1]}))
     out = tmp_path / "map.json"

@@ -78,13 +78,46 @@ _COST_S = {
 }
 
 
+# Keys that already earned a green (hash- or rows-match) row in the
+# driver's CORRECTNESS_r01..r03 artifacts. The budgeted external gate
+# walks queries() in dict order and only ever reaches a prefix —
+# sorting already-verified keys LAST rotates the sample toward the
+# keys that have never had an external correctness row (ANN family,
+# minhash/components dedup, graph, tpch_deep, streaming).
+_DRIVER_GREEN_R1_3 = frozenset({
+    "cluster_profile", "dedup_embedding", "dedup_exact",
+    "dedup_fuzzy_names", "kmeans_assign", "mahalanobis_assign",
+    "mm_decode", "mm_pgm_roundtrip", "nmi_eval", "q10_returned_items",
+    "q12_shipmode", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q_asof_join",
+    "q_cdc_snapshot_diff", "q_cube", "q_date_funcs", "q_dq_checks",
+    "q_events_funnel", "q_events_json", "q_events_sessionize",
+    "q_events_windowed", "q_histogram", "q_kmv_distinct", "q_moving_avg",
+    "q_order_priority", "q_outer_join", "q_part_pivot", "q_percentiles",
+    "q_range_join", "q_rfm_segmentation", "q_rollup", "q_running_total",
+    "q_salted_agg", "q_scalar_subquery", "q_set_ops", "q_top_customers",
+    "q_unpivot", "q_weighted_sample", "q_zorder_layout",
+    "sample_stratified", "sample_train_split", "stream_bfr_update",
+    "suffstats", "text_bigrams", "text_clean_pipeline",
+    "text_fingerprint", "text_langid", "text_quality", "text_tokens",
+    "text_top_terms", "text_winnow_fingerprint",
+})
+
+
 def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
     out.update(_op_queries())
     out.update(_streaming.QUERIES)
-    return dict(sorted(out.items(), key=lambda kv: (_COST_S.get(kv[0], 1.0), kv[0])))
+    return dict(
+        sorted(
+            out.items(),
+            key=lambda kv: (kv[0] in _DRIVER_GREEN_R1_3, _COST_S.get(kv[0], 1.0), kv[0]),
+        )
+    )
 
 
 def all_oracles():

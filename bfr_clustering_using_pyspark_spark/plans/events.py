@@ -54,7 +54,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w_user)
             > SESSION_GAP_MIN * 60,
             1,
         )
@@ -497,8 +498,12 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micros in Spark, nanos in DuckDB)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.unix_millis("ts"))).alias("first_view"),
-        F.min(F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))).alias("first_buy"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_millis(F.col("ts").cast("timestamp")))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis(F.col("ts").cast("timestamp")))
+        ).alias("first_buy"),
     )
     conv = per_user.filter(
         F.col("first_view").isNotNull()

@@ -305,12 +305,22 @@ def points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "w") as f:
         for i in range(120):
             f.write(f"{i},{(i % 7) / 4.0},{(i * 3 % 11) / 4.0},{(i * 5 % 13) / 4.0}\n")
-    return points_from_indexed_csv(spark, path).select("id", "features").orderBy("id")
+    pts = points_from_indexed_csv(spark, path)
+    # Flatten to scalar columns (d0..d2) — the correctness gate's
+    # pandas canonicalization can't sort/hash array cells.
+    return pts.select(
+        "id",
+        F.col("features")[0].alias("d0"),
+        F.col("features")[1].alias("d1"),
+        F.col("features")[2].alias("d2"),
+    ).orderBy("id")
 
 
 POINTS_SOURCE_SQL = """
 SELECT i AS id,
-       [(i % 7) / 4.0, (i * 3 % 11) / 4.0, (i * 5 % 13) / 4.0] AS features
+       (i % 7) / 4.0 AS d0,
+       (i * 3 % 11) / 4.0 AS d1,
+       (i * 5 % 13) / 4.0 AS d2
 FROM generate_series(0, 119) AS t(i)
 ORDER BY id
 """

@@ -27,16 +27,29 @@ TABLES = (
 )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a Spark timestamp, branching
+    on the dtype the scan actually produced (the reference reads its
+    input as given, ``code/bfr.py:209-217`` — no format assumption):
+
+    - TIMESTAMP / TIMESTAMP_NTZ: pass through untouched (matches
+      DuckDB's read of ``timestamp[us]`` parquet).
+    - LONG (a TIMESTAMP(NANOS) column scanned under
+      ``spark.sql.legacy.parquet.nanosAsLong``): truncate nanos to
+      micros. Metadata-only tweak; the scan stays fully pushed down.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark only supports
-        # micros. Read nanos as long and truncate to micros (matching
-        # DuckDB's conversion) — a metadata-only scan tweak, still
-        # fully pushed down.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_ts(df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

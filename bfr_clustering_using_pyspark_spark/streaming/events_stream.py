@@ -26,28 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-source streams need an explicit schema; derive it from a
+    # batch scan of the same path (footer metadata only — no data
+    # read) so the stream always agrees with what's on disk, then
+    # normalize ts exactly as the batch reader does.
+    from ..sources.readers import normalize_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # glob (not bare file path) so the file-stream source treats
         # the parent as basePath and picks up late-arriving files
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); session tz is
+    # pinned to UTC so the cast is value-preserving.
+    return normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:

@@ -121,7 +121,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
+            # scale-0 round at 1e-4 units: round(x, 4) tie-handling
+            # differs across engines for non-dyadic int ratios
+            (F.round(inter / union * 10000.0).cast("long") / 10000.0).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
@@ -144,8 +146,9 @@ WITH t AS (
 )
 SELECT * FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+         CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 /
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+               * 1e4) AS BIGINT) / 1e4 AS jaccard
   FROM blk a JOIN blk b ON a.len_bucket = b.len_bucket AND a.minsh = b.minsh AND a.doc_id < b.doc_id
 )
 WHERE jaccard >= 0.8  -- filter the ROUNDED value, matching the Spark plan
@@ -397,7 +400,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         verified.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+            "doc_a",
+            "doc_b",
+            (F.round(inter / union * 10000.0).cast("long") / 10000.0).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
@@ -461,8 +466,9 @@ t AS (
 ), pairs AS (
   SELECT * FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+           CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+                 * 1e4) AS BIGINT) / 1e4 AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       -- lossless prune: J >= 0.7 requires |A|/|B| in [0.7, 1/0.7]
       AND len(a.shingles) * 10 >= len(b.shingles) * 7
@@ -671,7 +677,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_contained"),
             F.col("b_id").alias("doc_container"),
-            F.round(inter / F.size(F.col("a.shingles")), 4).alias("containment"),
+            (
+                F.round(inter / F.size(F.col("a.shingles")) * 10000.0).cast("long") / 10000.0
+            ).alias("containment"),
             F.size(F.col("a.shingles")).alias("n_sh_a"),
             F.size(F.col("b_shingles")).alias("n_sh_b"),
         )
@@ -698,11 +706,11 @@ WITH t AS (
 )
 SELECT DISTINCT a.doc_id AS doc_contained,
        b.doc_id AS doc_container,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 / len(a.shingles), 4) AS containment,
+       CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 / len(a.shingles) * 1e4) AS BIGINT) / 1e4 AS containment,
        CAST(len(a.shingles) AS INT) AS n_sh_a,
        CAST(len(b.shingles) AS INT) AS n_sh_b
 FROM h a JOIN h b ON a.doc_id <> b.doc_id AND list_contains(b.hashes, a.minsh)
-WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 / len(a.shingles), 4) >= {CONTAIN_T}
+WHERE CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 / len(a.shingles) * 1e4) AS BIGINT) / 1e4 >= {CONTAIN_T}
 ORDER BY doc_contained, doc_container
 """
 
@@ -732,7 +740,11 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         w.alias("n_members"),
         rk.alias("rk"),
-        F.sum("c_acctbal").over(W.partitionBy("blk")).alias("total_bal"),
+        # integer cents — unordered window sums of doubles are
+        # partition-order-dependent across engines
+        F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long"))
+        .over(W.partitionBy("blk"))
+        .alias("total_bal"),
         F.sum("c_custkey").over(W.partitionBy("blk")).alias("key_sum"),
     )
     return (
@@ -741,7 +753,7 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("survivor_key"),
             F.col("c_name").alias("survivor_name"),
             "n_members",
-            F.round("total_bal", 2).alias("total_acctbal"),
+            (F.col("total_bal") / 100.0).alias("total_acctbal"),
             F.col("key_sum").alias("member_key_sum"),
         )
         .orderBy("survivor_key")
@@ -757,13 +769,13 @@ WITH blk AS (
   SELECT *,
          count(*) OVER (PARTITION BY blk) AS n_members,
          row_number() OVER (PARTITION BY blk ORDER BY c_acctbal DESC, c_custkey) AS rk,
-         sum(c_acctbal) OVER (PARTITION BY blk) AS total_bal,
+         sum(CAST(round(c_acctbal * 1e2) AS BIGINT)) OVER (PARTITION BY blk) AS total_bal,
          sum(c_custkey) OVER (PARTITION BY blk) AS key_sum
   FROM blk
 )
 SELECT c_custkey AS survivor_key, c_name AS survivor_name,
        CAST(n_members AS BIGINT) AS n_members,
-       round(total_bal, 2) AS total_acctbal,
+       total_bal / 1e2 AS total_acctbal,
        CAST(key_sum AS BIGINT) AS member_key_sum
 FROM stats WHERE n_members >= 2 AND rk = 1
 ORDER BY survivor_key

@@ -280,12 +280,24 @@ FROM joined GROUP BY label ORDER BY label
 """
 
 
+def pca_project_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: flatten the ``pc array<double>`` column to
+    scalar pc0..pc7 — the gate's pandas canonicalizer can't sort/hash
+    array cells (same fix as points_source). [rows-only: eigenvector
+    signs are data-order ambiguous, so values aren't oracle-stable]"""
+    out = pca_project(spark, sf_dir)
+    k = 8
+    return out.select(
+        "vec_id", *[F.col("pc")[i].alias(f"pc{i}") for i in range(k)]
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "q_drift_detect": q_drift_detect,
     "embedding_normalize": embedding_normalize,
     "embedding_quantize": embedding_quantize,
     "tfidf_top_terms": tfidf_top_terms,
-    "pca_project": pca_project,
+    "pca_project": pca_project_flat,
 }
 
 ORACLES = {

@@ -39,9 +39,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable output."""
     orders = load_table(spark, sf_dir, "orders")
     max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # Bumped price computed as integer cents (round(x*110) =
+    # x*1.1 in cents) so the double is exactly cents/100 on both
+    # engines — Spark's decimal-string round(x, 2) and DuckDB's
+    # binary round can differ in the last cent otherwise.
     updates = (
         orders.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn(
+            "o_totalprice",
+            F.round(F.col("o_totalprice") * 110).cast("long") / 100.0,
+        )
         .withColumn("o_orderstatus", F.lit("U"))
     )
     inserts = spark.range(1, 101).select(
@@ -53,9 +60,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("3-MEDIUM").alias("o_orderpriority"),
     )
     merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    # Integer-cents sum for cross-engine hash determinism (see q7).
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         merged.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), (F.sum(cents) / 100.0).alias("total"))
         .orderBy("o_orderstatus")
     )
 
@@ -63,7 +72,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MERGE_UPSERT_SQL = """
 WITH updates AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-         round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+         CAST(round(o_totalprice * 110) AS BIGINT) / 1e2 AS o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 7 = 0
 ), inserts AS (
   SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
@@ -78,7 +87,8 @@ WITH updates AS (
          coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice
   FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
 )
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 

@@ -162,7 +162,13 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Feature-extraction stub: deterministic pseudo-embedding from
     payload bytes (a real pipeline would run a vision/audio encoder
-    here — same batch loop, same output schema)."""
+    here — same batch loop, same output schema).
+
+    Component i is ``digest_byte[i % 32] / 256`` — exactly
+    representable in float32 AND recomputable in plain SQL from
+    ``sha256(payload)``, so the whole pipeline can be hash-gated
+    (the previous ``rng.normal`` draw was deterministic in Python
+    but not oracle-expressible)."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,8 +176,8 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 h = hashlib.sha256(bytes(payload)).digest()
-                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-                feats.append(rng.normal(size=dim).astype("float32"))
+                raw = (h * (dim // 32 + 1))[:dim]
+                feats.append((np.frombuffer(raw, dtype=np.uint8) / 256.0).astype("float32"))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"], "feature": feats}
             )
@@ -194,18 +200,25 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline: decode → resize (images) →
     frame-sample (videos) → feature-extract (all) → per-type summary.
-    [rows-only: binary plumbing]"""
+
+    Every stage is hash-derived (no RNG), so ``MM_PIPELINE_SQL``
+    recomputes the whole thing from ``sha256`` in DuckDB. The
+    summary metric is the mean SQUARED feature norm: each squared
+    component is an exact binary fraction (b²/65536), so the
+    double-sum is exact and partition-order-independent — hash-safe
+    where avg-of-sqrt would not be."""
     media = _media_table(spark, sf_dir)
     feats = extract_features(media)
     frames = sample_frames(media.filter(F.col("media_type") == "video"))
     resized = resize_media(media.filter(F.col("media_type") == "image"))
-    feat_norm = F.sqrt(
-        F.aggregate(
-            F.transform("feature", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x * x
-        )
+    sq_norm = F.aggregate(
+        F.transform("feature", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x * x
     )
-    per_type = feats.select("media_type", feat_norm.alias("nrm")).groupBy("media_type").agg(
-        F.count("*").alias("n_items"), F.round(F.avg("nrm"), 2).alias("avg_feat_norm")
+    per_type = feats.select("media_type", sq_norm.alias("sq")).groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        # floor (not round) at 4 dp: floor is bit-identical across
+        # engines; round's tie handling is not.
+        (F.floor(F.sum("sq") * 10000.0 / F.count("*")) / 10000.0).alias("avg_sq_norm"),
     )
     # Scalar side-counts stay in the plan (cross join of 1-row aggs)
     # instead of eager collect() jobs — the whole pipeline is one job.
@@ -213,6 +226,40 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resized.agg(F.count("*").alias("n_resized"))
     )
     return per_type.crossJoin(counts).orderBy("media_type")
+
+
+# Recomputes the pipeline in closed form from sha256(text): features
+# are digest bytes / 256 (dim=16 → first 16 digest bytes), frame
+# counts derive from the same digest field mm_decode exposes, resize
+# count is just the image-type count. Integer squares sum exactly.
+MM_PIPELINE_SQL = """
+WITH dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS dg
+  FROM documents
+), feat AS (
+  SELECT doc_id, media_type,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> ('0x' || substr(dg, 2*i-1, 2))::BIGINT
+                       * ('0x' || substr(dg, 2*i-1, 2))::BIGINT)) / 65536.0 AS sq
+  FROM dec
+), per_type AS (
+  SELECT media_type, count(*) AS n_items,
+         floor(sum(sq) * 10000.0 / count(*)) / 10000.0 AS avg_sq_norm
+  FROM feat GROUP BY media_type
+), vids AS (
+  SELECT CAST(coalesce(sum(1 + (((('0x' || substr(dg, 1, 8))::BIGINT >> 16) % 240) // 30)), 0) AS BIGINT)
+           AS n_sampled_frames
+  FROM dec WHERE media_type = 'video'
+), imgs AS (
+  SELECT count(*) AS n_resized FROM dec WHERE media_type = 'image'
+)
+SELECT media_type, n_items, avg_sq_norm, n_sampled_frames, n_resized
+FROM per_type, vids, imgs ORDER BY media_type
+"""
 
 
 PGM_SCHEMA = "doc_id long, width int, height int, n_pixels int, mean_px double, min_px int, max_px int"
@@ -441,6 +488,7 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "mm_decode": MM_DECODE_SQL,
+    "mm_pipeline": MM_PIPELINE_SQL,
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,
     "mm_wav_roundtrip": MM_WAV_ROUNDTRIP_SQL,
 }

@@ -65,7 +65,7 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum,
-       round(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac
+       round(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) * 1e0 / count(*), 4) AS frac
 FROM h GROUP BY lang ORDER BY lang
 """
 
@@ -181,15 +181,19 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
     )
-    scaled = F.pow(F.col("n_tokens"), MIX_ALPHA)
-    tot = F.sum(scaled).over(W.partitionBy())
+    # Integer 1e-3 units of the temperature-scaled mass: the global
+    # normalizer is then an exact BIGINT sum (a double sum over
+    # sources is order-dependent), and every share below is a
+    # deterministic ratio of exact integers.
+    u = F.round(F.pow(F.col("n_tokens"), MIX_ALPHA) * 1000.0).cast("long")
+    tot = F.sum(u).over(W.partitionBy())
     return (
         per_src.select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(scaled / tot, 4).alias("weight"),
-            F.floor(scaled / tot * 1000).cast("long").alias("docs_per_1000"),
+            (F.round(u * 1e0 / tot * 10000.0).cast("long") / 10000.0).alias("weight"),
+            F.floor(u * 1e0 / tot * 1000.0).cast("long").alias("docs_per_1000"),
         )
         .orderBy("source")
     )
@@ -200,11 +204,15 @@ WITH s AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
-), t AS (SELECT sum(pow(n_tokens, {MIX_ALPHA})) AS tot FROM s)
+), su AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(pow(n_tokens, {MIX_ALPHA}) * 1e3) AS BIGINT) AS u
+  FROM s
+), t AS (SELECT sum(u) AS tot FROM su)
 SELECT source, n_docs, n_tokens,
-       round(pow(n_tokens, {MIX_ALPHA}) / tot, 4) AS weight,
-       CAST(floor(pow(n_tokens, {MIX_ALPHA}) / tot * 1000) AS BIGINT) AS docs_per_1000
-FROM s, t ORDER BY source
+       CAST(round(u * 1e0 / tot * 1e4) AS BIGINT) / 1e4 AS weight,
+       CAST(floor(u * 1e0 / tot * 1e3) AS BIGINT) AS docs_per_1000
+FROM su, t ORDER BY source
 """
 
 PACK_BUDGET = 512  # tokens per training sequence
@@ -290,7 +298,7 @@ WITH RECURSIVE d AS (
 SELECT shard, CAST(bin AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(t) AS BIGINT) AS bin_tokens,
-       round(sum(t) * 1.0 / {PACK_BUDGET}, 4) AS fill_frac,
+       round(sum(t) * 1e0 / {PACK_BUDGET}, 4) AS fill_frac,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM packed GROUP BY shard, bin ORDER BY shard, bin
 """

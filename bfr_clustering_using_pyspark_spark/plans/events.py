@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fixed_sum
 from ..sources.readers import load_table
 
 SESSION_GAP_MIN = 30
@@ -27,7 +28,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fixed_sum(F.col("value")).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("window_start", "event_type")
@@ -36,7 +37,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_WINDOWED_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -71,7 +73,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # Integer-cents sum: double summation is partition-order-
+            # dependent, so the rounded total can flip vs the oracle.
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
         )
         .orderBy("user_id", "session_idx")
     )
@@ -92,7 +98,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS session_value
 FROM sessions GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 """
 
@@ -144,7 +151,12 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            # Window sums over doubles are engine-dependent too (DuckDB
+            # uses a segment tree, which reorders additions) — sum
+            # integer cents over the window instead.
+            (F.sum(F.round(F.col("value") * 100.0).cast("long")).over(w) / 100.0).alias(
+                "running_value"
+            ),
             F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("purchase_seq"),
         )
         .orderBy("user_id", "purchase_seq")
@@ -153,8 +165,9 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_RUNNING_TOTAL_SQL = """
 SELECT user_id, event_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       sum(CAST(round(value * 1e2) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) / 1e2 AS running_value,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS purchase_seq
 FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, purchase_seq
@@ -220,7 +233,7 @@ WITH ev AS (
   SELECT cohort_week, count(DISTINCT user_id) AS cohort_users FROM first_seen GROUP BY 1
 )
 SELECT a.cohort_week, week_offset, n_active, cohort_users,
-       round(n_active * 1.0 / cohort_users, 4) AS retention
+       round(n_active * 1e0 / cohort_users, 4) AS retention
 FROM active a JOIN size_ s ON a.cohort_week = s.cohort_week
 ORDER BY a.cohort_week, week_offset
 """
@@ -304,9 +317,9 @@ WITH scored AS (
   SELECT user_id, event_id, ts,
          round(c / 100.0, 2) AS value,
          round(s1 / (100.0 * n_base), 4) AS base_avg,
-         round(sqrt((n_base * s2 - s1 * s1) * 1.0 / (n_base * (n_base - 1))) / 100.0, 4) AS base_std,
+         round(sqrt((n_base * s2 - s1 * s1) * 1e0 / (n_base * (n_base - 1))) / 100.0, 4) AS base_std,
          round((round(c / 100.0, 2) - round(s1 / (100.0 * n_base), 4))
-               / round(sqrt((n_base * s2 - s1 * s1) * 1.0 / (n_base * (n_base - 1))) / 100.0, 4), 3) AS z
+               / round(sqrt((n_base * s2 - s1 * s1) * 1e0 / (n_base * (n_base - 1))) / 100.0, 4), 3) AS z
   FROM scored WHERE n_base >= {ANOMALY_MIN_N}
 )
 SELECT user_id, event_id, ts, value, base_avg, base_std, z
@@ -476,13 +489,13 @@ WITH per_user AS (
   SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
   FROM (SELECT n, c FROM arms WHERE arm = 0) a, (SELECT n, c FROM arms WHERE arm = 1) b
 )
-SELECT n0, c0, round(c0 * 1.0 / n0, 4) AS rate_a,
-       n1, c1, round(c1 * 1.0 / n1, 4) AS rate_b,
-       round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
-             / sqrt((c0 + c1) * 1.0 / (n0 + n1) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+SELECT n0, c0, round(c0 * 1e0 / n0, 4) AS rate_a,
+       n1, c1, round(c1 * 1e0 / n1, 4) AS rate_b,
+       round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
+             / sqrt((c0 + c1) * 1e0 / (n0 + n1) * (1 - (c0 + c1) * 1e0 / (n0 + n1))
                     * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat,
-       abs(round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
-             / sqrt((c0 + c1) * 1.0 / (n0 + n1) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+       abs(round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
+             / sqrt((c0 + c1) * 1e0 / (n0 + n1) * (1 - (c0 + c1) * 1e0 / (n0 + n1))
                     * (1.0 / n0 + 1.0 / n1)), 4)) > 1.96 AS significant
 FROM j
 """

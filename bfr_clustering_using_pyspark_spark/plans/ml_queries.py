@@ -25,15 +25,22 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 = F.aggregate(
         "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
+    # avg/std over integer 1e-4 norm units: double sums (and engine
+    # stddev implementations) are order-dependent; exact BIGINT
+    # moments are not. Op order mirrors CLUSTER_PROFILE_SQL exactly.
+    u = F.round(F.sqrt("norm2") * 10000.0).cast("long")
+    n = F.count("*")
+    mean_u = F.sum(u) * 1e0 / n
+    var_u = F.greatest(F.sum(u * u) * 1e0 / n - mean_u * mean_u, F.lit(0.0))
     return (
         emb.select("label", norm2.alias("norm2"))
         .groupBy("label")
         .agg(
-            F.count("*").alias("n_points"),
-            F.round(F.avg(F.sqrt("norm2")), 4).alias("avg_norm"),
-            F.round(F.stddev_pop(F.sqrt("norm2")), 4).alias("std_norm"),
-            F.round(F.min(F.sqrt("norm2")), 4).alias("min_norm"),
-            F.round(F.max(F.sqrt("norm2")), 4).alias("max_norm"),
+            n.alias("n_points"),
+            (F.round(mean_u).cast("long") / 10000.0).alias("avg_norm"),
+            (F.round(F.sqrt(var_u)).cast("long") / 10000.0).alias("std_norm"),
+            (F.round(F.min(F.sqrt("norm2")) * 10000.0).cast("long") / 10000.0).alias("min_norm"),
+            (F.round(F.max(F.sqrt("norm2")) * 10000.0).cast("long") / 10000.0).alias("max_norm"),
         )
         .orderBy("label")
     )
@@ -44,13 +51,19 @@ WITH norms AS (
   SELECT label,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
+), u AS (
+  SELECT label, nrm, CAST(round(nrm * 1e4) AS BIGINT) AS u FROM norms
+), m AS (
+  SELECT label, count(*) AS n_points, sum(u) AS s, sum(u * u) AS sq,
+         min(nrm) AS mn, max(nrm) AS mx
+  FROM u GROUP BY label
 )
-SELECT label, count(*) AS n_points,
-       round(avg(nrm), 4) AS avg_norm,
-       round(stddev_pop(nrm), 4) AS std_norm,
-       round(min(nrm), 4) AS min_norm,
-       round(max(nrm), 4) AS max_norm
-FROM norms GROUP BY label ORDER BY label
+SELECT label, n_points,
+       CAST(round(s * 1e0 / n_points) AS BIGINT) / 1e4 AS avg_norm,
+       CAST(round(sqrt(greatest(sq * 1e0 / n_points - (s * 1e0 / n_points) * (s * 1e0 / n_points), 0.0))) AS BIGINT) / 1e4 AS std_norm,
+       CAST(round(mn * 1e4) AS BIGINT) / 1e4 AS min_norm,
+       CAST(round(mx * 1e4) AS BIGINT) / 1e4 AS max_norm
+FROM m ORDER BY label
 """
 
 
@@ -60,22 +73,23 @@ def suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus all-dims totals. Map-side-combinable single aggregation."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = lambda i: F.col("embedding").getItem(i).cast("double")  # noqa: E731
+    # Per-row scale-0 round to 1e-3 units, exact BIGINT sums — the
+    # plain double sums here were the same latent order-dependence
+    # class that hash-failed q7/q9 in round 4.
+    mu = lambda c: F.sum(F.round(c * 1000.0).cast("long")) / 1000.0  # noqa: E731
     return (
         emb.groupBy("label")
         .agg(
             F.count("*").alias("n_points"),
-            *[F.round(F.sum(e(i)), 3).alias(f"sum_d{i}") for i in range(4)],
-            *[F.round(F.sum(e(i) * e(i)), 3).alias(f"sqsum_d{i}") for i in range(4)],
-            F.round(
-                F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))), 3
-            ).alias("sum_all"),
-            F.round(
-                F.sum(
-                    F.aggregate(
-                        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
-                    )
-                ),
-                3,
+            *[mu(e(i)).alias(f"sum_d{i}") for i in range(4)],
+            *[mu(e(i) * e(i)).alias(f"sqsum_d{i}") for i in range(4)],
+            mu(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))).alias(
+                "sum_all"
+            ),
+            mu(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+                )
             ).alias("sqsum_all"),
         )
         .orderBy("label")
@@ -84,16 +98,16 @@ def suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUFFSTATS_SQL = """
 SELECT label, count(*) AS n_points,
-       round(sum(CAST(embedding[1] AS DOUBLE)), 3) AS sum_d0,
-       round(sum(CAST(embedding[2] AS DOUBLE)), 3) AS sum_d1,
-       round(sum(CAST(embedding[3] AS DOUBLE)), 3) AS sum_d2,
-       round(sum(CAST(embedding[4] AS DOUBLE)), 3) AS sum_d3,
-       round(sum(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)), 3) AS sqsum_d0,
-       round(sum(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)), 3) AS sqsum_d1,
-       round(sum(CAST(embedding[3] AS DOUBLE) * CAST(embedding[3] AS DOUBLE)), 3) AS sqsum_d2,
-       round(sum(CAST(embedding[4] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)), 3) AS sqsum_d3,
-       round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 3) AS sum_all,
-       round(sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS sqsum_all
+       sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sum_d0,
+       sum(CAST(round(CAST(embedding[2] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sum_d1,
+       sum(CAST(round(CAST(embedding[3] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sum_d2,
+       sum(CAST(round(CAST(embedding[4] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sum_d3,
+       sum(CAST(round(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sqsum_d0,
+       sum(CAST(round(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sqsum_d1,
+       sum(CAST(round(CAST(embedding[3] AS DOUBLE) * CAST(embedding[3] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sqsum_d2,
+       sum(CAST(round(CAST(embedding[4] AS DOUBLE) * CAST(embedding[4] AS DOUBLE) * 1e3) AS BIGINT)) / 1e3 AS sqsum_d3,
+       sum(CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) * 1e3) AS BIGINT)) / 1e3 AS sum_all,
+       sum(CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e3) AS BIGINT)) / 1e3 AS sqsum_all
 FROM embeddings GROUP BY label ORDER BY label
 """
 
@@ -187,15 +201,15 @@ WITH base AS (
 ), tot AS (SELECT count(*) AS n FROM base),
 cont AS (SELECT pred, truth, count(*) AS nij FROM base GROUP BY pred, truth),
 mi_ AS (
-  SELECT sum((nij * 1.0 / n) * ln(nij * 1.0 * n / (ni * 1.0 * nj))) AS mi
+  SELECT sum((nij * 1e0 / n) * ln(nij * 1.0 * n / (ni * 1.0 * nj))) AS mi
   FROM cont
   JOIN (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred) USING (pred)
   JOIN (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth) USING (truth)
   CROSS JOIN tot
 ),
-hi AS (SELECT sum(-(ni * 1.0 / n) * ln(ni * 1.0 / n)) AS h_pred
+hi AS (SELECT sum(-(ni * 1e0 / n) * ln(ni * 1e0 / n)) AS h_pred
        FROM (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred) CROSS JOIN tot),
-hj AS (SELECT sum(-(nj * 1.0 / n) * ln(nj * 1.0 / n)) AS h_truth
+hj AS (SELECT sum(-(nj * 1e0 / n) * ln(nj * 1e0 / n)) AS h_truth
        FROM (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth) CROSS JOIN tot)
 SELECT round(mi / ((h_pred + h_truth) / 2.0), 6) AS nmi FROM mi_, hi, hj
 """
@@ -369,7 +383,16 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(F.broadcast(other), F.col("vec_id") != F.col("o_id"))
         .select("vec_id", "label", "o_label", F.sqrt(d2).alias("d"))
     )
-    per_cluster = pair.groupBy("vec_id", "label", "o_label").agg(F.avg("d").alias("mean_d"))
+    # Integer 1e-6-unit distance sums: every avg/min/ratio downstream
+    # is then a deterministic function of exact BIGINTs (plain double
+    # avgs are summation-order-dependent across engines).
+    per_cluster = pair.groupBy("vec_id", "label", "o_label").agg(
+        (
+            F.sum(F.round(F.col("d") * 1000000.0).cast("long")) * 1.0
+            / F.count("*")
+            / 1000000.0
+        ).alias("mean_d")
+    )
     a = per_cluster.filter(F.col("label") == F.col("o_label")).select(
         "vec_id", "label", F.col("mean_d").alias("a")
     )
@@ -379,10 +402,16 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("mean_d").alias("b"))
     )
     s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    s_units = F.round(s * 1000000.0).cast("long")
     return (
         a.join(b, "vec_id")
         .groupBy("label")
-        .agg(F.count("*").alias("n_points"), F.round(F.avg(s), 4).alias("mean_silhouette"))
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.round(F.sum(s_units) * 1e0 / F.count("*") / 100.0).cast("long") / 10000.0
+            ).alias("mean_silhouette"),
+        )
         .orderBy("label")
     )
 
@@ -396,14 +425,17 @@ WITH base AS (
          sqrt(list_sum(list_transform(list_zip(p.v, q.v), t -> (t[1] - t[2]) * (t[1] - t[2])))) AS d
   FROM base p JOIN base q ON p.vec_id <> q.vec_id
 ), per_cluster AS (
-  SELECT vec_id, label, o_label, avg(d) AS mean_d FROM pair GROUP BY 1, 2, 3
+  SELECT vec_id, label, o_label,
+         sum(CAST(round(d * 1e6) AS BIGINT)) * 1e0 / count(*) / 1e6 AS mean_d
+  FROM pair GROUP BY 1, 2, 3
 ), a AS (
   SELECT vec_id, label, mean_d AS a FROM per_cluster WHERE label = o_label
 ), b AS (
   SELECT vec_id, min(mean_d) AS b FROM per_cluster WHERE label <> o_label GROUP BY 1
 )
 SELECT label, CAST(count(*) AS BIGINT) AS n_points,
-       round(avg((b - a) / greatest(a, b)), 4) AS mean_silhouette
+       CAST(round(sum(CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT)) * 1.0
+                  / count(*) / 1e2) AS BIGINT) / 1e4 AS mean_silhouette
 FROM a JOIN b USING (vec_id)
 GROUP BY label ORDER BY label
 """

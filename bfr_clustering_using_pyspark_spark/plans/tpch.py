@@ -7,8 +7,11 @@ Scale notes (100 TB posture):
   ratios) are broadcast explicitly so the fact-table scan never
   shuffles for them.
 - Aggregates are partial (map-side combine) by construction.
-- Floating-point outputs are rounded to 2 decimals so results are
-  stable across engines (gate hashes exact values).
+- Money aggregates use the fixed-point integer-unit pattern
+  (functions/numeric.py): double summation is partition-order-
+  dependent and round(x, k>=1) tie-handling differs across engines,
+  so rounded double sums are not hash-stable. Integer-valued
+  columns (l_quantity) keep plain sums — those are exact.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.numeric import fixed_avg, fixed_sum
 from ..sources.readers import load_table
 
 
@@ -28,14 +32,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            fixed_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fixed_avg(F.col("l_extendedprice")).alias("avg_price"),
+            fixed_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -45,12 +49,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e2) AS BIGINT)) / 1e2 AS sum_charge,
        round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e2 AS avg_price,
+       CAST(round(sum(CAST(round(l_discount * 1e4) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e4 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -70,7 +74,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast at small SF and sort-merge at cluster scale.
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -78,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -109,14 +113,14 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -140,12 +144,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice * l_discount * 1e2) AS BIGINT)) / 1e2 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -163,7 +167,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"), F.count("*").alias("n_orders"))
+        .agg(fixed_sum(F.col("o_totalprice")).alias("total_spent"), F.count("*").alias("n_orders"))
         # customer scales with SF — AQE decides; nation stays hinted.
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -179,7 +183,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOP_CUSTOMERS_SQL = """
 WITH per_cust AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS total_spent, count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ), ranked AS (
   SELECT n_name, c_custkey, c_name, total_spent, n_orders,
@@ -253,13 +257,13 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("n_cust"))
+        .agg(fixed_sum(F.col("c_acctbal")).alias("total_bal"), F.count("*").alias("n_cust"))
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
 
 
 Q_ROLLUP_SQL = """
-SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+SELECT r_name, n_name, sum(CAST(round(c_acctbal * 1e2) AS BIGINT)) / 1e2 AS total_bal, count(*) AS n_cust
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

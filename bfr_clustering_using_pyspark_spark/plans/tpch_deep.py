@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.numeric import fixed_point, fixed_sum
 from ..sources.readers import load_table
 
 
@@ -40,9 +41,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
+    # Integer-cents sum: double summation is partition-order-dependent,
+    # so per-row round-to-cents then BIGINT sum keeps the hash
+    # deterministic across engines (same pattern as q11).
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(rev_cents) / 100.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -50,7 +55,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 1e2 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -80,16 +85,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
+    # Integer-cents sum for cross-engine hash determinism (see q7).
+    profit_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         joined.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 1e2 AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -148,12 +155,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_branded.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # Cents-sum first (order-independent), then one scale-0 round
+        # of the deterministic /7 quotient.
+        .agg(
+            fixed_point(
+                F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")) / 100.0 / 7.0
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 / 7.0 * 1e2) AS BIGINT) / 1e2 AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#2'
   AND l_quantity < (
@@ -176,8 +189,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Exact-cents mean: the threshold is a FILTER boundary, so an
+    # order-dependent double avg could flip a borderline customer's
+    # membership between engines.
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_pos_bal")
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / F.count("*") / 100.0
+        ).alias("avg_pos_bal")
     )
     return (
         cust.crossJoin(broadcast(avg_bal))
@@ -187,16 +205,18 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            fixed_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("nation")
     )
 
 
 Q22_SQL = """
-SELECT n_name AS nation, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT n_name AS nation, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 1e2) AS BIGINT)) / 1e2 AS totacctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 1e2) AS BIGINT)) / count(*) / 1e2
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -288,16 +308,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
         supp.s_nationkey == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Integer-cents sums so the share ratio is a deterministic
+    # double; one scale-0 round at 1e-6 units replaces round(x, 6).
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_region, orders.o_custkey == cust_region.c_custkey, "left_semi")
         .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(0.0))
-                / F.sum(rev),
+            fixed_point(
+                F.sum(F.when(F.col("supp_nation") == "NATION_0", rev_cents).otherwise(F.lit(0)))
+                * 1.0
+                / F.sum(rev_cents),
                 6,
             ).alias("mkt_share")
         )
@@ -307,9 +330,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_0'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       CAST(round(sum(CASE WHEN n2.n_name = 'NATION_0'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT) ELSE 0 END)
+             * 1e0 / sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT))
+             * 1e6) AS BIGINT) / 1e6 AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -338,7 +362,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
         .localCheckpoint(eager=True)
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
@@ -356,7 +380,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = """
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.numeric import fixed_avg, fixed_point, fixed_sum
 from ..sources.readers import load_table
 
 
@@ -63,7 +64,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -71,7 +72,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -116,14 +117,18 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_cents = F.round(rev * 100.0).cast("long")
     return (
         # part scales with SF — no broadcast hint, AQE decides.
         li.join(part, li.l_partkey == part.p_partkey)
+        # Both sums as integer cents (order-independent); the ratio of
+        # two exact BIGINTs is a deterministic double, so one scale-0
+        # round at 1e-4 units is hash-safe (round(x, 4) is not).
         .agg(
-            F.round(
+            fixed_point(
                 100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev_cents).otherwise(F.lit(0)))
+                / F.sum(rev_cents),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -131,9 +136,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT CAST(round(1e2 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT) ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT))
+             * 1e4) AS BIGINT) / 1e4 AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
@@ -213,14 +219,14 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 5 AND l_quantity >= 10)
@@ -291,9 +297,12 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread over key×16 reducers."""
     ev = load_table(spark, sf_dir, "events")
     salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    # Partials carry integer cents so the two-level (salted) sum is
+    # exact and order-independent — a double `ps` partial would make
+    # the final sum partition-order-dependent.
     partial = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("pn"),
-        F.sum("value").alias("ps"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("ps"),
         F.min("value").alias("pmin"),
         F.max("value").alias("pmax"),
     )
@@ -301,10 +310,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.round(F.sum("ps"), 2).alias("total_value"),
-            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_value"),
-            F.round(F.min("pmin"), 2).alias("min_value"),
-            F.round(F.max("pmax"), 2).alias("max_value"),
+            (F.sum("ps") / 100.0).alias("total_value"),
+            (F.round(F.sum("ps") * 100.0 / F.sum("pn")).cast("long") / 10000.0).alias("avg_value"),
+            fixed_point(F.min("pmin")).alias("min_value"),
+            fixed_point(F.max("pmax")).alias("max_value"),
         )
         .orderBy("event_type")
     )
@@ -312,10 +321,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SALTED_AGG_SQL = """
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
-       round(sum(value) / count(*), 4) AS avg_value,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value,
+       CAST(round(sum(CAST(round(value * 1e2) AS BIGINT)) * 1e2 / count(*)) AS BIGINT) / 1e4 AS avg_value,
+       CAST(round(min(value) * 1e2) AS BIGINT) / 1e2 AS min_value,
+       CAST(round(max(value) * 1e2) AS BIGINT) / 1e2 AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -377,7 +386,17 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.round(F.avg("value").over(w), 4).alias("ma7"),
+            # Integer-cents window sum / window count: sliding-frame
+            # double sums differ across engines (segment-tree vs
+            # running re-add) — exact BIGINT frames do not.
+            (
+                F.round(
+                    F.sum(F.round(F.col("value") * 100.0).cast("long")).over(w)
+                    * 100.0
+                    / F.count("*").over(w)
+                ).cast("long")
+                / 10000.0
+            ).alias("ma7"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -385,8 +404,13 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MOVING_AVG_SQL = """
 SELECT user_id, event_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+       CAST(round(sum(CAST(round(value * 1e2) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  * 1e2
+                  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            AS BIGINT) / 1e4 AS ma7
 FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, event_id
 """
@@ -402,7 +426,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         long.groupBy("p_brand", "measure")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(fixed_avg(F.col("value"), 4).alias("avg_value"), F.count("*").alias("n"))
         .orderBy("p_brand", "measure")
     )
 
@@ -413,7 +437,9 @@ WITH long AS (
   UNION ALL
   SELECT p_brand, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
 )
-SELECT p_brand, measure, round(avg(value), 4) AS avg_value, count(*) AS n
+SELECT p_brand, measure,
+       CAST(round(sum(CAST(round(value * 1e4) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e4 AS avg_value,
+       count(*) AS n
 FROM long GROUP BY p_brand, measure ORDER BY p_brand, measure
 """
 
@@ -435,7 +461,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.avg("days_to_month_end"), 4).alias("avg_days_to_month_end"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            fixed_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("yr", "qtr")
     )
@@ -447,7 +473,7 @@ SELECT extract(year FROM o_orderdate) AS yr,
        count(*) AS n_orders,
        round(avg(date_diff('day', CAST(o_orderdate AS DATE),
                            last_day(CAST(o_orderdate AS DATE)))), 4) AS avg_days_to_month_end,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS total
 FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
 """
 
@@ -488,20 +514,23 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery filter: orders above the global average price,
     counted per priority (decorrelates to a broadcast scalar)."""
     orders = load_table(spark, sf_dir, "orders")
-    avg_price = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    # Exact-cents mean for the threshold: it's a filter boundary, so
+    # an order-dependent double avg could flip borderline rows.
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    avg_price = orders.agg(F.sum(cents) / F.count("*") / 100.0).collect()[0][0]
     return (
         orders.filter(F.col("o_totalprice") > avg_price)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_above_avg"), F.round(F.avg("o_totalprice"), 2).alias("avg_above"))
+        .agg(F.count("*").alias("n_above_avg"), fixed_avg(F.col("o_totalprice")).alias("avg_above"))
         .orderBy("o_orderpriority")
     )
 
 
 Q_SCALAR_SUBQUERY_SQL = """
 SELECT o_orderpriority, count(*) AS n_above_avg,
-       round(avg(o_totalprice), 2) AS avg_above
+       CAST(round(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e2 AS avg_above
 FROM orders
-WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > (SELECT sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / count(*) / 1e2 FROM orders)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
@@ -598,7 +627,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping_id() AS BIGINT) AS gid,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               -- 1e2: a plain 100.0 literal is DECIMAL in Spark
+               -- SQL and would make the division decimal-typed
+               sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2D AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
@@ -610,7 +642,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                         (o_orderstatus, o_orderpriority))
@@ -627,7 +660,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        fixed_sum(F.col("o_totalprice")).alias("revenue"),
     )
     bounds = orders.agg(
         F.to_date(F.min("o_orderdate")).alias("lo"), F.to_date(F.max("o_orderdate")).alias("hi")
@@ -644,8 +677,17 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w7 = W.orderBy("day").rowsBetween(-6, 0)
+    # revenue is exact cents/100, so round(revenue*100) recovers exact
+    # cents; integer window sums are engine-order-independent.
     return (
-        dense.withColumn("avg_7d", F.round(F.avg("revenue").over(w7), 2))
+        dense.withColumn(
+            "avg_7d",
+            F.round(
+                F.sum(F.round(F.col("revenue") * 100.0).cast("long")).over(w7)
+                / F.count("*").over(w7)
+            ).cast("long")
+            / 100.0,
+        )
         .orderBy("day")
     )
 
@@ -653,7 +695,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GAP_FILL_SQL = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS revenue
   FROM orders GROUP BY 1
 ), spine AS (
   SELECT unnest(generate_series((SELECT min(day) FROM daily),
@@ -665,7 +707,11 @@ WITH daily AS (
   FROM spine s LEFT JOIN daily d ON s.day = d.day
 )
 SELECT day, n_orders, revenue,
-       round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d
+       CAST(round(sum(CAST(round(revenue * 1e2) AS BIGINT))
+                    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  * 1.0
+                  / count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            AS BIGINT) / 1e2 AS avg_7d
 FROM dense ORDER BY day
 """
 
@@ -729,7 +775,7 @@ SELECT '{key}' AS key_name,
        CAST(max(n) AS BIGINT) AS max_key_rows,
        round(quantile_cont(n, 0.5), 2) AS p50_key_rows,
        round(quantile_cont(n, 0.99), 2) AS p99_key_rows,
-       round(max(n) * count(*) * 1.0 / sum(n), 2) AS skew_factor
+       round(max(n) * count(*) * 1e0 / sum(n), 2) AS skew_factor
 FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {key})
 """
 
@@ -1029,7 +1075,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        # Exact cents: monetary is an ntile SORT key, so even a
+        # last-ulp cross-engine difference could flip a quintile.
+        fixed_sum(F.col("o_totalprice")).alias("monetary"),
     )
     r = F.ntile(5).over(W.orderBy(F.desc("last_order"), "o_custkey"))
     fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey"))
@@ -1048,7 +1096,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_RFM_SEGMENTATION_SQL = """
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
-         count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS monetary
   FROM orders GROUP BY 1
 ), scored AS (
   SELECT o_custkey,
@@ -1119,8 +1168,8 @@ pair_n AS (
   SELECT p_brand, count(*) AS n FROM ob GROUP BY 1
 )
 SELECT a AS brand_a, b AS brand_b,
-       round(n_ab * 1.0 / n_orders, 5) AS support,
-       round(n_ab * 1.0 / na.n, 5) AS confidence,
+       round(n_ab * 1e0 / n_orders, 5) AS support,
+       round(n_ab * 1e0 / na.n, 5) AS confidence,
        round(n_ab * 1.0 * n_orders / (na.n * nb.n), 4) AS lift
 FROM pair_n, tot
 JOIN brand_n na ON pair_n.a = na.p_brand
@@ -1142,8 +1191,12 @@ def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
+    # Partials carry integer cents: BIGINT sums merge losslessly AND
+    # deterministically (a double `rev` partial re-sums in partition
+    # order, which flips the last bit across engines — r4 hash-FAIL).
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.count("*").alias("n"), F.sum("o_totalprice").alias("rev")
+        F.count("*").alias("n"), F.sum(cents).alias("rev_cents")
     )
     mv = tempfile.mkdtemp(prefix="mv_daily_")
     daily.write.mode("overwrite").parquet(mv)
@@ -1152,19 +1205,27 @@ def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily_mv.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
         .agg(
             F.sum("n").alias("n_orders"),
-            F.round(F.sum("rev"), 2).alias("revenue"),
-            F.round(F.sum("rev") / F.sum("n"), 4).alias("avg_order_value"),
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+            # avg to 4 dp via integer units of 1e-4: cents/100/n * 1e4
+            (F.round(F.sum("rev_cents") * 100.0 / F.sum("n")).cast("long") / 10000.0).alias(
+                "avg_order_value"
+            ),
         )
         .orderBy("month")
     )
 
 
 Q_MV_ROLLUP_SQL = """
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+WITH cents AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT month,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue,
-       round(sum(o_totalprice) / count(*), 4) AS avg_order_value
-FROM orders GROUP BY 1 ORDER BY month
+       sum(c) / 1e2 AS revenue,
+       CAST(round(sum(c) * 1e2 / count(*)) AS BIGINT) / 1e4 AS avg_order_value
+FROM cents GROUP BY 1 ORDER BY month
 """
 
 

@@ -45,7 +45,25 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. The engine defines its
+    timestamp semantics as UTC (matching DuckDB's naive-timestamp
+    reading of ``timestamp[us]`` parquet), but callers may hand us a
+    vanilla SparkSession — where NTZ→TIMESTAMP casts and ``unix_*``
+    functions would silently follow the host timezone. Idempotent,
+    runtime-settable; applied at every source entry point.
+    (Unconditional set: conf.get validates its *default* argument as
+    a timezone, so a read-compare-set dance fails on fresh sessions.)"""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
+    if name == "events":
+        # Harmless for micro/NTZ data; makes a TIMESTAMP(NANOS) file
+        # scan as LONG (instead of failing at scan time) so
+        # normalize_ts's LongType branch can actually fire.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_ts(df)

@@ -31,8 +31,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch scan of the same path (footer metadata only — no data
     # read) so the stream always agrees with what's on disk, then
     # normalize ts exactly as the batch reader does.
-    from ..sources.readers import normalize_ts
+    from ..sources.readers import ensure_utc, normalize_ts
 
+    ensure_utc(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -41,8 +42,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the parent as basePath and picks up late-arriving files
         .load(f"{sf_dir}/events*.parquet")
     )
-    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); session tz is
-    # pinned to UTC so the cast is value-preserving.
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); ensure_utc
+    # above pins the session tz so the cast is value-preserving even
+    # under a caller-provided vanilla session on a non-UTC host.
     return normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -82,7 +84,9 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Integer-cents sum — double sums are partition-order-
+            # dependent, so the replay oracle could mismatch by 1 cent.
+            (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -117,7 +121,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0).alias("session_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -194,13 +201,16 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         for ts, value in zip(rows["ts"], rows["value"]):
             t_ms = int(ts.value // 10**6)
             if last_ms is not None and t_ms - last_ms > gap_ms:
-                done.append((user_id, start_ms, last_ms, n_events, round(total, 2)))
+                done.append((user_id, start_ms, last_ms, n_events, total / 100.0))
                 start_ms, n_events, total = t_ms, 0, 0.0
             if start_ms is None:
                 start_ms = t_ms
             last_ms = t_ms
             n_events += 1
-            total += float(value)
+            # Integer-cents accumulation (floor(x+0.5) == round-half-
+            # away for the positive values here) — exact, order-free,
+            # and Python's banker's round() never enters the hash.
+            total += float(np.floor(float(value) * 100.0 + 0.5))
         state.update((start_ms, last_ms, n_events, total))
         # timeout may not be earlier than the current watermark
         state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
@@ -232,18 +242,22 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[int, np.ndarray] = {}
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
+        # Partials in integer cents (and cents²) so cross-batch and
+        # cross-partition accumulation is exact — the double-sum
+        # version could drift a hash-checked 4th decimal.
+        cents = F.round(F.col("value") * 100.0).cast("long")
         part = (
             batch_df.groupBy((F.col("user_id") % 8).alias("bucket"))
             .agg(
                 F.count("*").alias("n"),
-                F.sum("value").alias("s"),
-                F.sum(F.col("value") * F.col("value")).alias("sq"),
+                F.sum(cents).alias("s"),
+                F.sum(cents * cents).alias("sq"),
             )
             .collect()
         )
         for row in part:
-            acc = state.setdefault(int(row["bucket"]), np.zeros(3))
-            acc += np.array([row["n"], row["s"], row["sq"]])
+            acc = state.setdefault(int(row["bucket"]), np.zeros(3, dtype=np.int64))
+            acc += np.array([row["n"], row["s"], row["sq"]], dtype=np.int64)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (
@@ -254,17 +268,25 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    rows = [
-        {
-            "bucket": b,
-            "n": int(acc[0]),
-            "mean_value": round(acc[1] / acc[0], 4) if acc[0] else 0.0,
-            "std_value": round(float(np.sqrt(max(acc[2] / acc[0] - (acc[1] / acc[0]) ** 2, 0.0))), 4)
-            if acc[0]
-            else 0.0,
-        }
-        for b, acc in sorted(state.items())
-    ]
+    def _fixed4(x: float) -> float:
+        # scale-0 round at 1e-4 units; floor(x+0.5) == round-half-away
+        # for the non-negative stats here (Python round() is banker's).
+        return float(np.floor(x * 10000.0 + 0.5)) / 10000.0
+
+    rows = []
+    for b, acc in sorted(state.items()):
+        n, s, sq = (int(v) for v in acc)
+        # identical op order to the SQL oracle: cents → dollars late
+        mean = s * 1e0 / n / 100.0 if n else 0.0
+        var = sq * 1e0 / n / 10000.0 - mean * mean if n else 0.0
+        rows.append(
+            {
+                "bucket": b,
+                "n": n,
+                "mean_value": _fixed4(mean) if n else 0.0,
+                "std_value": _fixed4(float(np.sqrt(max(var, 0.0)))) if n else 0.0,
+            }
+        )
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
@@ -281,7 +303,8 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_EVENTS_WINDOW_SQL = """
 WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value
 FROM events GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 ORDER BY 1, 2
@@ -312,7 +335,8 @@ WITH flagged AS (
   SELECT user_id,
          CAST(min(ts) AS TIMESTAMP) AS session_start,
          CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
-         count(*) AS n_events, round(sum(value), 2) AS session_value
+         count(*) AS n_events,
+         sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS session_value
   FROM sessions GROUP BY user_id, session_idx
 )
 SELECT user_id, session_start, session_end, n_events, session_value
@@ -352,7 +376,7 @@ WITH flagged AS (
   SELECT user_id, session_idx,
          epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
          CAST(count(*) AS INT) AS n_events,
-         round(sum(value), 2) AS session_value
+         sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS session_value
   FROM sessions GROUP BY user_id, session_idx
 )
 SELECT user_id, start_ms, end_ms, n_events, session_value
@@ -361,14 +385,24 @@ WHERE session_idx < (SELECT max(session_idx) FROM agg a2 WHERE a2.user_id = agg.
 ORDER BY user_id, start_ms
 """
 
-# Replicates the kernel's formula (sqrt(E[x²] − E[x]²)) rather than
-# DuckDB's stddev_pop so both sides round identical doubles.
+# Replicates the kernel's formula (sqrt(E[x²] − E[x]²)) in the
+# kernel's exact op order, over the same integer cents/cents²
+# accumulators, so both sides round identical doubles.
 STREAM_BFR_UPDATE_SQL = """
-SELECT user_id % 8 AS bucket, count(*) AS n,
-       round(sum(value) / count(*), 4) AS mean_value,
-       round(sqrt(greatest(sum(value * value) / count(*)
-                           - (sum(value) / count(*)) * (sum(value) / count(*)), 0.0)), 4) AS std_value
-FROM events GROUP BY 1 ORDER BY 1
+WITH c AS (
+  SELECT user_id % 8 AS bucket,
+         CAST(round(value * 1e2) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT bucket, count(*) AS n,
+         sum(c) * 1e0 / count(*) / 100.0 AS mean,
+         sum(c * c) * 1e0 / count(*) / 10000.0 AS ex2
+  FROM c GROUP BY 1
+)
+SELECT bucket, n,
+       CAST(round(mean * 1e4) AS BIGINT) / 1e4 AS mean_value,
+       CAST(round(sqrt(greatest(ex2 - mean * mean, 0.0)) * 1e4) AS BIGINT) / 1e4 AS std_value
+FROM m ORDER BY 1
 """
 
 
@@ -394,7 +428,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user) grain in the stream (state O(users)), roll up to segment
     # after the drain where distinct is just a row count
     agg = joined.groupBy("c_mktsegment", "user_id").agg(
-        F.count("*").alias("n"), F.sum("value").alias("s")
+        F.count("*").alias("n"),
+        # integer-cents partial: the two-level sum stays exact
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("s"),
     )
     out = _run_to_memory(agg, "stream_static_join_sink", mode="complete")
     return (
@@ -402,7 +438,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_purchases"),
             F.count("*").alias("n_users"),
-            F.round(F.sum("s"), 2).alias("revenue"),
+            (F.sum("s") / 100.0).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -412,7 +448,7 @@ STREAM_STATIC_JOIN_SQL = """
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(sum(value), 2) AS revenue
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS revenue
 FROM events JOIN customer ON user_id = c_custkey
 WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY c_mktsegment

@@ -26,7 +26,10 @@ def canon(value):
             return "nan"
         if value == int(value) and abs(value) < 1e15:
             return str(int(value))
-        return f"{value:.6g}"
+        # Full precision (shortest round-trip repr): the driver's hash
+        # is bit-exact, so a lossy canon here (the old %.6g) passed
+        # queries the driver failed (r4: q7/q9/merge/mv float-cents).
+        return repr(value)
     if isinstance(value, bool):
         return str(int(value))
     if isinstance(value, (list, tuple)):

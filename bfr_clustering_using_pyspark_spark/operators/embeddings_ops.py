@@ -132,7 +132,7 @@ WITH tok AS (
   SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
 ), tot AS (SELECT count(*) AS n FROM documents),
 scored AS (
-  SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 6) AS tfidf
+  SELECT doc_id, term, round(tf * ln(n * 1e0 / df), 6) AS tfidf
   FROM tf JOIN df_ USING (term) CROSS JOIN tot
 )
 SELECT doc_id, term, tfidf, rnk

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fixed_sum
 from ..sources.readers import load_table
 
 
@@ -60,11 +61,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("3-MEDIUM").alias("o_orderpriority"),
     )
     merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
-    # Integer-cents sum for cross-engine hash determinism (see q7).
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         merged.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), (F.sum(cents) / 100.0).alias("total"))
+        .agg(F.count("*").alias("n"), fixed_sum(F.col("o_totalprice")).alias("total"))
         .orderBy("o_orderstatus")
     )
 

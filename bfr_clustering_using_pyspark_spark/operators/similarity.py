@@ -730,7 +730,7 @@ WITH truth AS (
 )
 SELECT nt.q_id, n_truth,
        CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-       round(coalesce(n_hit, 0) * 1.0 / n_truth, 4) AS recall
+       round(coalesce(n_hit, 0) * 1e0 / n_truth, 4) AS recall
 FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id
 ORDER BY nt.q_id
 """

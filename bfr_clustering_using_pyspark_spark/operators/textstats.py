@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fixed_avg_int
 from ..sources.readers import load_table
 
 TOKEN_RE = "[a-z0-9]+"
@@ -106,15 +107,15 @@ WITH t AS (
 SELECT doc_id,
        length(text) AS n_chars_actual,
        len(toks) AS n_tokens,
-       round(length(replace(text, ' ', '')) * 1.0 / greatest(len(toks), 1), 4) AS mean_word_len,
-       round(n_punct * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
-       round(n_digit * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
-       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+       round(length(replace(text, ' ', '')) * 1e0 / greatest(len(toks), 1), 4) AS mean_word_len,
+       round(n_punct * 1e0 / greatest(length(text), 1), 4) AS punct_ratio,
+       round(n_digit * 1e0 / greatest(length(text), 1), 4) AS digit_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
              / greatest(len(toks), 1), 4) AS stopword_ratio,
        CAST(length(text) >= 50
-            AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+            AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
                 / greatest(len(toks), 1) > 0.05
-            AND n_punct * 1.0 / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
+            AND n_punct * 1e0 / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
 FROM t ORDER BY doc_id
 """
 
@@ -284,7 +285,7 @@ def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            fixed_avg_int(F.col("n_tokens"), 4).alias("avg_tokens"),
         )
         .orderBy("source")
     )
@@ -297,7 +298,7 @@ WITH keyed AS (
          md5(coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '), '')) AS k
   FROM documents
   WHERE length(text) >= 50
-    AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / greatest(length(text), 1) < 0.3
+    AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0 / greatest(length(text), 1) < 0.3
 ), survivors AS (
   SELECT * FROM (
     SELECT doc_id, source, n_tokens,
@@ -305,7 +306,8 @@ WITH keyed AS (
     FROM keyed
   ) WHERE is_dup = 0
 )
-SELECT source, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+SELECT source, count(*) AS n_docs,
+       CAST(round(sum(n_tokens) * 1e4 / count(n_tokens)) AS BIGINT) / 1e4 AS avg_tokens
 FROM survivors GROUP BY source ORDER BY source
 """
 
@@ -416,10 +418,10 @@ WITH base AS (
   FROM filtered
 ), gram_stats AS (
   SELECT doc_id, n_tokens,
-         round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 4) AS dup_3gram_frac
+         round(1.0 - len(list_distinct(tg)) * 1e0 / len(tg), 4) AS dup_3gram_frac
   FROM grams
 ), top_tok AS (
-  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_token_frac
+  SELECT doc_id, round(max(c) * 1e0 / sum(c), 4) AS top_token_frac
   FROM (SELECT doc_id, tok, count(*) AS c
         FROM (SELECT doc_id, unnest(toks) AS tok FROM filtered) u
         GROUP BY doc_id, tok) g
@@ -564,7 +566,7 @@ WITH toks AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
 ), lm_q AS (
   SELECT tok,
-         CAST(round(-ln(cnt * 1.0 / (SELECT sum(cnt) FROM lm)) * {LOGPROB_SCALE}, 0) AS BIGINT) AS q
+         CAST(round(-ln(cnt * 1e0 / (SELECT sum(cnt) FROM lm)) * {LOGPROB_SCALE}, 0) AS BIGINT) AS q
   FROM lm
 ), scored AS (
   SELECT doc_id,

@@ -118,6 +118,8 @@ _CONVERTED_THIS_ROUND = (
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
     "q5_local_supplier", "q_top_customers", "q_rollup",
     "q10_returned_items", "q19_disjunctive",
+    # second review pass: integer-cents window sums / fixed int-avgs
+    "q_survivorship", "q_range_join", "q_outer_join", "text_clean_pipeline",
 )
 
 

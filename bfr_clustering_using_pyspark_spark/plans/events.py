@@ -75,9 +75,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             # Integer-cents sum: double summation is partition-order-
             # dependent, so the rounded total can flip vs the oracle.
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
-                "session_value"
-            ),
+            fixed_sum(F.col("value")).alias("session_value"),
         )
         .orderBy("user_id", "session_idx")
     )

@@ -201,7 +201,7 @@ WITH base AS (
 ), tot AS (SELECT count(*) AS n FROM base),
 cont AS (SELECT pred, truth, count(*) AS nij FROM base GROUP BY pred, truth),
 mi_ AS (
-  SELECT sum((nij * 1e0 / n) * ln(nij * 1.0 * n / (ni * 1.0 * nj))) AS mi
+  SELECT sum((nij * 1e0 / n) * ln(nij * 1e0 * n / (ni * 1e0 * nj))) AS mi
   FROM cont
   JOIN (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred) USING (pred)
   JOIN (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth) USING (truth)
@@ -388,7 +388,7 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avgs are summation-order-dependent across engines).
     per_cluster = pair.groupBy("vec_id", "label", "o_label").agg(
         (
-            F.sum(F.round(F.col("d") * 1000000.0).cast("long")) * 1.0
+            F.sum(F.round(F.col("d") * 1000000.0).cast("long")) * 1e0
             / F.count("*")
             / 1000000.0
         ).alias("mean_d")
@@ -434,7 +434,7 @@ WITH base AS (
   SELECT vec_id, min(mean_d) AS b FROM per_cluster WHERE label <> o_label GROUP BY 1
 )
 SELECT label, CAST(count(*) AS BIGINT) AS n_points,
-       CAST(round(sum(CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT)) * 1.0
+       CAST(round(sum(CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT)) * 1e0
                   / count(*) / 1e2) AS BIGINT) / 1e4 AS mean_silhouette
 FROM a JOIN b USING (vec_id)
 GROUP BY label ORDER BY label

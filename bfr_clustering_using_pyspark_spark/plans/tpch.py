@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.numeric import fixed_avg, fixed_sum
+from ..functions.numeric import fixed_avg, fixed_avg_int, fixed_sum
 from ..sources.readers import load_table
 
 
@@ -37,7 +37,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            fixed_avg_int(F.col("l_quantity")).alias("avg_qty"),
             fixed_avg(F.col("l_extendedprice")).alias("avg_price"),
             fixed_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -52,7 +52,7 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 AS sum_base_price,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) / 1e2 AS sum_disc_price,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e2) AS BIGINT)) / 1e2 AS sum_charge,
-       round(avg(l_quantity), 2) AS avg_qty,
+       CAST(round(sum(l_quantity) * 1e2 / count(l_quantity)) AS BIGINT) / 1e2 AS avg_qty,
        CAST(round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e2 AS avg_price,
        CAST(round(sum(CAST(round(l_discount * 1e4) AS BIGINT)) * 1e0 / count(*)) AS BIGINT) / 1e4 AS avg_disc,
        count(*) AS count_order
@@ -336,13 +336,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_fast_ship"), F.round(F.avg("l_quantity"), 2).alias("avg_qty"))
+        .agg(F.count("*").alias("n_fast_ship"), fixed_avg_int(F.col("l_quantity")).alias("avg_qty"))
         .orderBy("o_orderpriority")
     )
 
 
 Q_RANGE_JOIN_SQL = """
-SELECT o_orderpriority, count(*) AS n_fast_ship, round(avg(l_quantity), 2) AS avg_qty
+SELECT o_orderpriority, count(*) AS n_fast_ship,
+       CAST(round(sum(l_quantity) * 1e2 / count(l_quantity)) AS BIGINT) / 1e2 AS avg_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate
   AND l_shipdate <= CAST(o_orderdate AS DATE) + INTERVAL 7 DAY

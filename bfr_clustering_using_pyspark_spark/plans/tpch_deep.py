@@ -41,13 +41,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    # Integer-cents sum: double summation is partition-order-dependent,
-    # so per-row round-to-cents then BIGINT sum keeps the hash
-    # deterministic across engines (same pattern as q11).
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg((F.sum(rev_cents) / 100.0).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -85,11 +81,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    # Integer-cents sum for cross-engine hash determinism (see q7).
-    profit_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         joined.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
+        .agg(fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -319,7 +313,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             fixed_point(
                 F.sum(F.when(F.col("supp_nation") == "NATION_0", rev_cents).otherwise(F.lit(0)))
-                * 1.0
+                * 1e0
                 / F.sum(rev_cents),
                 6,
             ).alias("mkt_share")

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.numeric import fixed_avg, fixed_point, fixed_sum
+from ..functions.numeric import fixed_avg, fixed_avg_int, fixed_point, fixed_sum
 from ..sources.readers import load_table
 
 
@@ -245,7 +245,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            fixed_avg_int(F.col("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
         )
@@ -255,7 +255,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(round(sum(CAST(json_extract_string(props, '$.k') AS INT)) * 1e4
+                  / count(CAST(json_extract_string(props, '$.k') AS INT))) AS BIGINT) / 1e4 AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS n_high_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -360,7 +361,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.count(F.when(F.col("n_orders").isNull(), 1)).alias("n_without_orders"),
-            F.round(F.avg(F.coalesce("n_orders", F.lit(0))), 4).alias("avg_orders"),
+            fixed_avg_int(F.coalesce("n_orders", F.lit(0)), 4).alias("avg_orders"),
         )
         .orderBy("c_mktsegment")
     )
@@ -369,7 +370,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_OUTER_JOIN_SQL = """
 SELECT c_mktsegment, count(*) AS n_customers,
        count(CASE WHEN n_orders IS NULL THEN 1 END) AS n_without_orders,
-       round(avg(coalesce(n_orders, 0)), 4) AS avg_orders
+       CAST(round(sum(coalesce(n_orders, 0)) * 1e4 / count(coalesce(n_orders, 0))) AS BIGINT) / 1e4 AS avg_orders
 FROM customer
 LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
   ON c_custkey = o_custkey
@@ -460,7 +461,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "qtr")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("days_to_month_end"), 4).alias("avg_days_to_month_end"),
+            fixed_avg_int(F.col("days_to_month_end"), 4).alias("avg_days_to_month_end"),
             fixed_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("yr", "qtr")
@@ -471,8 +472,10 @@ Q_DATE_FUNCS_SQL = """
 SELECT extract(year FROM o_orderdate) AS yr,
        extract(quarter FROM o_orderdate) AS qtr,
        count(*) AS n_orders,
-       round(avg(date_diff('day', CAST(o_orderdate AS DATE),
-                           last_day(CAST(o_orderdate AS DATE)))), 4) AS avg_days_to_month_end,
+       CAST(round(sum(date_diff('day', CAST(o_orderdate AS DATE),
+                                last_day(CAST(o_orderdate AS DATE)))) * 1e4
+                  / count(date_diff('day', CAST(o_orderdate AS DATE),
+                                    last_day(CAST(o_orderdate AS DATE))))) AS BIGINT) / 1e4 AS avg_days_to_month_end,
        sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS total
 FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
 """
@@ -709,7 +712,7 @@ WITH daily AS (
 SELECT day, n_orders, revenue,
        CAST(round(sum(CAST(round(revenue * 1e2) AS BIGINT))
                     OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                  * 1.0
+                  * 1e0
                   / count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
             AS BIGINT) / 1e2 AS avg_7d
 FROM dense ORDER BY day
@@ -1170,7 +1173,7 @@ pair_n AS (
 SELECT a AS brand_a, b AS brand_b,
        round(n_ab * 1e0 / n_orders, 5) AS support,
        round(n_ab * 1e0 / na.n, 5) AS confidence,
-       round(n_ab * 1.0 * n_orders / (na.n * nb.n), 4) AS lift
+       round(n_ab * 1e0 * n_orders / (na.n * nb.n), 4) AS lift
 FROM pair_n, tot
 JOIN brand_n na ON pair_n.a = na.p_brand
 JOIN brand_n nb ON pair_n.b = nb.p_brand

@@ -57,13 +57,21 @@ def ensure_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def enable_nanos_scan(spark: SparkSession) -> None:
+    """Scan TIMESTAMP(NANOS) parquet as LONG instead of failing at
+    scan time, so ``normalize_ts``'s LongType branch can fire.
+    Harmless for micro/NTZ data. NOTE: the conf is session-wide and
+    cannot be scoped temporally (scans are lazy) — if some OTHER
+    table ever carried a nanos column, it would scan as raw LONG
+    without normalization; only events has time columns in this
+    schema, so the trade is deliberate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
     if name == "events":
-        # Harmless for micro/NTZ data; makes a TIMESTAMP(NANOS) file
-        # scan as LONG (instead of failing at scan time) so
-        # normalize_ts's LongType branch can actually fire.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        enable_nanos_scan(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_ts(df)

@@ -81,9 +81,9 @@ WITH t AS (
   SELECT lang,
          CAST(length(text) >= 50
               AND len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                                  x -> x IN ('the','a','and','of','to','in','is','on'))) * 1.0
+                                  x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
                   / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) > 0.05
-              AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
+              AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0
                   / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
   FROM documents
 )

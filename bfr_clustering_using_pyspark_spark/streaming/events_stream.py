@@ -26,14 +26,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numeric import fixed_sum
+
+
+def _half_away(x: float) -> float:
+    """Round-half-away-from-zero on a double — what SQL ``round(x)``
+    does in both Spark and DuckDB. Python's built-in ``round`` is
+    banker's and must never feed a hash-gated value."""
+    return float(np.floor(x + 0.5)) if x >= 0 else float(np.ceil(x - 0.5))
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-source streams need an explicit schema; derive it from a
     # batch scan of the same path (footer metadata only — no data
     # read) so the stream always agrees with what's on disk, then
     # normalize ts exactly as the batch reader does.
-    from ..sources.readers import ensure_utc, normalize_ts
+    from ..sources.readers import enable_nanos_scan, ensure_utc, normalize_ts
 
     ensure_utc(spark)
+    # same nanos defense as the batch reader — without it, a
+    # TIMESTAMP(NANOS) events file would fail this schema probe (and
+    # the stream scan) before normalize_ts's LONG branch could fire
+    enable_nanos_scan(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -86,7 +99,7 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             # Integer-cents sum — double sums are partition-order-
             # dependent, so the replay oracle could mismatch by 1 cent.
-            (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0).alias("total_value"),
+            fixed_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -123,7 +136,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0).alias("session_value"),
+            fixed_sum(F.col("value")).alias("session_value"),
         )
         .select(
             "user_id",
@@ -207,10 +220,9 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 start_ms = t_ms
             last_ms = t_ms
             n_events += 1
-            # Integer-cents accumulation (floor(x+0.5) == round-half-
-            # away for the positive values here) — exact, order-free,
-            # and Python's banker's round() never enters the hash.
-            total += float(np.floor(float(value) * 100.0 + 0.5))
+            # Integer-cents accumulation — exact, order-free, and
+            # sign-correct (half away from zero, like SQL round)
+            total += _half_away(float(value) * 100.0)
         state.update((start_ms, last_ms, n_events, total))
         # timeout may not be earlier than the current watermark
         state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
@@ -269,9 +281,9 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     def _fixed4(x: float) -> float:
-        # scale-0 round at 1e-4 units; floor(x+0.5) == round-half-away
-        # for the non-negative stats here (Python round() is banker's).
-        return float(np.floor(x * 10000.0 + 0.5)) / 10000.0
+        # scale-0 round at 1e-4 units, half away from zero like the
+        # SQL oracle's round() (Python round() is banker's)
+        return _half_away(x * 10000.0) / 10000.0
 
     rows = []
     for b, acc in sorted(state.items()):

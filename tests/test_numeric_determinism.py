@@ -83,10 +83,13 @@ def test_fixed_sum_null_and_negative(spark):
 
 # ---------------------------------------------------------------- oracle lint
 
-# round(sum(...)) / round(avg(...)) over doubles is order-dependent;
-# round(<expr>, k>=1) is tie-divergent. Integer-valued aggregation
-# arguments are exact (sums of ints < 2^53 are order-free), so they
-# are allowed — matched by prefix below, or vetted per-key.
+# round(sum(...)) over doubles is order-dependent; round(<expr>,
+# k>=1) is tie-divergent EVEN for int/int ratios (107/40 = 2.675
+# exactly), so round(avg(...)) is forbidden outright — use
+# fixed_avg/fixed_avg_int. round(sum(...)) is allowed only when the
+# summed column is integer-valued (exact, order-free sums) AND the
+# surrounding expression is the scale-0 `round(sum(x) * 1eK / ...)`
+# shape or a plain passthrough of an already-exact value.
 _INT_VALUED = (
     r"l_quantity|n_orders|n_events|n_tokens|n_chars|new_session|cnt|"
     r"count|\bn\b|\bt\b|steps?|c_custkey|grouping|rank\(\)|"
@@ -94,15 +97,13 @@ _INT_VALUED = (
     r"CAST\(json_extract_string|c\) \*"
 )
 
-# keys whose round(sum/avg(...)) hits were hand-vetted as exact-int
+# keys whose round(sum(...)) hits were hand-vetted as exact-int
 _VETTED_KEYS = {
-    "q_date_funcs",     # avg(date_diff(...)) — int days
-    "q_events_json",    # avg(CAST(... AS INT))
-    "q_outer_join",     # avg(coalesce(n_orders, 0)) — int counts
     "q_mv_rollup",      # round(sum(c) * 1e2 / count) — c is BIGINT cents
 }
 
 _ROUND_AGG = re.compile(r"round\s*\(\s*(sum|avg)\s*\(", re.IGNORECASE)
+_ROUND_AVG = re.compile(r"round\s*\(\s*avg\s*\(", re.IGNORECASE)
 
 
 def _oracles():
@@ -117,6 +118,11 @@ def test_oracle_has_no_unsafe_round_aggregate(name, sql):
     either aggregate an integer-valued column or use the fixed-point
     pattern (round happens per-row before the sum, or at scale 0 on a
     ratio of exact integers)."""
+    assert not _ROUND_AVG.search(sql), (
+        f"{name}: `round(avg(...), k)` is tie-divergent across engines even "
+        f"for integer ratios (107/40 = 2.675 exactly) — use the "
+        f"fixed_avg/fixed_avg_int shapes from functions/numeric.py"
+    )
     if name in _VETTED_KEYS:
         return
     for m in _ROUND_AGG.finditer(sql):
@@ -140,4 +146,7 @@ def test_oracle_divides_bigint_by_double_literal(name, sql):
     flips the result type for the SQL-API parity suite."""
     assert not re.search(r"AS BIGINT\)\)?\s*/\s*1?0+\.0", sql), (
         f"{name}: BIGINT / <decimal literal> — use a 1eN literal instead"
+    )
+    assert not re.search(r"\*\s*1\.0\b", sql), (
+        f"{name}: `* 1.0` is a DECIMAL literal in Spark SQL — use `* 1e0`"
     )

@@ -583,7 +583,60 @@ ORDER BY doc_id
 """
 
 
+CHUNK_TOKENS = 32  # RAG chunk window (documents avg ~54 tokens)
+CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed token windows
+    (``CHUNK_TOKENS`` wide, every ``CHUNK_STRIDE`` tokens) with a
+    content hash per chunk — the step between a cleaned corpus and a
+    retrieval index / packed training sequences. A chunk starts at
+    every stride boundary below the token count, so every token is
+    covered and adjacent chunks overlap by ``CHUNK_TOKENS −
+    CHUNK_STRIDE`` tokens.
+
+    Integer-only plan (sequence → explode → slice → md5): no float
+    enters the result, so the oracle hash is exact by construction.
+    Scale: chunking is map-only over the documents scan (explode is
+    linear per doc, no shuffle until the final sort) — at 100 TB it
+    runs at parquet-scan speed like the rest of this module."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") > 0
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    chunk = F.slice("toks", F.col("s") + 1, CHUNK_TOKENS)
+    return (
+        base.select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(toks[s + 1 : s + {CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM starts ORDER BY doc_id, chunk_start
+"""
+
+
 QUERIES = {
+    "doc_chunk": doc_chunk,
     "text_unigram_logprob": text_unigram_logprob,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
@@ -599,6 +652,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk": DOC_CHUNK_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

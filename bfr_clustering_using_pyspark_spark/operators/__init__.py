@@ -5,6 +5,7 @@ Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
 from . import (
+    curate,
     dedup,
     dq,
     embeddings_ops,
@@ -20,6 +21,7 @@ from . import (
 
 _MODULES = (
     textstats,
+    curate,
     dedup,
     similarity,
     multimodal,

@@ -1,0 +1,147 @@
+"""End-to-end corpus curation funnel.
+
+``corpus_curate`` chains the individual pipeline operators this
+package already ships — quality gate → canonical exact-dedup →
+benchmark decontamination → RAG chunking — into ONE DataFrame plan
+and reports the funnel: one row per stage with docs-in / docs-out.
+This is the shape of a real training-data build: the per-stage
+operators (textstats.text_quality, dedup.dedup_exact,
+sampling.decontaminate, textstats.doc_chunk) are the unit-testable
+faces; this is the composition a pipeline run would actually submit.
+
+Scale notes:
+- All per-doc flags are computed in ONE pass over the documents
+  scan; the only shuffles are the canonical-key window (hash on
+  k_canon) and the shingle join (hash on the 4-gram), both keyed on
+  data-bounded values — the same posture as the standalone ops.
+- The eval-suite side of the decontamination join is fixed-size in
+  production (eval suites don't grow with the corpus) and would
+  broadcast; here it scales with SF so the hint is left to AQE.
+- Every output is an integer count — nothing in the result depends
+  on float summation order or rounding, so the oracle hash is exact
+  by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .sampling import DECON_N, _DECON_SHINGLE, _ngram_shingles
+from .textstats import CHUNK_STRIDE, TOKEN_RE, _tokens, quality_flag_expr
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel. Stage semantics (each stage filters the
+    previous stage's survivors):
+
+    1. ``quality`` — the composite gate from ``text_quality``.
+    2. ``dedup`` — keep the smallest doc_id per canonical
+       (normalized-token-stream) md5 key AMONG quality survivors.
+    3. ``decontam`` — drop eval-suite members (doc_id % 97 == 0, the
+       same held-out convention as ``decontaminate``) and any doc
+       sharing a 4-token shingle with that suite.
+    4. ``chunk`` — docs_out is the TOTAL CHUNK COUNT the survivors
+       produce under ``doc_chunk``'s 32/24 windows (ceil(n/24), one
+       chunk per stride boundary).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        quality_flag_expr(F.col("text")).alias("q"),
+        F.md5(F.array_join(_tokens(F.col("text")), " ")).alias("k_canon"),
+    ).withColumn("n_toks", F.size("toks"))
+    # dedup among quality survivors: smallest passing doc_id per key
+    keep_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(W.partitionBy("k_canon"))
+    flagged = base.withColumn("survives_dedup", F.col("q") & (F.col("doc_id") == keep_id))
+    # eval-suite shingles come from the FULL corpus (the suite is
+    # external input — its members' quality is irrelevant)
+    sh = base.filter(F.size("toks") >= DECON_N).select(
+        "doc_id", F.explode(_ngram_shingles(DECON_N)).alias("sh")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 97 != 0).join(bench, "sh").select("doc_id").distinct()
+    )
+    final = (
+        flagged.filter("survives_dedup")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    # exact integer chunk count: one chunk per stride boundary < n
+    n_chunks = F.sum(F.expr(f"CAST((n_toks + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE} AS BIGINT)"))
+    counts = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("q").cast("long")).alias("n1"),
+        F.sum(F.col("survives_dedup").cast("long")).alias("n2"),
+    )
+    finals = final.agg(F.count("*").alias("n3"), n_chunks.alias("n4"))
+    row = counts.crossJoin(F.broadcast(finals))
+    stages = [
+        ("1_quality", "n0", "n1"),
+        ("2_dedup", "n1", "n2"),
+        ("3_decontam", "n2", "n3"),
+        ("4_chunk", "n3", "n4"),
+    ]
+    out = None
+    for name, cin, cout in stages:
+        stage_row = row.select(
+            F.lit(name).alias("stage"),
+            F.col(cin).alias("docs_in"),
+            F.col(cout).alias("docs_out"),
+        )
+        out = stage_row if out is None else out.unionByName(stage_row)
+    return out.orderBy("stage")
+
+
+CORPUS_CURATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         md5(coalesce(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE}'), ' '), '')) AS k_canon,
+         (length(text) >= 50
+          AND len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                              x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
+              / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1) > 0.05
+          AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0
+              / greatest(length(text), 1) < 0.3) AS q
+  FROM documents
+), flagged AS (
+  SELECT *, len(toks) AS n_toks,
+         q AND doc_id = min(CASE WHEN q THEN doc_id END) OVER (PARTITION BY k_canon)
+           AS survives_dedup
+  FROM base
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([{_DECON_SHINGLE}
+                                       for i in generate_series(1, len(toks) - {DECON_N - 1})])) AS sh
+  FROM base WHERE len(toks) >= {DECON_N}
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0) b USING (sh)
+  WHERE c.doc_id % 97 <> 0
+), final AS (
+  SELECT f.* FROM flagged f
+  WHERE survives_dedup AND doc_id % 97 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = f.doc_id)
+), counts AS (
+  SELECT (SELECT count(*) FROM flagged) AS n0,
+         (SELECT count(*) FROM flagged WHERE q) AS n1,
+         (SELECT count(*) FROM flagged WHERE survives_dedup) AS n2,
+         (SELECT count(*) FROM final) AS n3,
+         (SELECT coalesce(sum((n_toks + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}), 0) FROM final) AS n4
+)
+SELECT '1_quality' AS stage, CAST(n0 AS BIGINT) AS docs_in, CAST(n1 AS BIGINT) AS docs_out FROM counts
+UNION ALL
+SELECT '2_dedup', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM counts
+UNION ALL
+SELECT '3_decontam', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM counts
+UNION ALL
+SELECT '4_chunk', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM counts
+ORDER BY stage
+"""
+
+
+QUERIES = {"corpus_curate": corpus_curate}
+ORACLES = {"corpus_curate": CORPUS_CURATE_SQL}

@@ -1,0 +1,68 @@
+"""corpus_curate: the end-to-end curation funnel must agree with the
+standalone operators it composes."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tools.check_correctness import table_hash
+
+
+def _funnel(spark):
+    from bfr_clustering_using_pyspark_spark.operators.curate import corpus_curate
+
+    rows = corpus_curate(spark, SF_SMALL).collect()
+    return {r["stage"]: (r["docs_in"], r["docs_out"]) for r in rows}
+
+
+def test_funnel_matches_duckdb(spark, duck):
+    from bfr_clustering_using_pyspark_spark.operators.curate import (
+        CORPUS_CURATE_SQL,
+        corpus_curate,
+    )
+
+    sdf = corpus_curate(spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(CORPUS_CURATE_SQL)
+    assert table_hash(sdf.columns, srows) == table_hash(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+
+
+def test_funnel_is_monotone_and_chained(spark):
+    f = _funnel(spark)
+    assert set(f) == {"1_quality", "2_dedup", "3_decontam", "4_chunk"}
+    # each filter stage can only shrink the corpus
+    for stage in ("1_quality", "2_dedup", "3_decontam"):
+        din, dout = f[stage]
+        assert 0 <= dout <= din
+    # stages chain: docs_in of stage k+1 == docs_out of stage k
+    assert f["2_dedup"][0] == f["1_quality"][1]
+    assert f["3_decontam"][0] == f["2_dedup"][1]
+    assert f["4_chunk"][0] == f["3_decontam"][1]
+    # chunking expands: >= one chunk per surviving doc
+    assert f["4_chunk"][1] >= f["4_chunk"][0]
+
+
+def test_funnel_stage1_matches_text_quality(spark):
+    from bfr_clustering_using_pyspark_spark.operators.textstats import text_quality
+
+    f = _funnel(spark)
+    tq = text_quality(spark, SF_SMALL)
+    n_pass = tq.filter(F.col("passes_quality") == 1).count()
+    assert f["1_quality"] == (tq.count(), n_pass)
+
+
+def test_funnel_stage3_consistent_with_decontaminate(spark):
+    from bfr_clustering_using_pyspark_spark.operators.sampling import decontaminate
+
+    f = _funnel(spark)
+    # the funnel's decontam drop (eval members + contaminated docs
+    # among dedup survivors) can never exceed the corpus-wide
+    # contaminated count plus the eval-member count
+    contaminated_all = decontaminate(spark, SF_SMALL).count()
+    din, dout = f["3_decontam"]
+    dropped = din - dout
+    from bfr_clustering_using_pyspark_spark.sources.readers import load_table
+
+    n_eval = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 97 == 0).count()
+    assert 0 <= dropped <= contaminated_all + n_eval

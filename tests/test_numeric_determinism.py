@@ -81,6 +81,55 @@ def test_fixed_sum_null_and_negative(spark):
     assert row["s"] == -0.01
 
 
+def test_fixed_sum_cross_engine_randomized(spark, duck):
+    """The actual cross-engine contract, fuzzed: Spark fixed_sum /
+    fixed_avg must produce bit-identical doubles to the documented
+    DuckDB oracle shapes on adversarial inputs — exact half-cent
+    ties, near-tie decimals, negatives, and uniform noise."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.functions.numeric import fixed_avg, fixed_sum
+
+    rng = random.Random(20260814)
+    xs = []
+    for _ in range(400):
+        kind = rng.randrange(4)
+        if kind == 0:  # exact half-cent ties (X.XX5 with dyadic reprs mixed in)
+            xs.append((rng.randrange(-10**6, 10**6) * 2 + 1) / 2000.0)
+        elif kind == 1:  # classic non-representable tie decimals
+            xs.append(rng.randrange(-10**4, 10**4) + rng.randrange(1000) / 1000.0 + 0.0005)
+        elif kind == 2:  # plain cents
+            xs.append(rng.randrange(-10**8, 10**8) / 100.0)
+        else:  # uniform noise
+            xs.append(rng.uniform(-5e4, 5e4))
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    srow = sdf.agg(
+        fixed_sum(F.col("x")).alias("s"), fixed_avg(F.col("x")).alias("a")
+    ).collect()[0]
+    values = ",".join(f"({x!r})" for x in xs)
+    orow = duck.execute(
+        f"SELECT sum(CAST(round(x * 1e2) AS BIGINT)) / 1e2 AS s, "
+        f"CAST(round(sum(CAST(round(x * 1e2) AS BIGINT)) * 1e0 / count(x)) AS BIGINT) / 1e2 AS a "
+        f"FROM (VALUES {values}) t(x)"
+    ).fetchone()
+    # bit-exact, not approx — this is the hash-gate contract
+    assert srow["s"] == orow[0]
+    assert srow["a"] == orow[1]
+
+
+def test_half_away_negative_ties():
+    from bfr_clustering_using_pyspark_spark.streaming.events_stream import _half_away
+
+    assert _half_away(0.5) == 1.0
+    assert _half_away(-0.5) == -1.0
+    assert _half_away(2.5) == 3.0
+    assert _half_away(-2.5) == -3.0
+    assert _half_away(-333.49999999999994) == -333.0
+    assert _half_away(0.0) == 0.0
+
+
 # ---------------------------------------------------------------- oracle lint
 
 # round(sum(...)) over doubles is order-dependent; round(<expr>,

@@ -635,8 +635,72 @@ FROM starts ORDER BY doc_id, chunk_start
 """
 
 
+BOILER_MIN_DOCS = 2  # a chunk shared by >= this many docs is boilerplate
+
+
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at chunk granularity (the RefinedWeb /
+    Gopher line-dedup move at window scale): a 32-token chunk whose
+    content hash appears in >= ``BOILER_MIN_DOCS`` distinct documents
+    is boilerplate (headers, footers, templated passages); emit each
+    doc's chunk count, boilerplate-chunk count, and boilerplate
+    fraction so a curation pass can drop or trim offenders.
+
+    Scale: one hash shuffle on chunk_hash for document frequency;
+    the boilerplate set is small by construction (it is the repeated
+    tail), so the join back is broadcast-able at any corpus size.
+    Integer-only outputs; the fraction uses the scale-0 fixed-point
+    shape (int/int ratios have engine-divergent round(x, 4) ties)."""
+    chunks = doc_chunk(spark, sf_dir)
+    df = chunks.groupBy("chunk_hash").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = df.filter(F.col("df") >= BOILER_MIN_DOCS).select(
+        "chunk_hash", F.lit(1).alias("is_boiler")
+    )
+    return (
+        chunks.join(boiler, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boiler",
+            (F.round(F.col("n_boiler") * 1e4 / F.col("n_chunks")).cast("long") / 1e4).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_BOILERPLATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+  FROM t WHERE len(toks) > 0
+), ch AS (
+  SELECT doc_id, md5(array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+  FROM starts
+), df AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+), flagged AS (
+  SELECT c.doc_id, CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END AS is_boiler
+  FROM ch c JOIN df d USING (chunk_hash)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+       CAST(round(sum(is_boiler) * 1e4 / count(*)) AS BIGINT) / 1e4 AS boiler_frac
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunk": doc_chunk,
+    "chunk_boilerplate": chunk_boilerplate,
     "text_unigram_logprob": text_unigram_logprob,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
@@ -653,6 +717,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_chunk": DOC_CHUNK_SQL,
+    "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

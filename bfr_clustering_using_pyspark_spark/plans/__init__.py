@@ -71,7 +71,7 @@ _COST_S = {
     "text_pii_scrub": 5.8, "dedup_components": 8.7,
     "stream_components": 13.3, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
-    "doc_chunk": 0.4, "corpus_curate": 1.2,
+    "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
     "ann_ivf_partitioned": 2.6,
     "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,

@@ -55,3 +55,33 @@ def test_doc_chunk_coverage_and_overlap(spark):
     # every doc produced at least one chunk; chunk sizes are capped
     assert j.count() == docs.count()
     assert chunks.filter(F.col("n_chunk_tokens") > CHUNK_TOKENS).count() == 0
+
+
+def test_chunk_boilerplate_matches_duckdb(spark, duck):
+    from bfr_clustering_using_pyspark_spark.operators.textstats import (
+        CHUNK_BOILERPLATE_SQL,
+        chunk_boilerplate,
+    )
+
+    sdf = chunk_boilerplate(spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(CHUNK_BOILERPLATE_SQL)
+    assert len(srows) > 0
+    assert table_hash(sdf.columns, srows) == table_hash(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+
+
+def test_chunk_boilerplate_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.operators.textstats import chunk_boilerplate
+
+    out = chunk_boilerplate(spark, SF_SMALL)
+    bad = out.filter(
+        (F.col("n_boiler") > F.col("n_chunks"))
+        | (F.col("n_boiler") < 0)
+        | (F.col("boiler_frac") < 0)
+        | (F.col("boiler_frac") > 1)
+    )
+    assert bad.count() == 0

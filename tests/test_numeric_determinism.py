@@ -143,7 +143,7 @@ _INT_VALUED = (
     r"l_quantity|n_orders|n_events|n_tokens|n_chars|new_session|cnt|"
     r"count|\bn\b|\bt\b|steps?|c_custkey|grouping|rank\(\)|"
     r"CASE WHEN bucket|date_diff\(|coalesce\(n_orders|"
-    r"CAST\(json_extract_string|c\) \*"
+    r"CAST\(json_extract_string|c\) \*|is_boiler"
 )
 
 # keys whose round(sum(...)) hits were hand-vetted as exact-int

@@ -2,6 +2,7 @@ from .events_stream import (
     STREAM_BFR_UPDATE_SQL,
     STREAM_DEDUP_SQL,
     STREAM_EVENTS_WINDOW_SQL,
+    STREAM_LATE_DATA_SQL,
     STREAM_SESSION_WINDOW_SQL,
     STREAM_SESSIONIZE_STATEFUL_SQL,
     STREAM_STATIC_JOIN_SQL,
@@ -9,6 +10,7 @@ from .events_stream import (
     stream_bfr_update,
     stream_dedup,
     stream_events_window,
+    stream_late_data,
     stream_session_window,
     stream_sessionize_stateful,
     stream_static_join,
@@ -28,6 +30,7 @@ QUERIES = {
     "stream_components": stream_components,
     "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
+    "stream_late_data": stream_late_data,
     "stream_dedup": stream_dedup,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "stream_session_window": stream_session_window,
@@ -45,6 +48,9 @@ ORACLES: dict[str, str] = {
     # stateless filter + complete-mode agg: drained result ≡ batch agg
     "stream_quality_filter": STREAM_QUALITY_FILTER_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
+    # multi-batch replay with calibrated drop/emit watermark rules —
+    # the staged straggler population makes late-drop really happen
+    "stream_late_data": STREAM_LATE_DATA_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,
     "stream_session_window": STREAM_SESSION_WINDOW_SQL,

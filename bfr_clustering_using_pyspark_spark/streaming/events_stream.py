@@ -16,6 +16,8 @@ regardless of stream volume.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 from typing import Iterator
 
@@ -61,6 +63,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# per-query StreamingQueryProgress dicts from the most recent drain —
+# tests assert engine metrics (e.g. numRowsDroppedByWatermark) against
+# oracle predictions
+LAST_PROGRESS: dict[str, list] = {}
+
+
 def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
     spark = stream_df.sparkSession
     # Stateful streaming pays a per-partition state-store cost each
@@ -81,6 +89,7 @@ def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") 
                 .start()
             )
             q.awaitTermination()
+            LAST_PROGRESS[query_name] = list(q.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
@@ -454,6 +463,127 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, staged so lateness actually
+    happens: events are re-staged into four micro-batch files by
+    calendar week (days 1-8 / 9-16 / 17-24 / 25-31), with every 25th
+    event (``event_id % 25 == 0``, a 4% straggler population) held
+    back two batches. The stream replays the four files in order
+    (``maxFilesPerTrigger=1``, mtime-staged) through a 1-hour
+    tumbling aggregation under a 30-minute watermark and drains with
+    AvailableNow.
+
+    Calibrated semantics the oracle replays exactly (verified with
+    controlled micro-batch experiments on this Spark build):
+
+    - DROP: a row arriving in micro-batch ``b`` is discarded iff its
+      window END <= max event time over batches ``0..b-2`` minus the
+      delay — the watermark in effect while batch ``b`` runs is the
+      one committed at the END of batch ``b-1``, computed from data
+      through ``b-2``. The comparison is on the window end, not the
+      raw timestamp: a late row whose window is still open is merged,
+      only rows for already-evicted windows are dropped.
+    - EMIT (append mode): exactly the windows whose end <= final
+      watermark (global max - delay; equality emits). The trailing
+      partial hour never leaves the state store.
+
+    At scale the watermark is the state-store bound: without it a
+    30-day replay holds every hourly window open; with it, state is
+    O(windows inside the lateness horizon) and the engine's
+    numRowsDroppedByWatermark metric reports exactly the rows this
+    oracle predicts as dropped.
+    """
+    from ..sources.readers import ensure_utc, load_table
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    week = F.floor((F.dayofmonth("ts") - 1) / 8).cast("int")
+    batch = (
+        F.when(F.col("event_id") % 25 == 0, F.least(week + 2, F.lit(3)))
+        .otherwise(week)
+    )
+    staged = ev.withColumn("batch", batch)
+
+    stage_dir = tempfile.mkdtemp(prefix="late_stage_")
+    try:
+        for b in range(4):
+            path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
+            (
+                staged.filter(F.col("batch") == b)
+                .drop("batch")
+                .coalesce(1)
+                .write.parquet(path)
+            )
+            # file-source replay order is (mtime, path): pin mtimes so
+            # micro-batch order is deterministic across filesystems
+            os.utime(path, (1_000_000 + b, 1_000_000 + b))
+            for part in os.listdir(path):
+                os.utime(
+                    os.path.join(path, part), (1_000_000 + b, 1_000_000 + b)
+                )
+        schema = spark.read.parquet(
+            os.path.join(stage_dir, "batch_000.parquet")
+        ).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(os.path.join(stage_dir, "batch_*.parquet"))
+        )
+        agg = (
+            raw.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                fixed_sum(F.col("value")).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        out = _run_to_memory(agg, "stream_late_data_sink", mode="append")
+        return out.orderBy("window_start")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+STREAM_LATE_DATA_SQL = """
+WITH base AS (
+  SELECT event_id, ts, value,
+         CASE WHEN event_id % 25 = 0
+              THEN LEAST(CAST(floor((date_part('day', ts) - 1) / 8) AS INT) + 2, 3)
+              ELSE CAST(floor((date_part('day', ts) - 1) / 8) AS INT)
+         END AS batch
+  FROM events
+),
+bmax AS (SELECT batch, max(ts) AS mx FROM base GROUP BY batch),
+th AS (
+  SELECT batch,
+         max(mx) OVER (ORDER BY batch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL 30 MINUTE AS thresh
+  FROM bmax
+),
+kept AS (
+  SELECT b.ts, b.value
+  FROM base b JOIN th ON b.batch = th.batch
+  WHERE th.thresh IS NULL
+     OR date_trunc('hour', b.ts) + INTERVAL 1 HOUR > th.thresh
+),
+fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS fwm FROM base)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value
+FROM kept, fin
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fwm
+GROUP BY 1 ORDER BY window_start
+"""
 
 
 STREAM_STATIC_JOIN_SQL = """

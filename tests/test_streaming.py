@@ -65,3 +65,49 @@ def test_stream_countmin_equals_batch_sketch(spark):
         assert r["total_count"] == n_tokens
         assert r["max_counter"] >= n_tokens // 1024
         assert r["n_buckets_used"] <= 1024
+
+
+def test_stream_late_data_drop_metric_matches_oracle(spark, duck):
+    """The engine's numRowsDroppedByWatermark must equal the oracle's
+    predicted drop count (calibrated rule: a row in micro-batch b is
+    dropped iff its window end <= max_ts(batches 0..b-2) - delay),
+    and the emitted aggregate must hash-match the oracle replay."""
+    from bfr_clustering_using_pyspark_spark.streaming import ORACLES
+    from bfr_clustering_using_pyspark_spark.streaming.events_stream import (
+        LAST_PROGRESS,
+    )
+
+    out = QUERIES["stream_late_data"](spark, SF_SMALL).collect()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in LAST_PROGRESS["stream_late_data_sink"]
+        for s in (p.get("stateOperators") or [])
+    )
+    predicted = duck.execute(
+        """
+        WITH base AS (
+          SELECT event_id, ts,
+                 CASE WHEN event_id % 25 = 0
+                      THEN LEAST(CAST(floor((date_part('day', ts) - 1) / 8) AS INT) + 2, 3)
+                      ELSE CAST(floor((date_part('day', ts) - 1) / 8) AS INT)
+                 END AS batch
+          FROM events),
+        bmax AS (SELECT batch, max(ts) AS mx FROM base GROUP BY batch),
+        th AS (SELECT batch,
+                      max(mx) OVER (ORDER BY batch
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                        - INTERVAL 30 MINUTE AS thresh
+               FROM bmax)
+        SELECT count(*) FROM base b JOIN th ON b.batch = th.batch
+        WHERE th.thresh IS NOT NULL
+          AND date_trunc('hour', b.ts) + INTERVAL 1 HOUR <= th.thresh
+        """
+    ).fetchone()[0]
+    assert predicted > 0  # the staged stragglers make lateness real
+    assert dropped == predicted
+
+    oracle = duck.execute(ORACLES["stream_late_data"]).fetchall()
+    assert len(out) == len(oracle)
+    got = {r["window_start"]: (r["n_events"], r["total_value"]) for r in out}
+    want = {r[0]: (r[1], r[2]) for r in oracle}
+    assert got == want

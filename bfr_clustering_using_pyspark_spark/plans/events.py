@@ -548,8 +548,57 @@ FROM conv
 """
 
 
+def q_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (vs ``q_moving_avg``'s ROWS
+    frame): per event, the count and integer-cents value sum of all
+    same-type events in the trailing 6 HOURS of the same calendar
+    day. The frame is defined on the time axis (``RANGE BETWEEN
+    INTERVAL``), so tied timestamps are peers — every row with the
+    same instant shares one frame, which ROWS frames cannot express.
+
+    Spark has no interval literal for range frames; the equivalent is
+    a ``rangeBetween`` over ``unix_micros(ts)`` with the interval in
+    microseconds — bit-identical bounds to the oracle's
+    ``RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW``.
+
+    Scale: partitioning by (event_type, calendar day) keeps window
+    partitions bounded and their COUNT growing with time, not data
+    volume — a per-type global window would funnel 100 TB through
+    |types| tasks."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type", F.to_date("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-6 * 3600 * 1_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).alias("n_6h"),
+            (
+                F.sum(F.round(F.col("value") * 100.0).cast("long")).over(w)
+                / 100.0
+            ).alias("v_6h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_TIME_RANGE_AGG_SQL = """
+SELECT event_id, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_6h,
+       sum(CAST(round(value * 1e2) AS BIGINT)) OVER w / 1e2 AS v_6h
+FROM events
+WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q_events_windowed": q_events_windowed,
+    "q_time_range_agg": q_time_range_agg,
     "q_events_anomaly": q_events_anomaly,
     "q_mad_outliers": q_mad_outliers,
     "q_path_3grams": q_path_3grams,
@@ -563,6 +612,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_windowed": Q_EVENTS_WINDOWED_SQL,
+    "q_time_range_agg": Q_TIME_RANGE_AGG_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,

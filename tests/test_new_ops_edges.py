@@ -167,3 +167,46 @@ def test_unigram_logprob_semantics(spark):
     for r in rows:
         assert r["avg_neg_logprob"] > 0
         assert r["n_tokens"] > 0
+
+
+def test_time_range_frame_ties_are_peers(spark, tmp_path):
+    """RANGE interval frames treat tied timestamps as peers: rows at
+    the same instant include EACH OTHER in their frames (a ROWS frame
+    cannot express this). Also checks the 6h trailing bound and the
+    calendar-day partition reset."""
+    import datetime as dt
+
+    from bfr_clustering_using_pyspark_spark.plans.events import q_time_range_agg
+
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        # two events at the SAME instant -> peers, both frames n=2
+        (1, base, "purchase", 1.0),
+        (2, base, "purchase", 2.0),
+        # 5h59m later: inside the 6h trailing bound of nothing before
+        # it except the peers -> n=3
+        (3, base + dt.timedelta(hours=5, minutes=59), "purchase", 4.0),
+        # 6h01m after base: base pair now outside -> frame = row 3 + self
+        (4, base + dt.timedelta(hours=6, minutes=1), "purchase", 8.0),
+        # next calendar day: partition resets -> n=1
+        (5, base + dt.timedelta(days=1), "purchase", 16.0),
+        # different type, same instant as base: separate partition
+        (6, base, "view", 32.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "value"]
+    )
+    pdf["user_id"] = 1
+    pdf["props"] = "{}"
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+    out = {
+        r["event_id"]: (r["n_6h"], r["v_6h"])
+        for r in q_time_range_agg(spark, sf_dir).collect()
+    }
+    assert out[1] == (2, 3.0) and out[2] == (2, 3.0)  # peers see each other
+    assert out[3] == (3, 7.0)
+    assert out[4] == (2, 12.0)  # base pair aged out of the 6h bound
+    assert out[5] == (1, 16.0)  # day partition reset
+    assert out[6] == (1, 32.0)  # per-type partition

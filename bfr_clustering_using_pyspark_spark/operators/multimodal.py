@@ -360,6 +360,127 @@ SELECT doc_id,
 FROM px GROUP BY doc_id, width, height ORDER BY doc_id
 """
 
+PGM_RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, out_width int, "
+    "out_height int, mean_px double, min_px int, max_px int"
+)
+
+
+def mm_pgm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image TRANSFORM through the binary path: encode a genuine
+    PGM per document, decode it, stride-2 nearest-neighbor downsample
+    the pixel array, re-encode the thumbnail as a NEW PGM payload,
+    then decode that and emit its statistics. Three Arrow-batched
+    stages over opaque binary columns — the plumbing shape of a
+    production thumbnailing pipeline (swap the stride-2 kernel for a
+    PIL resize on a real cluster; everything else stays).
+
+    The source pixels are closed-form (``px(r,c) = (doc_id + 31r +
+    7c) % 256``), so the subsample is too (``out(i,j) = (doc_id +
+    62i + 14j) % 256`` with ceil-half dims) and the oracle verifies
+    the whole encode→decode→transform→encode→decode chain —
+    a hash match means the transform really ran on the real bytes."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_pgm_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _pgm_decode(bytes(payload))
+                small = px[::2, ::2]  # nearest-neighbor stride-2
+                h2, w2 = small.shape
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        f"P5\n{w2} {h2}\n255\n".encode() + small.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_width", "src_height", "payload"]
+            )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, sw, sh, payload in zip(
+                pdf["doc_id"], pdf["src_width"], pdf["src_height"], pdf["payload"]
+            ):
+                w2, h2, px = _pgm_decode(bytes(payload))
+                s, n = int(px.sum()), w2 * h2
+                rows.append(
+                    (
+                        doc_id,
+                        int(sw),
+                        int(sh),
+                        w2,
+                        h2,
+                        (s * 10000 // n) / 10000.0,
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_width",
+                    "src_height",
+                    "out_width",
+                    "out_height",
+                    "mean_px",
+                    "min_px",
+                    "max_px",
+                ],
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    resized = encoded.mapInPandas(
+        resize, schema="doc_id long, src_width int, src_height int, payload binary"
+    )
+    return resized.mapInPandas(stats, schema=PGM_RESIZE_SCHEMA).orderBy("doc_id")
+
+
+MM_PGM_RESIZE_SQL = """
+WITH px AS (
+  -- stride-2 subsample of px(r,c) = (doc_id + 31r + 7c) % 256:
+  -- out(i,j) = (doc_id + 62i + 14j) % 256, dims = ceil(src/2);
+  -- w2 ∈ [4,8], h2 ∈ [4,7] by construction
+  SELECT d.doc_id,
+         8 + d.doc_id % 9 AS width,
+         8 + (d.doc_id * 3) % 7 AS height,
+         (d.doc_id + 62 * i.i + 14 * j.j) % 256 AS v
+  FROM documents d,
+       generate_series(0, 6) AS i(i),
+       generate_series(0, 7) AS j(j)
+  WHERE i.i < (8 + (d.doc_id * 3) % 7 + 1) // 2
+    AND j.j < (8 + d.doc_id % 9 + 1) // 2
+)
+SELECT doc_id,
+       CAST(width AS INT) AS src_width,
+       CAST(height AS INT) AS src_height,
+       CAST((width + 1) // 2 AS INT) AS out_width,
+       CAST((height + 1) // 2 AS INT) AS out_height,
+       CAST(sum(v) * 10000 // (((width + 1) // 2) * ((height + 1) // 2))
+            AS DOUBLE) / 10000 AS mean_px,
+       CAST(min(v) AS INT) AS min_px,
+       CAST(max(v) AS INT) AS max_px
+FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+"""
+
+
 WAV_SR = 8000  # sample rate baked into the generated files
 WAV_SCHEMA = "doc_id long, n_samples int, sample_rate int, duration_ms int, mean_sq double, peak int"
 
@@ -484,9 +605,11 @@ QUERIES = {
     "mm_decode": mm_decode,
     "mm_pipeline": mm_pipeline,
     "mm_pgm_roundtrip": mm_pgm_roundtrip,
+    "mm_pgm_resize": mm_pgm_resize,
     "mm_wav_roundtrip": mm_wav_roundtrip,
 }
 ORACLES: dict[str, str] = {
+    "mm_pgm_resize": MM_PGM_RESIZE_SQL,
     "mm_decode": MM_DECODE_SQL,
     "mm_pipeline": MM_PIPELINE_SQL,
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,

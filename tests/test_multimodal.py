@@ -128,3 +128,36 @@ def test_wav_roundtrip_query(spark):
         assert 64 <= r["n_samples"] <= 192
         assert r["duration_ms"] == r["n_samples"] * 1000 // 8000
         assert 0 <= r["peak"] <= 32768
+
+
+def test_pgm_resize_kernel_matches_formula():
+    """The stride-2 subsample of the real PGM bytes must equal the
+    closed-form out(i,j) = (doc_id + 62i + 14j) % 256 with ceil-half
+    dimensions — pure kernel check, no Spark."""
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        _pgm_decode,
+        _pgm_payload,
+    )
+
+    for doc_id in [0, 1, 17, 123, 4999]:
+        w, h, px = _pgm_decode(_pgm_payload(doc_id))
+        small = px[::2, ::2]
+        h2, w2 = small.shape
+        assert (w2, h2) == ((w + 1) // 2, (h + 1) // 2)
+        i = np.arange(h2)[:, None]
+        j = np.arange(w2)[None, :]
+        expect = (doc_id + 62 * i + 14 * j) % 256
+        assert np.array_equal(small, expect)
+
+
+def test_pgm_resize_query(spark):
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import mm_pgm_resize
+
+    rows = mm_pgm_resize(spark, SF_SMALL).limit(20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["out_width"] == (r["src_width"] + 1) // 2
+        assert r["out_height"] == (r["src_height"] + 1) // 2
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255

@@ -782,8 +782,127 @@ ORDER BY survivor_key
 """
 
 
+SUBSTR_K = 8        # shingle width (tokens)
+SUBSTR_MIN_RUN = 8  # consecutive matching shingles => >= 15 shared tokens
+SUBSTR_DF_CAP = 100  # boilerplate guard: drop shingles in > this many docs
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplicate detection (the strongest dedup
+    signal in the training-data literature — Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" use suffix arrays;
+    this is the distributed shingle-diagonal equivalent): find
+    document pairs sharing a verbatim run of >= SUBSTR_MIN_RUN + K - 1
+    consecutive tokens, and report the longest such run per pair.
+
+    Plan: positional K-token shingles per doc (sequence → transform →
+    posexplode, all JVM expressions) → boilerplate guard drops
+    shingles appearing in > SUBSTR_DF_CAP docs (caps self-join
+    fan-out; standard stop-shingle trick) → self-join on the 64-bit
+    shingle hash (da < db) → gaps-and-islands on each (pair,
+    diagonal): consecutive positions pa with constant pa - pb form a
+    maximal shared run.
+
+    Scale: never materializes O(n²) pairs — the shuffle is keyed on
+    shingle hash, fan-out bounded by the df cap, and runs are window
+    functions over (pair, diagonal) groups whose size is bounded by
+    doc length. Joining on xxhash64 (not the 8-token string) keeps
+    the shuffle narrow; a 64-bit collision (~2^-64 per candidate)
+    could at worst fabricate one spurious shingle match, which the
+    min-run filter then discards."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.withColumn("ws", F.split("text", " "))
+        .withColumn(
+            "hs",
+            # CASE-guarded: Spark's sequence(0, n) DESCENDS for n < 0
+            # (DuckDB's generate_series is empty), and Catalyst may
+            # evaluate this projection before any length filter — the
+            # expression itself must be total over short docs
+            F.expr(
+                f"case when size(ws) >= {SUBSTR_K} then "
+                f"transform(sequence(0, size(ws) - {SUBSTR_K}),"
+                f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {SUBSTR_K}))))"
+                f" else array() end"
+            ),
+        )
+        .select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    )
+    # boilerplate guard: distinct-doc frequency per shingle
+    df_ok = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SUBSTR_DF_CAP)
+        .select("h")
+    )
+    sh = sh.join(df_ok, "h")
+    a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h")
+    j = a.join(b, "h").filter(F.col("da") < F.col("db"))
+    grp_w = W.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = (
+        j.withColumn("grp", F.col("pa") - F.row_number().over(grp_w))
+        .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
+        .agg(F.count("*").alias("run"))
+    )
+    return (
+        runs.groupBy("da", "db")
+        .agg(F.max("run").alias("max_run_shingles"))
+        .filter(F.col("max_run_shingles") >= SUBSTR_MIN_RUN)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("max_run_shingles").cast("long").alias("max_run_shingles"),
+            (F.col("max_run_shingles") + SUBSTR_K - 1)
+            .cast("long")
+            .alias("max_run_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# The oracle joins on the shingle STRING (DuckDB's hash() is a
+# different function; string equality == xxhash64 equality modulo the
+# collision odds documented above).
+DEDUP_SUBSTRING_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(w[t.i + 1:t.i + {SUBSTR_K}], ' ') AS s
+  FROM ws, UNNEST(generate_series(0, len(w) - {SUBSTR_K})) AS t(i)
+),
+ok AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING count(DISTINCT doc_id) <= {SUBSTR_DF_CAP}
+),
+shf AS (SELECT sh.* FROM sh JOIN ok USING (s)),
+j AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT da, db,
+         count(*) AS run
+  FROM (SELECT da, db, pa, pb,
+               pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM j)
+  GROUP BY da, db, pa - pb, grp
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(max(run) AS BIGINT) AS max_run_shingles,
+       CAST(max(run) + {SUBSTR_K} - 1 AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY da, db
+HAVING max(run) >= {SUBSTR_MIN_RUN}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q_survivorship": q_survivorship,
+    "dedup_substring": dedup_substring,
     "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
     "dedup_fuzzy_names": dedup_fuzzy_names,
@@ -796,6 +915,7 @@ QUERIES = {
 
 ORACLES = {
     "q_survivorship": Q_SURVIVORSHIP_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fuzzy_names": DEDUP_FUZZY_NAMES_SQL,

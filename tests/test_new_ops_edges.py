@@ -210,3 +210,34 @@ def test_time_range_frame_ties_are_peers(spark, tmp_path):
     assert out[4] == (2, 12.0)  # base pair aged out of the 6h bound
     assert out[5] == (1, 16.0)  # day partition reset
     assert out[6] == (1, 32.0)  # per-type partition
+
+
+def test_dedup_substring_planted_runs(spark, tmp_path):
+    """Planted verbatim runs: the reported longest run must equal the
+    planted length exactly, a doc sharing only scattered (non-
+    consecutive) shingles must NOT pair, and short docs must not
+    crash the shingle builder."""
+    from bfr_clustering_using_pyspark_spark.operators.dedup import (
+        SUBSTR_K,
+        SUBSTR_MIN_RUN,
+        dedup_substring,
+    )
+
+    shared = [f"s{i}" for i in range(30)]  # 30-token verbatim run
+    docs = [
+        (1, " ".join([f"a{i}" for i in range(20)] + shared)),
+        (2, " ".join(shared + [f"b{i}" for i in range(20)])),
+        # scattered: every shared shingle broken by unique tokens
+        (3, " ".join(x for p in zip(shared, [f"c{i}" for i in range(30)]) for x in p)),
+        (4, "short doc"),  # < K tokens
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"] = "en", "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+
+    out = {(r["doc_a"], r["doc_b"]): r["max_run_shingles"]
+           for r in dedup_substring(spark, str(tmp_path)).collect()}
+    # 30 shared tokens -> 30 - K + 1 consecutive shingles
+    assert out == {(1, 2): 30 - SUBSTR_K + 1}
+    assert 30 - SUBSTR_K + 1 >= SUBSTR_MIN_RUN

@@ -828,14 +828,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.posexplode("hs").alias("pos", "h"))
     )
-    # boilerplate guard: distinct-doc frequency per shingle
-    df_ok = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    # boilerplate guard: distinct-doc frequency per shingle, as a
+    # window over h (one exchange, no second scan + join-back), then
+    # persist: the self-join reads this lineage twice, and both join
+    # sides inherit HashPartitioning(h) from the window — the join
+    # itself adds NO exchange
+    sh = (
+        sh.withColumn("df", F.size(F.collect_set("doc_id").over(W.partitionBy("h"))))
         .filter(F.col("df") <= SUBSTR_DF_CAP)
-        .select("h")
+        .drop("df")
+        .persist()
     )
-    sh = sh.join(df_ok, "h")
     a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h")
     b = sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h")
     j = a.join(b, "h").filter(F.col("da") < F.col("db"))

@@ -66,6 +66,9 @@ AUDIT = {
     "q8_market_share": (False, True, 4),
     "q15_top_supplier": (False, True, 3),
     "q_mv_rollup": (False, False, 3),  # daily agg (materialized) + monthly agg + sort
+    "q_time_range_agg": (False, False, 2),  # one (type,day) window shuffle + sort
+    "mm_pgm_resize": (False, False, 1),  # pure map pipeline, sort only
+    "dedup_substring": (False, True, 6),  # h window + self-join + diag window + 2 aggs + sort
 }
 
 

@@ -129,14 +129,72 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY o_year
 """
 
+N_SHARDS = 16
+
+
+def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data delivery sink: hash-shard the documents table
+    into N_SHARDS JSONL shard directories (``partitionBy`` on a
+    portable md5-derived shard key), read the shards BACK through
+    the JSON source, and emit the delivery manifest — per shard: row
+    count, char count, and an ORDER-INSENSITIVE content fingerprint
+    (exact BIGINT sum of a 40-bit md5 prefix per row). A hash match
+    against the oracle — the same stats straight off the original
+    parquet — proves the sharded write → read cycle preserved every
+    row, not just the counts.
+
+    Scale: the shard key is a pure per-row expression and
+    ``partitionBy`` lets every task write to every shard (no
+    single-writer bottleneck; at 100 TB add maxRecordsPerFile to
+    bound file sizes within shards). The 40-bit row fingerprint
+    keeps a shard's sum under 2^63 to ~8e6 rows/shard — add shards,
+    not prefix bits, beyond that."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % N_SHARDS
+    )
+    out = tempfile.mkdtemp(prefix="shards_")
+    (
+        docs.withColumn("shard", shard)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out)
+    )
+    back = spark.read.json(out)  # shard restored from partition dirs
+    row_fp = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum(row_fp).alias("content_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+SINK_SHARD_MANIFEST_SQL = f"""
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % {N_SHARDS} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_fp
+FROM documents GROUP BY 1 ORDER BY shard
+"""
+
+
 QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "json_roundtrip": json_roundtrip,
     "q_bucketed_join": q_bucketed_join,
+    "sink_shard_manifest": sink_shard_manifest,
 }
 
 ORACLES = {
     "orc_roundtrip": _ROUNDTRIP_SQL,
     "json_roundtrip": _ROUNDTRIP_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
+    "sink_shard_manifest": SINK_SHARD_MANIFEST_SQL,
 }

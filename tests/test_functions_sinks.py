@@ -97,3 +97,15 @@ def test_stream_dedup_counts(spark):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert out == batch  # event_ids are unique already → same counts
+
+
+def test_sink_shard_manifest_covers_all_docs(spark):
+    from bfr_clustering_using_pyspark_spark.operators.formats import (
+        N_SHARDS,
+        sink_shard_manifest,
+    )
+
+    rows = sink_shard_manifest(spark, SF_SMALL).collect()
+    assert [r["shard"] for r in rows] == list(range(N_SHARDS))
+    assert sum(r["n_rows"] for r in rows) == 500  # every doc in exactly one shard
+    assert all(r["content_fp"] > 0 for r in rows)

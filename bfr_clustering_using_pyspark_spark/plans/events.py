@@ -424,6 +424,99 @@ GROUP BY path ORDER BY n_walks DESC, path LIMIT 15
 """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on purchase-value
+    distributions between the two md5 experiment arms (same
+    replayable split as ``q_ab_test``): D = max |ECDF_A - ECDF_B|,
+    computed EXACTLY as max |cumA*nB - cumB*nA| over the distinct
+    value grid — all BIGINT, so the statistic is hash-reproducible
+    to the last bit; the reported ``ks_stat`` is the 1e-6
+    fixed-point quotient and the 5% decision uses the asymptotic
+    c(α)=1.358 threshold. An A/A split, so rejecting would indicate
+    pipeline bias, not effect.
+
+    Scale: the groupBy compresses 100 TB of events onto the distinct
+    value grid (integer cents — bounded domain), and the ECDF window
+    runs over grid rows only. The exact integer cross-product
+    d*1e6 needs BIGINT headroom: fine to ~3e9 rows per arm
+    (nA*nB*1e6 < 2^63); beyond that, move the quotient to DECIMAL.
+
+    One value-grid shuffle + one broadcast of the 1-row totals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    g = (
+        ev.select(arm.alias("arm"), F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    stats = cum.agg(
+        F.max(F.col("cum_a")).alias("n_a"),  # final cumsum = arm total
+        F.max(F.col("cum_b")).alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(stats))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias("dn"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("dn").alias("d_num"))
+    )
+    return d.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        (F.expr("d_num * 1000000L div (n_a * n_b)").cast("long") / 1000000.0).alias("ks_stat"),
+        (
+            F.col("d_num") / (F.col("n_a") * F.col("n_b"))
+            > 1.358 * F.sqrt((F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b")))
+        ).alias("reject_5pct"),
+    )
+
+
+Q_KS_TEST_SQL = """
+WITH tagged AS (
+  SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS BIGINT) AS arm,
+         CAST(round(value * 1e2) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT cents,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+  FROM tagged GROUP BY cents
+),
+cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+  FROM g
+),
+tot AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum),
+d AS (
+  SELECT n_a, n_b, max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
+  FROM cum, tot GROUP BY n_a, n_b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) / 1e6 AS ks_stat,
+       d_num * 1e0 / (n_a * n_b)
+         > 1.358 * sqrt((n_a + n_b) * 1e0 / (n_a * n_b)) AS reject_5pct
+FROM d
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split into two arms by a
     DETERMINISTIC md5 hash (the assignment is replayable — rand()
@@ -603,6 +696,7 @@ QUERIES = {
     "q_mad_outliers": q_mad_outliers,
     "q_path_3grams": q_path_3grams,
     "q_ab_test": q_ab_test,
+    "q_ks_test": q_ks_test,
     "q_time_to_convert": q_time_to_convert,
     "q_events_retention": q_events_retention,
     "q_events_sessionize": q_events_sessionize,
@@ -617,6 +711,7 @@ ORACLES = {
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,
     "q_ab_test": Q_AB_TEST_SQL,
+    "q_ks_test": Q_KS_TEST_SQL,
     "q_time_to_convert": Q_TIME_TO_CONVERT_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONIZE_SQL,

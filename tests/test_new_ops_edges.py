@@ -241,3 +241,40 @@ def test_dedup_substring_planted_runs(spark, tmp_path):
     # 30 shared tokens -> 30 - K + 1 consecutive shingles
     assert out == {(1, 2): 30 - SUBSTR_K + 1}
     assert 30 - SUBSTR_K + 1 >= SUBSTR_MIN_RUN
+
+
+def test_ks_test_detects_planted_shift(spark, tmp_path):
+    """Positive control: values in arm 1 shifted by +50 must reject;
+    identical distributions must not. Arms are md5-replayable, so the
+    test computes each user's arm in Python the same way."""
+    import datetime as dt
+    import hashlib
+
+    from bfr_clustering_using_pyspark_spark.plans.events import q_ks_test
+
+    def arm(uid: int) -> int:
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(200):
+        for k in range(5):
+            v = 10.0 + (uid * 7 + k * 13) % 40
+            if arm(uid) == 1:
+                v += 50.0  # planted distribution shift
+            rows.append((eid, base, uid, "purchase", v, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    r = q_ks_test(spark, str(tmp_path)).collect()[0]
+    assert r["reject_5pct"] is True and r["ks_stat"] > 0.5
+    assert r["n_a"] + r["n_b"] == 1000
+
+    # A/A: same generator without the shift must NOT reject
+    pdf["value"] = [10.0 + (u * 7 + k) % 40 for u in range(200) for k in range(5)]
+    pdf.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    r2 = q_ks_test(spark, str(tmp_path)).collect()[0]
+    assert r2["reject_5pct"] is False

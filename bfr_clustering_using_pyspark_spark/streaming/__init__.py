@@ -3,6 +3,7 @@ from .events_stream import (
     STREAM_DEDUP_SQL,
     STREAM_EVENTS_WINDOW_SQL,
     STREAM_LATE_DATA_SQL,
+    STREAM_UPDATE_COUNTS_SQL,
     STREAM_SESSION_WINDOW_SQL,
     STREAM_SESSIONIZE_STATEFUL_SQL,
     STREAM_STATIC_JOIN_SQL,
@@ -11,6 +12,7 @@ from .events_stream import (
     stream_dedup,
     stream_events_window,
     stream_late_data,
+    stream_update_counts,
     stream_session_window,
     stream_sessionize_stateful,
     stream_static_join,
@@ -31,6 +33,7 @@ QUERIES = {
     "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
     "stream_late_data": stream_late_data,
+    "stream_update_counts": stream_update_counts,
     "stream_dedup": stream_dedup,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "stream_session_window": stream_session_window,
@@ -51,6 +54,8 @@ ORACLES: dict[str, str] = {
     # multi-batch replay with calibrated drop/emit watermark rules —
     # the staged straggler population makes late-drop really happen
     "stream_late_data": STREAM_LATE_DATA_SQL,
+    # update-mode changelog from the same staged replay
+    "stream_update_counts": STREAM_UPDATE_COUNTS_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,
     "stream_session_window": STREAM_SESSION_WINDOW_SQL,

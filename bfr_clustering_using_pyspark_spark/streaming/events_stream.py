@@ -495,6 +495,14 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     numRowsDroppedByWatermark metric reports exactly the rows this
     oracle predicts as dropped.
     """
+    out = _staged_replay_agg(spark, sf_dir, "stream_late_data_sink", "append")
+    return out.orderBy("window_start")
+
+
+def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events into four mtime-ordered micro-batch parquet files
+    (weekly splits, 4% two-batch stragglers) for deterministic
+    file-source replay. Caller owns the returned directory."""
     from ..sources.readers import ensure_utc, load_table
 
     ensure_utc(spark)
@@ -507,24 +515,31 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(week)
     )
     staged = ev.withColumn("batch", batch)
-
     stage_dir = tempfile.mkdtemp(prefix="late_stage_")
+    for b in range(4):
+        path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
+        (
+            staged.filter(F.col("batch") == b)
+            .drop("batch")
+            .coalesce(1)
+            .write.parquet(path)
+        )
+        # file-source replay order is (mtime, path): pin mtimes so
+        # micro-batch order is deterministic across filesystems
+        os.utime(path, (1_000_000 + b, 1_000_000 + b))
+        for part in os.listdir(path):
+            os.utime(os.path.join(path, part), (1_000_000 + b, 1_000_000 + b))
+    return stage_dir
+
+
+def _staged_replay_agg(
+    spark: SparkSession, sf_dir: str, sink: str, mode: str
+) -> DataFrame:
+    """The shared windowed aggregation over the staged 4-batch replay
+    (1-hour tumbling windows, 30-minute watermark), drained in the
+    given output mode."""
+    stage_dir = _stage_weekly_batches(spark, sf_dir)
     try:
-        for b in range(4):
-            path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
-            (
-                staged.filter(F.col("batch") == b)
-                .drop("batch")
-                .coalesce(1)
-                .write.parquet(path)
-            )
-            # file-source replay order is (mtime, path): pin mtimes so
-            # micro-batch order is deterministic across filesystems
-            os.utime(path, (1_000_000 + b, 1_000_000 + b))
-            for part in os.listdir(path):
-                os.utime(
-                    os.path.join(path, part), (1_000_000 + b, 1_000_000 + b)
-                )
         schema = spark.read.parquet(
             os.path.join(stage_dir, "batch_000.parquet")
         ).schema
@@ -547,10 +562,70 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
         )
-        out = _run_to_memory(agg, "stream_late_data_sink", mode="append")
-        return out.orderBy("window_start")
+        return _run_to_memory(agg, sink, mode=mode)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode emission semantics over the same staged 4-batch
+    replay as ``stream_late_data``: the memory sink accumulates one
+    row per (window, micro-batch in which the window received at
+    least one non-dropped row), carrying the CUMULATIVE aggregate at
+    that point — the changelog a downstream upsert sink (foreachBatch
+    MERGE) would consume. Late rows follow the same calibrated drop
+    rule; unlike append mode there is NO final-watermark emission
+    filter — every change is visible immediately, including the
+    trailing partial hour (verified empirically: a window updated in
+    three batches emits three rows with growing counts).
+
+    The oracle replays the changelog exactly: per (window, batch)
+    kept-row deltas, cumulated over batches.
+
+    At scale, update mode is the low-latency choice (results visible
+    per batch, state still watermark-bounded); append is the
+    exactly-once-per-window choice. This pair demonstrates both from
+    one staged replay."""
+    out = _staged_replay_agg(spark, sf_dir, "stream_update_counts_sink", "update")
+    return out.orderBy("window_start", "n_events")
+
+
+STREAM_UPDATE_COUNTS_SQL = """
+WITH base AS (
+  SELECT event_id, ts, value,
+         CASE WHEN event_id % 25 = 0
+              THEN LEAST(CAST(floor((date_part('day', ts) - 1) / 8) AS INT) + 2, 3)
+              ELSE CAST(floor((date_part('day', ts) - 1) / 8) AS INT)
+         END AS batch
+  FROM events
+),
+bmax AS (SELECT batch, max(ts) AS mx FROM base GROUP BY batch),
+th AS (
+  SELECT batch,
+         max(mx) OVER (ORDER BY batch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL 30 MINUTE AS thresh
+  FROM bmax
+),
+kept AS (
+  SELECT b.ts, b.value, b.batch
+  FROM base b JOIN th ON b.batch = th.batch
+  WHERE th.thresh IS NULL
+     OR date_trunc('hour', b.ts) + INTERVAL 1 HOUR > th.thresh
+),
+wb AS (
+  SELECT date_trunc('hour', ts) AS ws, batch,
+         count(*) AS dn,
+         sum(CAST(round(value * 1e2) AS BIGINT)) AS dv
+  FROM kept GROUP BY 1, 2
+)
+SELECT ws AS window_start,
+       CAST(sum(dn) OVER w AS BIGINT) AS n_events,
+       sum(dv) OVER w / 1e2 AS total_value
+FROM wb
+WINDOW w AS (PARTITION BY ws ORDER BY batch ROWS UNBOUNDED PRECEDING)
+ORDER BY window_start, n_events
+"""
 
 
 STREAM_LATE_DATA_SQL = """

@@ -111,3 +111,23 @@ def test_stream_late_data_drop_metric_matches_oracle(spark, duck):
     got = {r["window_start"]: (r["n_events"], r["total_value"]) for r in out}
     want = {r[0]: (r[1], r[2]) for r in oracle}
     assert got == want
+
+
+def test_stream_update_vs_append_modes(spark):
+    """Update mode must emit a superset changelog: its final
+    cumulative value per window equals the append-mode emission for
+    every window append released, and windows only in the update
+    result are those append held back (end > final watermark)."""
+    upd = QUERIES["stream_update_counts"](spark, SF_SMALL).collect()
+    app = QUERIES["stream_late_data"](spark, SF_SMALL).collect()
+    final_by_window = {}
+    for r in upd:  # max cumulative count per window = final state
+        k = r["window_start"]
+        if k not in final_by_window or r["n_events"] > final_by_window[k][0]:
+            final_by_window[k] = (r["n_events"], r["total_value"])
+    assert len(upd) > len(app)
+    for r in app:
+        assert final_by_window[r["window_start"]] == (r["n_events"], r["total_value"])
+    # append held back only trailing windows
+    held = set(final_by_window) - {r["window_start"] for r in app}
+    assert held and max(r["window_start"] for r in app) < min(held)

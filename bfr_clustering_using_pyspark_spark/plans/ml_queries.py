@@ -340,6 +340,43 @@ ORDER BY id
 """
 
 
+def source_custom_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chunk format through the Spark 4 PYTHON
+    DATASOURCE API (``sources/custom.py``): stage four deterministic
+    chunk files, register the ``bfr_points`` format, and read them
+    back via ``spark.read.format("bfr_points")`` — schema probed from
+    the chunk header, ONE INPUT PARTITION PER CHUNK (asserted in
+    tests), rows parsed lazily on executors. Values are k/4.0 so the
+    text → double parse is exact on both engines; the oracle
+    regenerates the chunks in closed form."""
+    import os
+    import tempfile
+
+    from ..sources.custom import register_points_source
+
+    tmpdir = tempfile.mkdtemp(prefix="custom_pts_")
+    for c in range(4):
+        with open(os.path.join(tmpdir, f"chunk{c}.csv"), "w") as f:
+            for i in range(120):
+                pid = c * 1000 + i
+                f.write(
+                    f"{pid},{(pid % 7) / 4.0},{(pid * 3 % 11) / 4.0},{(pid * 5 % 13) / 4.0}\n"
+                )
+    register_points_source(spark)
+    pts = spark.read.format("bfr_points").option("path", tmpdir).load()
+    return pts.orderBy("id")
+
+
+SOURCE_CUSTOM_POINTS_SQL = """
+SELECT c.c * 1000 + i.i AS id,
+       ((c.c * 1000 + i.i) % 7) / 4.0 AS d0,
+       ((c.c * 1000 + i.i) * 3 % 11) / 4.0 AS d1,
+       ((c.c * 1000 + i.i) * 5 % 13) / 4.0 AS d2
+FROM generate_series(0, 3) AS c(c), generate_series(0, 119) AS i(i)
+ORDER BY id
+"""
+
+
 def intermediate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-round DS/CS/RS accounting emitted by a BFR run — the
     reference's intermediate CSV (bfr.py:453-468, header
@@ -451,6 +488,7 @@ QUERIES = {
     "bfr_fit": bfr_fit,
     "kmeans_fit": kmeans_fit,
     "points_source": points_source,
+    "source_custom_points": source_custom_points,
     "intermediate_stats": intermediate_stats,
 }
 
@@ -462,4 +500,5 @@ ORACLES = {
     "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
     "nmi_eval": NMI_EVAL_SQL,
     "points_source": POINTS_SOURCE_SQL,
+    "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
 }

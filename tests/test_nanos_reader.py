@@ -50,3 +50,33 @@ def test_nanos_events_scan_matches_micros(spark, tmp_path):
 
     real = load_table(spark, SF_SMALL, "events").agg({"ts": "min"}).collect()[0][0]
     assert real.year >= 2020, f"micros path corrupted: {real}"
+
+
+def test_custom_points_datasource_partitioning(spark):
+    """The bfr_points DataSource must expose one input partition per
+    chunk file and parse executor-side to the probed schema."""
+    from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+        source_custom_points,
+    )
+
+    from tests.conftest import SF_SMALL
+
+    df = source_custom_points(spark, SF_SMALL)
+    assert df.columns == ["id", "d0", "d1", "d2"]
+    # the source itself (pre-orderBy) reads 4 chunks as 4 partitions
+    import tempfile, os
+    from bfr_clustering_using_pyspark_spark.sources.custom import (
+        register_points_source,
+    )
+
+    d = tempfile.mkdtemp()
+    for c in range(3):
+        with open(os.path.join(d, f"chunk{c}.csv"), "w") as f:
+            f.write(f"{c},1.5,2.5\n")
+    register_points_source(spark)
+    raw = spark.read.format("bfr_points").option("path", d).load()
+    assert raw.rdd.getNumPartitions() == 3
+    assert raw.columns == ["id", "d0", "d1"]
+    assert sorted(tuple(r) for r in raw.collect()) == [
+        (0, 1.5, 2.5), (1, 1.5, 2.5), (2, 1.5, 2.5)
+    ]

@@ -69,6 +69,9 @@ AUDIT = {
     "q_time_range_agg": (False, False, 2),  # one (type,day) window shuffle + sort
     "mm_pgm_resize": (False, False, 1),  # pure map pipeline, sort only
     "dedup_substring": (False, True, 6),  # h window + self-join + diag window + 2 aggs + sort
+    "q_ks_test": (True, True, 4),  # value-grid agg + ECDF window + broadcast totals + max agg
+    "sink_shard_manifest": (False, False, 2),  # readback agg + sort (write is a side effect)
+    "source_custom_points": (False, False, 1),  # custom source scan + sort
 }
 
 

@@ -105,3 +105,57 @@ class TestPCA:
         ev = out._pca_explained_variance
         assert len(ev) == 4
         np.testing.assert_allclose(ev, var, rtol=1e-3, atol=1e-6)
+
+
+def test_dedup_substring_equals_lcs_bruteforce(spark, tmp_path):
+    """On random small-alphabet corpora (repetition-heavy, so shared
+    runs and repeated shingles abound), the diagonal-islands result
+    must equal the brute-force longest-common-substring DP:
+    max_run_shingles == LCS_tokens - K + 1 for every pair with
+    LCS >= MIN_RUN + K - 1, and no other pair reported."""
+    import random
+
+    from bfr_clustering_using_pyspark_spark.operators.dedup import (
+        SUBSTR_K,
+        SUBSTR_MIN_RUN,
+        dedup_substring,
+    )
+
+    def lcs_tokens(a, b):
+        best, prev = 0, [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    rng = random.Random(42)
+    for trial in range(3):
+        docs = []
+        shared = [rng.choice("abc") + str(i) for i in range(20)]
+        for d in range(8):
+            toks = [rng.choice("ab") + str(rng.randrange(6)) for _ in range(30)]
+            if d % 3 == 0:  # plant the shared run in some docs
+                at = rng.randrange(10)
+                toks[at : at + 20] = shared
+            docs.append((d, " ".join(toks)))
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        pdf["lang"], pdf["source"] = "en", "t"
+        pdf["n_chars"] = pdf["text"].str.len()
+        pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["max_run_shingles"]
+            for r in dedup_substring(spark, str(tmp_path)).collect()
+        }
+        toks = {d: t.split(" ") for d, t in docs}
+        want = {}
+        for a in range(8):
+            for b in range(a + 1, 8):
+                run = lcs_tokens(toks[a], toks[b]) - SUBSTR_K + 1
+                if run >= SUBSTR_MIN_RUN:
+                    want[(a, b)] = run
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -212,10 +212,14 @@ WITH build AS (
     )}
   )
 ), probed AS (
+  -- list_has_all mirrors Spark's forall exactly: a key whose K
+  -- hashes internally COLLIDE (~K²/2m of keys — 24 custkeys at
+  -- sf0.1) still passes when its distinct buckets are all set; the
+  -- old "count(matching bits) = K" formulation undercounted those
+  -- and flipped their verdict
   SELECT o_orderkey, o_custkey,
-         (SELECT count(*) FROM bits
-          WHERE bit IN ({_BLOOM_HASHES_SQL})) = {BLOOM_K} AS bloom_pass
-  FROM orders
+         list_has_all(bl.bitlist, [{_BLOOM_HASHES_SQL}]) AS bloom_pass
+  FROM orders, (SELECT list(bit) AS bitlist FROM bits) bl
 )
 SELECT CASE WHEN bloom_pass AND b.c_custkey IS NOT NULL THEN 'true_positive'
             WHEN bloom_pass THEN 'false_positive'
@@ -226,7 +230,12 @@ GROUP BY 1 ORDER BY verdict
 """
 
 
-LC_M = 4096  # linear-counting bitmap size
+# Linear-counting bitmap size. 2^16 keeps the load factor sane to
+# ~1M distinct keys per group (4096 SATURATED at sf0.1 — every
+# bucket hit, ln(m/0) divide-by-zero under ANSI mode); the estimator
+# also carries an explicit saturation guard because ANY fixed m
+# saturates at some scale.
+LC_M = 65536
 
 
 def q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +260,13 @@ def q_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_orderkey").alias("exact"),
         F.countDistinct(bucket).alias("used"),
     )
-    est = F.round(LC_M * F.log(F.lit(float(LC_M)) / (LC_M - F.col("used"))), 2)
+    # saturation guard: with zero empty buckets the estimator is
+    # undefined (ln(m/0)) — report NULL rather than erroring, the
+    # signal to rebuild with a bigger m (or switch to HLL)
+    est = F.when(
+        F.col("used") < LC_M,
+        F.round(LC_M * F.log(F.lit(float(LC_M)) / (LC_M - F.col("used"))), 2),
+    )
     return (
         agg.select(
             "l_returnflag",
@@ -274,8 +289,10 @@ WITH keys AS (
   GROUP BY 1
 )
 SELECT l_returnflag, exact,
-       round({LC_M} * ln({LC_M}.0 / ({LC_M} - used)), 2) AS lc_estimate,
-       round(abs(round({LC_M} * ln({LC_M}.0 / ({LC_M} - used)), 2) - exact) / exact, 4) AS rel_err
+       CASE WHEN used < {LC_M}
+            THEN round({LC_M} * ln({LC_M} * 1e0 / ({LC_M} - used)), 2) END AS lc_estimate,
+       CASE WHEN used < {LC_M}
+            THEN round(abs(round({LC_M} * ln({LC_M} * 1e0 / ({LC_M} - used)), 2) - exact) / exact, 4) END AS rel_err
 FROM agg ORDER BY l_returnflag
 """
 

@@ -277,14 +277,21 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents * cents).over(trail).alias("s2"),
     )
     n, s1, s2 = F.col("n_base"), F.col("s1"), F.col("s2")
-    base_avg = F.round(s1 / (100.0 * n), 4)
+    # scale-0 fixed-point rounding throughout: round(x, k>=1) on a
+    # derived ratio is engine-divergent on decimal ties (s1/800 has
+    # an exact ...5 at the 5th digit — flipped rows at sf0.1), while
+    # scale-0 round of x*10^k agrees everywhere. Op order mirrors
+    # the oracle SQL token for token.
+    base_avg = F.round(s1 * 100.0 / n).cast("long") / 1e4
     # sample variance in cents² from exact integer sums, then →
     # currency units; sqrt/division of identical doubles is IEEE-
     # deterministic on both engines
     var_c2 = (n * s2 - s1 * s1) / (n * (n - 1))
-    base_std = F.round(F.sqrt(var_c2) / 100.0, 4)
-    value = F.round(F.col("c") / 100.0, 2)
-    z = F.round((value - base_avg) / base_std, 3)
+    base_std = F.round(F.sqrt(var_c2) * 100.0).cast("long") / 1e4
+    value = F.col("c") / 100.0  # exact cents → dyadic-safe division
+    z = F.when(
+        base_std > 0, F.round((value - base_avg) / base_std * 1000.0).cast("long") / 1e3
+    )
     return (
         scored.filter(n >= ANOMALY_MIN_N)
         .select(
@@ -312,16 +319,21 @@ WITH scored AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
 ), derived AS (
+  -- scale-0 fixed-point rounds (see the Spark plan): round(x, k>=1)
+  -- diverges across engines on decimal ties of these ratios
   SELECT user_id, event_id, ts,
-         round(c / 100.0, 2) AS value,
-         round(s1 / (100.0 * n_base), 4) AS base_avg,
-         round(sqrt((n_base * s2 - s1 * s1) * 1e0 / (n_base * (n_base - 1))) / 100.0, 4) AS base_std,
-         round((round(c / 100.0, 2) - round(s1 / (100.0 * n_base), 4))
-               / round(sqrt((n_base * s2 - s1 * s1) * 1e0 / (n_base * (n_base - 1))) / 100.0, 4), 3) AS z
+         c / 100.0 AS value,
+         CAST(round(s1 * 1e2 / n_base) AS BIGINT) / 1e4 AS base_avg,
+         CAST(round(sqrt((n_base * s2 - s1 * s1) * 1e0 / (n_base * (n_base - 1))) * 1e2) AS BIGINT) / 1e4 AS base_std
   FROM scored WHERE n_base >= {ANOMALY_MIN_N}
+), zed AS (
+  SELECT *, CASE WHEN base_std > 0
+                 THEN CAST(round((value - base_avg) / base_std * 1e3) AS BIGINT) / 1e3
+            END AS z
+  FROM derived
 )
 SELECT user_id, event_id, ts, value, base_avg, base_std, z
-FROM derived
+FROM zed
 WHERE base_std > 0 AND abs(z) > {ANOMALY_Z}
 ORDER BY user_id, ts, event_id
 """

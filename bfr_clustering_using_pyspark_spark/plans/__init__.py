@@ -109,6 +109,10 @@ _CHANGED_THIS_ROUND = (
     # events reader path: ERR'd r2/r3, fixed r4, never re-sampled
     "q_events_funnel", "q_running_total", "q_moving_avg",
     "q_events_json", "q_events_windowed", "q_salted_agg", "q_asof_join",
+    # round-5 second sitting: scale bugs found by the sf0.1 sweep and
+    # fixed (bloom oracle duplicate-bucket undercount, linear-count
+    # saturation + m bump, anomaly round-tie fixed-pointing)
+    "q_bloom_filter_join", "q_linear_count", "q_events_anomaly",
 )
 _CONVERTED_THIS_ROUND = (
     # fixed-point rewrites of previously-green keys, most-invasive

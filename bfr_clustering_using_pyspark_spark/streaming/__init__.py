@@ -4,6 +4,7 @@ from .events_stream import (
     STREAM_EVENTS_WINDOW_SQL,
     STREAM_LATE_DATA_SQL,
     STREAM_UPDATE_COUNTS_SQL,
+    STREAM_CHECKPOINT_RECOVERY_SQL,
     STREAM_SESSION_WINDOW_SQL,
     STREAM_SESSIONIZE_STATEFUL_SQL,
     STREAM_STATIC_JOIN_SQL,
@@ -13,6 +14,7 @@ from .events_stream import (
     stream_events_window,
     stream_late_data,
     stream_update_counts,
+    stream_checkpoint_recovery,
     stream_session_window,
     stream_sessionize_stateful,
     stream_static_join,
@@ -34,6 +36,7 @@ QUERIES = {
     "stream_events_window": stream_events_window,
     "stream_late_data": stream_late_data,
     "stream_update_counts": stream_update_counts,
+    "stream_checkpoint_recovery": stream_checkpoint_recovery,
     "stream_dedup": stream_dedup,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "stream_session_window": stream_session_window,
@@ -56,6 +59,8 @@ ORACLES: dict[str, str] = {
     "stream_late_data": STREAM_LATE_DATA_SQL,
     # update-mode changelog from the same staged replay
     "stream_update_counts": STREAM_UPDATE_COUNTS_SQL,
+    # two-query restart on one checkpoint + file sink; collapsed-lag rule
+    "stream_checkpoint_recovery": STREAM_CHECKPOINT_RECOVERY_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize_stateful": STREAM_SESSIONIZE_STATEFUL_SQL,
     "stream_session_window": STREAM_SESSION_WINDOW_SQL,

@@ -499,10 +499,17 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
-def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events into four mtime-ordered micro-batch parquet files
+def _stage_weekly_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str | None = None,
+    batches: "range | list[int]" = range(4),
+) -> str:
+    """Stage events into mtime-ordered micro-batch parquet files
     (weekly splits, 4% two-batch stragglers) for deterministic
-    file-source replay. Caller owns the returned directory."""
+    file-source replay. Caller owns the returned directory; pass an
+    existing dir + a batch subset to stage incrementally (the
+    checkpoint-recovery op stages files in two sittings)."""
     from ..sources.readers import ensure_utc, load_table
 
     ensure_utc(spark)
@@ -515,8 +522,9 @@ def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(week)
     )
     staged = ev.withColumn("batch", batch)
-    stage_dir = tempfile.mkdtemp(prefix="late_stage_")
-    for b in range(4):
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="late_stage_")
+    for b in batches:
         path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
         (
             staged.filter(F.col("batch") == b)
@@ -530,6 +538,24 @@ def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
         for part in os.listdir(path):
             os.utime(os.path.join(path, part), (1_000_000 + b, 1_000_000 + b))
     return stage_dir
+
+
+def _hourly_agg(raw: DataFrame) -> DataFrame:
+    """The shared 1-hour tumbling / 30-min watermark aggregation over
+    a staged replay stream."""
+    return (
+        raw.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def _staged_replay_agg(
@@ -549,22 +575,105 @@ def _staged_replay_agg(
             .option("maxFilesPerTrigger", "1")
             .load(os.path.join(stage_dir, "batch_*.parquet"))
         )
-        agg = (
-            raw.withWatermark("ts", "30 minutes")
-            .groupBy(F.window("ts", "1 hour").alias("w"))
-            .agg(
-                F.count("*").alias("n_events"),
-                fixed_sum(F.col("value")).alias("total_value"),
-            )
-            .select(
-                F.col("w.start").alias("window_start"),
-                "n_events",
-                "total_value",
-            )
-        )
-        return _run_to_memory(agg, sink, mode=mode)
+        return _run_to_memory(_hourly_agg(raw), sink, mode=mode)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE checkpoint recovery: the staged 4-file replay is
+    processed in TWO separate streaming queries sharing one
+    checkpoint and one parquet FILE SINK — phase 1 sees only files
+    0-1, drains with AvailableNow and stops (a controlled "crash"
+    after two micro-batches); phase 2 starts a fresh query on the
+    same checkpoint after files 2-3 appear, resumes from the stored
+    offsets + watermark + window state, and drains the rest. The
+    result is the file sink's contents: any duplicate emission,
+    reprocessed batch, or state loss across the restart would break
+    the hash against the oracle.
+
+    Restart changes exactly one thing vs the single-run replay
+    (calibrated empirically): phase 1's final no-data batch commits
+    the watermark through file 1, so BOTH post-restart files see the
+    drop threshold max_ts(files 0-1) − delay (in the single run,
+    file 2's threshold lagged one batch further at max_ts(file 0) −
+    delay). The oracle encodes that collapsed-lag rule; emission is
+    unchanged (window end ≤ global max − delay — the file-sink
+    commit log makes the append exactly-once across the restart)."""
+    stage_dir = tempfile.mkdtemp(prefix="ckpt_rec_")
+    out = os.path.join(stage_dir, "out")
+    ck = os.path.join(stage_dir, "ck")
+    src_glob = os.path.join(stage_dir, "batch_*.parquet")
+
+    def run_phase() -> None:
+        schema = spark.read.parquet(
+            os.path.join(stage_dir, "batch_000.parquet")
+        ).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src_glob)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+        try:
+            q = (
+                _hourly_agg(raw)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    try:
+        _stage_weekly_batches(spark, sf_dir, stage_dir, [0, 1])
+        run_phase()
+        _stage_weekly_batches(spark, sf_dir, stage_dir, [2, 3])
+        run_phase()
+        rows = spark.read.parquet(out).orderBy("window_start").collect()
+        result = spark.createDataFrame(
+            rows, "window_start timestamp, n_events bigint, total_value double"
+        )
+        return result.orderBy("window_start")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+STREAM_CHECKPOINT_RECOVERY_SQL = """
+WITH base AS (
+  SELECT event_id, ts, value,
+         CASE WHEN event_id % 25 = 0
+              THEN LEAST(CAST(floor((date_part('day', ts) - 1) / 8) AS INT) + 2, 3)
+              ELSE CAST(floor((date_part('day', ts) - 1) / 8) AS INT)
+         END AS batch
+  FROM events
+),
+-- collapsed-lag threshold: phase 1's final commit advances the
+-- watermark through file 1, so BOTH restarted files (2 and 3) drop
+-- against max_ts(files 0-1) - delay
+th AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS thresh FROM base WHERE batch <= 1
+),
+kept AS (
+  SELECT b.ts, b.value
+  FROM base b, th
+  WHERE b.batch <= 1
+     OR date_trunc('hour', b.ts) + INTERVAL 1 HOUR > th.thresh
+),
+fin AS (SELECT max(ts) - INTERVAL 30 MINUTE AS fwm FROM base)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value
+FROM kept, fin
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fwm
+GROUP BY 1 ORDER BY window_start
+"""
 
 
 def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,6 +114,8 @@ _CHANGED_THIS_ROUND = (
     # fixed (bloom oracle duplicate-bucket undercount, linear-count
     # saturation + m bump, anomaly round-tie fixed-pointing)
     "q_bloom_filter_join", "q_linear_count", "q_events_anomaly",
+    # proactively fixed-pointed against the same tie class
+    "q_market_basket", "q_ab_test",
 )
 _CONVERTED_THIS_ROUND = (
     # fixed-point rewrites of previously-green keys, most-invasive

@@ -567,14 +567,18 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = F.col("c1") / F.col("n1")
     pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
     se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
-    z = F.round((p0 - p1) / se, 4)
+    # scale-0 fixed rounding: round(k/n, 4) on a ratio of ints is
+    # engine-divergent when the decimal expansion ties at digit 5
+    # (the q_events_anomaly sf0.1 class); arm sizes are arbitrary
+    # ints, so don't gamble
+    z = F.round((p0 - p1) / se * 10000.0).cast("long") / 1e4
     return j.select(
         "n0",
         "c0",
-        F.round(p0, 4).alias("rate_a"),
+        (F.round(F.col("c0") * 10000.0 / F.col("n0")).cast("long") / 1e4).alias("rate_a"),
         "n1",
         "c1",
-        F.round(p1, 4).alias("rate_b"),
+        (F.round(F.col("c1") * 10000.0 / F.col("n1")).cast("long") / 1e4).alias("rate_b"),
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
@@ -592,14 +596,14 @@ WITH per_user AS (
   SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
   FROM (SELECT n, c FROM arms WHERE arm = 0) a, (SELECT n, c FROM arms WHERE arm = 1) b
 )
-SELECT n0, c0, round(c0 * 1e0 / n0, 4) AS rate_a,
-       n1, c1, round(c1 * 1e0 / n1, 4) AS rate_b,
-       round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
+SELECT n0, c0, CAST(round(c0 * 1e4 / n0) AS BIGINT) / 1e4 AS rate_a,
+       n1, c1, CAST(round(c1 * 1e4 / n1) AS BIGINT) / 1e4 AS rate_b,
+       CAST(round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
              / sqrt((c0 + c1) * 1e0 / (n0 + n1) * (1 - (c0 + c1) * 1e0 / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat,
-       abs(round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
+                    * (1.0 / n0 + 1.0 / n1)) * 1e4) AS BIGINT) / 1e4 AS z_stat,
+       abs(CAST(round((c0 * 1e0 / n0 - c1 * 1e0 / n1)
              / sqrt((c0 + c1) * 1e0 / (n0 + n1) * (1 - (c0 + c1) * 1e0 / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)), 4)) > 1.96 AS significant
+                    * (1.0 / n0 + 1.0 / n1)) * 1e4) AS BIGINT) / 1e4) > 1.96 AS significant
 FROM j
 """
 

@@ -1150,9 +1150,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a").alias("brand_a"),
             F.col("b").alias("brand_b"),
-            F.round(F.col("n_ab") / n_orders, 5).alias("support"),
-            F.round(F.col("n_ab") / F.col("n_a"), 5).alias("confidence"),
-            F.round(F.col("n_ab") * n_orders / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+            # scale-0 fixed rounds — round(k/n, 5) ties flip across
+            # engines when n is 5-smooth (the q_events_anomaly class)
+            (F.round(F.col("n_ab") * 100000.0 / n_orders).cast("long") / 1e5).alias("support"),
+            (F.round(F.col("n_ab") * 100000.0 / F.col("n_a")).cast("long") / 1e5).alias("confidence"),
+            (
+                F.round(F.col("n_ab") * n_orders * 10000.0 / (F.col("n_a") * F.col("n_b"))).cast("long")
+                / 1e4
+            ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
@@ -1171,9 +1176,9 @@ pair_n AS (
   SELECT p_brand, count(*) AS n FROM ob GROUP BY 1
 )
 SELECT a AS brand_a, b AS brand_b,
-       round(n_ab * 1e0 / n_orders, 5) AS support,
-       round(n_ab * 1e0 / na.n, 5) AS confidence,
-       round(n_ab * 1e0 * n_orders / (na.n * nb.n), 4) AS lift
+       CAST(round(n_ab * 1e5 / n_orders) AS BIGINT) / 1e5 AS support,
+       CAST(round(n_ab * 1e5 / na.n) AS BIGINT) / 1e5 AS confidence,
+       CAST(round(n_ab * n_orders * 1e4 / (na.n * nb.n)) AS BIGINT) / 1e4 AS lift
 FROM pair_n, tot
 JOIN brand_n na ON pair_n.a = na.p_brand
 JOIN brand_n nb ON pair_n.b = nb.p_brand

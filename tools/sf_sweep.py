@@ -1,0 +1,66 @@
+"""Scale sweep: run the strict gate at a LARGER sf than the driver's
+(default sf0.1) over every key whose oracle is tractable there.
+
+The pair-exhaustive oracles (all-pairs Jaccard / containment /
+levenshtein ground truths and the recursive-CTE components) are
+O(n²) in DuckDB and are compared at <= sf0.01 where exhaustive
+ground truth is tractable; this sweep SKIPS their comparison but
+still executes their Spark side, so scale-dependent engine bugs
+(ANSI divide-by-zero, overflow, saturation) surface everywhere.
+
+Round-5 catch record (what this sweep is for): bloom-oracle
+duplicate-bucket undercount, linear-count bitmap saturation, and
+round(x,4) decimal-tie divergence — all invisible at sf0.01.
+
+Usage: python tools/sf_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+# oracle is pair-exhaustive or recursive — comparison stays at sf<=0.01
+QUADRATIC_ORACLES = {
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "stream_components",
+    "dedup_fuzzy_names",
+    "dedup_embedding",
+    "text_pii_scrub",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    keys = [k for k in m.queries() if k not in QUADRATIC_ORACLES]
+    rc = subprocess.run(
+        [sys.executable, "tools/check_correctness.py", sf_dir, *keys],
+        cwd="/root/repo",
+    ).returncode
+
+    # Spark-side-only smoke for the skipped keys: they must still RUN
+    from bfr_clustering_using_pyspark_spark.session import get_spark
+
+    spark = get_spark("sf_sweep")
+    qs = m.queries()
+    spark_rc = 0
+    for k in sorted(QUADRATIC_ORACLES):
+        t0 = time.time()
+        try:
+            n = qs[k](spark, sf_dir).count()
+            print(f"SPARK-ONLY OK   {k}: {n} rows [{time.time() - t0:.1f}s]")
+        except Exception as e:  # noqa: BLE001
+            print(f"SPARK-ONLY FAIL {k}: {str(e)[:200]}")
+            spark_rc = 1
+    return rc or spark_rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -620,6 +620,50 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_chunk`` through the Spark 4 PYTHON UDTF API: the same
+    chunking semantics exposed as a registered SQL table function,
+    consumed with a LATERAL join —
+
+        SELECT doc_id, c.* FROM documents, LATERAL chunk_text(text) c
+
+    Arrow-optimized UDTF (``useArrow=True``), one eval per document
+    row yielding one row per chunk. The JVM ``doc_chunk`` plan is
+    the production path (map-only, codegen'd); this face exists for
+    the API surface — SQL users call the operator as a table
+    function — and is gated against the SAME oracle, so both faces
+    provably compute identical results."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from ..sources.readers import register_views
+
+    @udtf(
+        returnType="chunk_start long, n_chunk_tokens int, chunk_hash string",
+        useArrow=True,
+    )
+    class ChunkText:
+        def eval(self, text):
+            toks = _re.findall(TOKEN_RE, (text or "").lower())
+            for s in range(0, len(toks), CHUNK_STRIDE):
+                chunk = toks[s : s + CHUNK_TOKENS]
+                yield (
+                    s,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    register_views(spark, sf_dir, names=("documents",))
+    spark.udtf.register("chunk_text", ChunkText)
+    return spark.sql(
+        "SELECT doc_id, c.chunk_start, c.n_chunk_tokens, c.chunk_hash "
+        "FROM documents, LATERAL chunk_text(text) AS c "
+        "ORDER BY doc_id, chunk_start"
+    )
+
+
 DOC_CHUNK_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
@@ -700,6 +744,7 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 
 QUERIES = {
     "doc_chunk": doc_chunk,
+    "udtf_doc_chunk": udtf_doc_chunk,
     "chunk_boilerplate": chunk_boilerplate,
     "text_unigram_logprob": text_unigram_logprob,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -717,6 +762,8 @@ QUERIES = {
 
 ORACLES = {
     "doc_chunk": DOC_CHUNK_SQL,
+    # same semantics through the Python UDTF face -> same oracle
+    "udtf_doc_chunk": DOC_CHUNK_SQL,
     "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,

@@ -85,3 +85,16 @@ def test_chunk_boilerplate_bounds(spark):
         | (F.col("boiler_frac") > 1)
     )
     assert bad.count() == 0
+
+
+def test_udtf_face_equals_jvm_face(spark):
+    """The Python UDTF face and the JVM plan must produce identical
+    rows — same chunking semantics through two APIs."""
+    from bfr_clustering_using_pyspark_spark.operators.textstats import (
+        doc_chunk,
+        udtf_doc_chunk,
+    )
+
+    a = [tuple(r) for r in doc_chunk(spark, SF_SMALL).collect()]
+    b = [tuple(r) for r in udtf_doc_chunk(spark, SF_SMALL).collect()]
+    assert a == b

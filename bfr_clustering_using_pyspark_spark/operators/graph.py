@@ -220,5 +220,95 @@ ORDER BY n_tri DESC, node
 LIMIT 20
 """
 
-QUERIES = {"graph_pagerank": graph_pagerank, "graph_triangles": graph_triangles}
-ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL, "graph_triangles": GRAPH_TRIANGLES_SQL}
+LP_ITER = 3
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    customer↔supplier interaction graph: labels start as node ids;
+    each round every node adopts the label with the greatest total
+    edge weight among its neighbours (ties → smallest label — the
+    determinism rule that makes an iterative heuristic hash-gateable).
+    Fixed ``LP_ITER`` rounds, unrolled in the oracle as chained CTEs.
+    Returns the 20 largest communities with member-type counts.
+
+    Scale: one (join + groupBy + window) per round — Pregel's cost
+    model in DataFrames, same as ``graph_pagerank``; integer edge
+    weights keep every wt sum exact. ``localCheckpoint`` per round
+    truncates the self-referencing lineage."""
+    from pyspark.sql import Window as W
+
+    edges = (
+        _edges(spark, sf_dir)
+        .select("src", "dst", F.col("w").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rn_w = W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    for _ in range(LP_ITER):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("wt"))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("node") < _SUPP_OFFSET, 1).otherwise(0)).alias("n_customers"),
+            F.sum(F.when(F.col("node") >= _SUPP_OFFSET, 1).otherwise(0)).alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
+
+
+_LP_ROUND_SQL = """
+{out} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, sum(e.w) AS wt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY sum(e.w) DESC, l.label) AS rn
+    FROM sym e JOIN {prev} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)"""
+
+GRAPH_LABEL_PROP_SQL = f"""
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM edges
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+),{_LP_ROUND_SQL.format(out="l1", prev="l0")},{_LP_ROUND_SQL.format(out="l2", prev="l1")},{_LP_ROUND_SQL.format(out="l3", prev="l2")}
+SELECT label AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN node < {_SUPP_OFFSET} THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN node >= {_SUPP_OFFSET} THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+FROM l3 GROUP BY label
+ORDER BY n_nodes DESC, community
+LIMIT 20
+"""
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+    "graph_label_prop": graph_label_prop,
+}
+ORACLES = {
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_label_prop": GRAPH_LABEL_PROP_SQL,
+}

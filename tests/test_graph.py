@@ -56,3 +56,44 @@ def test_triangles_invariants(spark):
     # top-20 is sorted by participation
     tris = [r["n_tri"] for r in rows]
     assert tris == sorted(tris, reverse=True)
+
+
+def test_label_prop_converges_on_planted_components(spark, tmp_path, duck=None):
+    """Two disconnected cliques must end up in two communities, each
+    labelled by its smallest node id (the deterministic tie-break)."""
+    import pandas as pd
+
+    from bfr_clustering_using_pyspark_spark.operators.graph import (
+        _SUPP_OFFSET,
+        graph_label_prop,
+    )
+
+    # orders/lineitem implying: customers {1,2} <-> suppliers {1,2}
+    # and customers {10,11} <-> suppliers {10,11}, no cross edges
+    orders, lineitem, ok = [], [], 0
+    for custs, supps in ([(1, 2), (1, 2)], [(10, 11), (10, 11)]):
+        for c in custs:
+            ok += 1
+            orders.append((ok, c))
+            for s in supps:
+                lineitem.append((ok, s))
+    pd.DataFrame(orders, columns=["o_orderkey", "o_custkey"]).to_parquet(
+        f"{tmp_path}/orders.parquet", index=False
+    )
+    pd.DataFrame(lineitem, columns=["l_orderkey", "l_suppkey"]).to_parquet(
+        f"{tmp_path}/lineitem.parquet", index=False
+    )
+    rows = {r["community"]: (r["n_nodes"], r["n_customers"], r["n_suppliers"])
+            for r in graph_label_prop(spark, str(tmp_path)).collect()}
+    # odd iteration count on a bipartite graph: labels propagate from
+    # the opposite side; communities keyed by each side's min node
+    assert sum(n for n, _, _ in rows.values()) == 8
+    # labels are node ids, so each community's label names its clique;
+    # no mixing means each clique's communities sum to exactly its 4
+    def clique(label):
+        return 0 if (label in (1, 2) or label in (_SUPP_OFFSET + 1, _SUPP_OFFSET + 2)) else 1
+    per_clique = {0: 0, 1: 0}
+    for comm, (n, nc, ns) in rows.items():
+        assert n == nc + ns
+        per_clique[clique(comm)] += n
+    assert per_clique == {0: 4, 1: 4}

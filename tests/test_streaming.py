@@ -165,3 +165,79 @@ def test_checkpoint_recovery_vs_single_run(spark):
     )
     diffs = {w for w in a if a[w] != b[w]}
     assert diffs and all(b[w] < a[w] for w in diffs)
+
+
+def test_watermark_rules_fuzz_random_batches(spark, tmp_path):
+    """The calibrated drop/emit rules must hold on ARBITRARY staged
+    batch shapes, not just the weekly splits the shipped ops use:
+    random timestamps scattered over a few hours, batched by
+    event_id % 4 (so every batch mixes old and new rows), replayed
+    through a 10-minute window with a 7-minute watermark. A pure-
+    Python replay of the rules must reproduce the engine bit-exactly:
+    drop iff window_end <= max_ts(batches <= b-2) - delay; append
+    emits iff window_end <= global_max - delay."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    WINDOW_S, DELAY_S = 600, 420
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        rows = [(eid, 1_700_000_000 + rng.randrange(0, 4 * 3600)) for eid in range(60)]
+        src = str(tmp_path / f"src{seed}")
+        os.makedirs(src)
+        for b in range(4):
+            sub = [(e, t) for e, t in rows if e % 4 == b]
+            pdf = spark.createDataFrame(sub, "event_id long, epoch long").withColumn(
+                "ts", F.timestamp_seconds("epoch")
+            )
+            path = os.path.join(src, f"batch_{b:03d}.parquet")
+            pdf.coalesce(1).write.parquet(path)
+            os.utime(path, (1000 + b, 1000 + b))
+            for part in os.listdir(path):
+                os.utime(os.path.join(path, part), (1000 + b, 1000 + b))
+        schema = spark.read.parquet(src + "/batch_000.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src + "/batch_*.parquet")
+        )
+        agg = (
+            raw.withWatermark("ts", f"{DELAY_S} seconds")
+            .groupBy(F.window("ts", f"{WINDOW_S} seconds").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("long").alias("ws"), "n")
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(f"wmfuzz{seed}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        got = {r["ws"]: r["n"] for r in spark.table(f"wmfuzz{seed}").collect()}
+
+        # pure-Python replay of the calibrated rules
+        batches = [[t for e, t in rows if e % 4 == b] for b in range(4)]
+        gmax = max(t for _, t in rows)
+        kept = []
+        for b, tss in enumerate(batches):
+            prior = [t for bb in range(max(b - 1, 0)) for t in batches[bb]]
+            thresh = (max(prior) - DELAY_S) if b >= 2 and prior else None
+            for t in tss:
+                wend = (t // WINDOW_S) * WINDOW_S + WINDOW_S
+                if thresh is None or wend > thresh:
+                    kept.append(t)
+        want = {}
+        for t in kept:
+            ws = (t // WINDOW_S) * WINDOW_S
+            if ws + WINDOW_S <= gmax - DELAY_S:
+                want[ws] = want.get(ws, 0) + 1
+        assert got == want, f"seed {seed}: {got} != {want}"

@@ -392,6 +392,96 @@ def intermediate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(bfr.intermediate_stats()).orderBy("round_id")
 
 
+def ch_index_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz cluster-quality index from EXACT integer
+    moments: CH = (SSB/(k−1)) / (SSW/(n−k)) with between/within
+    scatter derived from per-(label, dim) Σu and Σu² in 1e-3 units
+    (BIGINT — order-independent at any executor count). The one
+    unavoidable division per label (‖S_l‖²/n_l) is scale-0-rounded
+    BEFORE the cross-label sum, so no double ever enters an
+    aggregation; the final index is a ratio of exact integers.
+
+    Companion to ``silhouette_eval`` (geometric, O(n·k)) and
+    ``nmi_eval`` (label agreement): CH is the variance-ratio
+    criterion — O(n·d) single pass, the cheapest of the three at
+    100 TB. Integer products stay under 2^63 to ~1e9 rows/label at
+    this dimensionality; shard the moment pass beyond that."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    ).select("label", "pos", F.round(F.col("val") * 1000.0).cast("long").alias("u"))
+    lp = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("s"),
+        F.sum(F.col("u") * F.col("u")).alias("q"),
+    )
+    per_label = lp.groupBy("label").agg(
+        F.min("n").alias("n_l"),
+        F.sum("q").alias("q_l"),
+        F.sum(F.col("s") * F.col("s")).alias("s2_l"),
+    )
+    lab = per_label.agg(
+        F.count("*").alias("k"),
+        F.sum("n_l").alias("n"),
+        F.sum("q_l").alias("q_tot"),
+        F.sum(F.round(F.col("s2_l") * 1.0 / F.col("n_l")).cast("long")).alias(
+            "within_corr"
+        ),
+    )
+    glob = (
+        lp.groupBy("pos")
+        .agg(F.sum("s").alias("sp"))
+        .agg(F.sum(F.col("sp") * F.col("sp")).alias("sp2"))
+    )
+    j = lab.crossJoin(F.broadcast(glob))
+    ssw = F.col("q_tot") - F.col("within_corr")
+    ssb = F.col("within_corr") - F.round(F.col("sp2") * 1.0 / F.col("n")).cast("long")
+    ch = F.round(ssb * (F.col("n") - F.col("k")) * 1.0 / (ssw * (F.col("k") - 1)) * 10000.0).cast("long") / 1e4
+    return j.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("k"),
+        (ssw / 1e6).alias("ssw"),
+        (ssb / 1e6).alias("ssb"),
+        ch.alias("ch_index"),
+    )
+
+
+CH_INDEX_EVAL_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e3) AS BIGINT) AS u
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), lp AS (
+  SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u) AS BIGINT) AS s, CAST(sum(u * u) AS BIGINT) AS q
+  FROM ex GROUP BY 1, 2
+), per_label AS (
+  SELECT label, min(n) AS n_l, CAST(sum(q) AS BIGINT) AS q_l,
+         CAST(sum(s * s) AS BIGINT) AS s2_l
+  FROM lp GROUP BY label
+), lab AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_l) AS BIGINT) AS n,
+         CAST(sum(q_l) AS BIGINT) AS q_tot,
+         CAST(sum(CAST(round(s2_l * 1e0 / n_l) AS BIGINT)) AS BIGINT) AS within_corr
+  FROM per_label
+), gsum AS (
+  SELECT CAST(sum(sp * sp) AS BIGINT) AS sp2
+  FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS sp FROM lp GROUP BY pos)
+)
+SELECT n AS n_points, k,
+       (q_tot - within_corr) / 1e6 AS ssw,
+       (within_corr - CAST(round(sp2 * 1e0 / n) AS BIGINT)) / 1e6 AS ssb,
+       CAST(round((within_corr - CAST(round(sp2 * 1e0 / n) AS BIGINT))
+                  * (n - k) * 1e0
+                  / ((q_tot - within_corr) * (k - 1)) * 1e4) AS BIGINT) / 1e4
+         AS ch_index
+FROM lab, gsum
+"""
+
+
 def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silhouette score of the labeled partition, per label: a(i) =
     mean distance to own cluster, b(i) = nearest other cluster's
@@ -489,6 +579,7 @@ QUERIES = {
     "kmeans_fit": kmeans_fit,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
+    "ch_index_eval": ch_index_eval,
     "intermediate_stats": intermediate_stats,
 }
 
@@ -501,4 +592,5 @@ ORACLES = {
     "nmi_eval": NMI_EVAL_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
+    "ch_index_eval": CH_INDEX_EVAL_SQL,
 }

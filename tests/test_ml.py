@@ -185,3 +185,28 @@ def test_silhouette_bounds(spark):
     for r in rows:
         assert -1.0 <= r["mean_silhouette"] <= 1.0
         assert abs(r["mean_silhouette"]) < 0.25
+
+
+def test_ch_index_matches_numpy(spark):
+    """The exact-integer CH formulation must agree with a plain
+    numpy computation on the quantized (1e-3 unit) vectors."""
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.plans.ml_queries import ch_index_eval
+
+    r = ch_index_eval(spark, SF_SMALL).collect()[0]
+    pdf = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+    U = np.round(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000)
+    y = pdf["label"].to_numpy()
+    n, k = len(y), len(set(y))
+    c = U.mean(axis=0)
+    ssb = ssw = 0.0
+    for lab in set(y):
+        P = U[y == lab]
+        cl = P.mean(axis=0)
+        ssw += ((P - cl) ** 2).sum()
+        ssb += len(P) * ((cl - c) ** 2).sum()
+    ch = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n_points"] == n and r["k"] == k
+    assert abs(r["ch_index"] - ch) < 2e-4  # fixed-point at 1e-4
+    assert abs(r["ssw"] * 1e6 - ssw) / ssw < 1e-6

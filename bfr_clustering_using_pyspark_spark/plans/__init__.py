@@ -78,7 +78,7 @@ _COST_S = {
     "q_bucketed_join": 2.4, "stream_late_data": 4.0,
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 4.6, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
     "stream_update_counts": 4.0, "source_custom_points": 0.8,
-    "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0,
+    "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
 }
 
 

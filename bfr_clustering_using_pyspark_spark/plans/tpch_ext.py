@@ -349,6 +349,59 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery, cross-engine-proved: a NULLable group
+    key (``nullif``) so one aggregation group IS NULL, a NULL-SAFE
+    left join (Spark ``eqNullSafe`` ≡ SQL ``IS NOT DISTINCT FROM``)
+    against a partial dimension that keeps its NULL row — the NULL
+    group must MATCH (a plain equi-join would drop it) while two
+    non-null groups go unmatched — and NULLS FIRST presentation
+    order. The hash gate proves both engines agree on NULL grouping,
+    null-safe equality, and outer-join NULL introduction."""
+    cust = load_table(spark, sf_dir, "customer")
+    grp = F.expr("nullif(c_nationkey % 5, 0)")
+    g = cust.groupBy(grp.alias("grp")).agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / 100.0).alias(
+            "total_bal"
+        ),
+    )
+    dim = (
+        cust.select(grp.alias("dgrp"))
+        .filter(F.col("dgrp").isNull() | (F.col("dgrp") >= 3))
+        .distinct()
+        .withColumn("in_dim", F.lit(1))
+    )
+    return (
+        g.join(dim, g["grp"].eqNullSafe(dim["dgrp"]), "left")
+        .select(
+            "grp",
+            "n_cust",
+            "total_bal",
+            F.col("in_dim").isNotNull().cast("int").alias("matched"),
+        )
+        .orderBy(F.col("grp").asc_nulls_first())
+    )
+
+
+Q_NULL_SEMANTICS_SQL = """
+WITH g AS (
+  SELECT nullif(c_nationkey % 5, 0) AS grp,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         sum(CAST(round(c_acctbal * 1e2) AS BIGINT)) / 1e2 AS total_bal
+  FROM customer GROUP BY 1
+), dim AS (
+  SELECT DISTINCT nullif(c_nationkey % 5, 0) AS dgrp, 1 AS in_dim
+  FROM customer
+  WHERE nullif(c_nationkey % 5, 0) IS NULL OR nullif(c_nationkey % 5, 0) >= 3
+)
+SELECT g.grp, n_cust, total_bal,
+       CAST(in_dim IS NOT NULL AS INT) AS matched
+FROM g LEFT JOIN dim ON g.grp IS NOT DISTINCT FROM dim.dgrp
+ORDER BY g.grp ASC NULLS FIRST
+"""
+
+
 def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer join with null-side aggregation: customers with and
     without orders per market segment."""
@@ -1253,6 +1306,7 @@ QUERIES = {
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
     "q_outer_join": q_outer_join,
+    "q_null_semantics": q_null_semantics,
     "q_moving_avg": q_moving_avg,
     "q_salted_agg": q_salted_agg,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -1285,6 +1339,7 @@ ORACLES = {
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,
     "q_outer_join": Q_OUTER_JOIN_SQL,
+    "q_null_semantics": Q_NULL_SEMANTICS_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_salted_agg": Q_SALTED_AGG_SQL,
     "q2_min_cost_supplier": Q2_SQL,

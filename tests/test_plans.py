@@ -47,3 +47,18 @@ def test_every_query_has_callable():
         assert callable(v), k
     # oracle keys must be a subset of query keys
     assert set(m.oracle_sql()) <= set(qs)
+
+
+def test_null_semantics_exercises_null_paths(spark):
+    """The battery must actually hit the NULL paths: a NULL group
+    exists, it MATCHES through the null-safe join, and exactly the
+    two excluded non-null groups go unmatched."""
+    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import q_null_semantics
+    from tests.conftest import SF_SMALL
+
+    rows = q_null_semantics(spark, SF_SMALL).collect()
+    by_grp = {r["grp"]: r["matched"] for r in rows}
+    assert None in by_grp and by_grp[None] == 1  # eqNullSafe matched NULL
+    assert by_grp[1] == 0 and by_grp[2] == 0
+    assert by_grp[3] == 1 and by_grp[4] == 1
+    assert rows[0]["grp"] is None  # NULLS FIRST

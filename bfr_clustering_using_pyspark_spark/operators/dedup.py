@@ -807,9 +807,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash, fan-out bounded by the df cap, and runs are window
     functions over (pair, diagonal) groups whose size is bounded by
     doc length. Joining on xxhash64 (not the 8-token string) keeps
-    the shuffle narrow; a 64-bit collision (~2^-64 per candidate)
-    could at worst fabricate one spurious shingle match, which the
-    min-run filter then discards."""
+    the shuffle narrow. A 64-bit collision (~2^-64 per candidate)
+    diverges from the string-keyed oracle in two directions, both
+    negligible: (a) it could fabricate one spurious shingle match,
+    which the min-run filter then discards; (b) because the DF cap is
+    applied to hash values while the oracle caps the shingle string,
+    a collision could also push a legitimate shingle's hash-DF over
+    the cap and drop a real run segment — undocumented nowhere else,
+    probability ~2^-64 per distinct-shingle pair, and absent on the
+    gated data (the hash gate would catch it)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = (
         docs.withColumn("ws", F.split("text", " "))
@@ -848,7 +854,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
         .agg(F.count("*").alias("run"))
     )
-    return (
+    result = (
         runs.groupBy("da", "db")
         .agg(F.max("run").alias("max_run_shingles"))
         .filter(F.col("max_run_shingles") >= SUBSTR_MIN_RUN)
@@ -862,6 +868,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+    # pin the (small) pair list eagerly so the cached shingle lineage
+    # can be released — otherwise repeated invocations in one session
+    # (gate sweep, bench loops) accumulate blocks in storage memory
+    result = result.localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
 
 
 # The oracle joins on the shingle STRING (DuckDB's hash() is a

@@ -14,6 +14,7 @@ the proof, not just row counts.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,12 +23,23 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 
 
+def _pin_and_cleanup(df: DataFrame, tmpdir: str) -> DataFrame:
+    """Pin a SMALL result with an eager localCheckpoint, then delete
+    the staging directory — repeated bench/gate runs must not leak
+    shard/chunk dirs on disk. The checkpoint severs the plan's
+    reference to the staged files, so the rmtree is safe."""
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix=f"{fmt}_rt_")
     docs.write.mode("overwrite").format(fmt).save(out)
     back = spark.read.format(fmt).load(out)
-    return (
+    return _pin_and_cleanup(
         back.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -35,7 +47,8 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             F.sum(F.length("text")).alias("sum_text_len"),
             F.sum("doc_id").alias("id_checksum"),
         )
-        .orderBy("lang", "source")
+        .orderBy("lang", "source"),
+        out,
     )
 
 
@@ -164,14 +177,15 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.json(out)  # shard restored from partition dirs
     row_fp = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-    return (
+    return _pin_and_cleanup(
         back.groupBy(F.col("shard").cast("int").alias("shard"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.length("text")).alias("n_chars"),
             F.sum(row_fp).alias("content_fp"),
         )
-        .orderBy("shard")
+        .orderBy("shard"),
+        out,
     )
 
 

@@ -10,11 +10,6 @@ the 100 TB path (candidates ≈ n/2^bits per bucket instead of n).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -256,152 +251,6 @@ N_IVF_LISTS = 16
 N_PROBE = 4
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns
-    every vector to one of ``N_IVF_LISTS`` lists; each query probes
-    its ``N_PROBE`` nearest lists only — candidate count drops to
-    ~n·nprobe/nlists. The 100 TB path: lists are the partition keys,
-    so a query touches a bounded slice of the data. [rows-only;
-    recall vs ann_bruteforce asserted in tests]"""
-    from ..ml.kmeans import mllib_kmeans
-
-    base = _base(spark, sf_dir)
-    pts = base.select(F.col("vec_id").alias("id"), F.col("v").alias("features"))
-    assigned, centers = mllib_kmeans(pts, k=N_IVF_LISTS, max_iter=10, seed=7)
-    listed = base.join(
-        assigned.select(F.col("id").alias("vec_id"), F.col("cluster").alias("list_id")), "vec_id"
-    )
-
-    c = centers
-
-    def probe_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pts_ = np.stack(pdf["v"].to_numpy())
-            d2 = (
-                (pts_**2).sum(axis=1)[:, None]
-                - 2.0 * pts_ @ c.T
-                + (c**2).sum(axis=1)[None, :]
-            )
-            nearest = np.argsort(d2, axis=1)[:, :N_PROBE]
-            out = pdf.loc[pdf.index.repeat(N_PROBE)].copy()
-            out["probe_list"] = nearest.ravel()
-            yield out[["vec_id", "v", "nrm", "probe_list"]]
-
-    queries = (
-        base.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .mapInPandas(probe_lists, schema="vec_id long, v array<double>, nrm double, probe_list int")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("q_v"),
-            F.col("nrm").alias("q_nrm"),
-            "probe_list",
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = (
-        listed.join(
-            F.broadcast(queries),
-            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-        .orderBy("q_id", "rank")
-    )
-
-
-N_TRUNC_DIMS = 32  # cheap-score dims (half of 64) for the shortlist
-SHORTLIST_MULT = 6  # shortlist size = SHORTLIST_MULT * TOP_K
-# On the synthetic testdata (near-isotropic embeddings) 32/64 dims
-# retain ~83% of plain-IVF recall at half the stage-1 FLOPs; real
-# corpora with decaying spectra (or a true PQ codebook) do better.
-
-
-def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with two-stage re-ranking (the IVF-PQ shape): probe the
-    query's ``N_PROBE`` nearest lists, score candidates with a CHEAP
-    approximation (dot over the first ``N_TRUNC_DIMS`` dims — the
-    stand-in for a PQ/ADC lookup), keep a ``SHORTLIST_MULT``·k
-    shortlist per query, then re-rank only the shortlist with the
-    exact full-dimension cosine. At 100 TB the expensive distance
-    runs on O(q·3k) rows instead of O(q·n/nlists·nprobe).
-    [rows-only; recall vs ann_bruteforce asserted in tests]"""
-    from ..ml.kmeans import mllib_kmeans
-
-    base = _base(spark, sf_dir)
-    pts = base.select(F.col("vec_id").alias("id"), F.col("v").alias("features"))
-    assigned, centers = mllib_kmeans(pts, k=N_IVF_LISTS, max_iter=10, seed=7)
-    listed = base.join(
-        assigned.select(F.col("id").alias("vec_id"), F.col("cluster").alias("list_id")), "vec_id"
-    )
-
-    c = centers
-
-    def probe_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pts_ = np.stack(pdf["v"].to_numpy())
-            d2 = (
-                (pts_**2).sum(axis=1)[:, None]
-                - 2.0 * pts_ @ c.T
-                + (c**2).sum(axis=1)[None, :]
-            )
-            nearest = np.argsort(d2, axis=1)[:, :N_PROBE]
-            out = pdf.loc[pdf.index.repeat(N_PROBE)].copy()
-            out["probe_list"] = nearest.ravel()
-            yield out[["vec_id", "v", "nrm", "probe_list"]]
-
-    queries = (
-        base.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .mapInPandas(probe_lists, schema="vec_id long, v array<double>, nrm double, probe_list int")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("q_v"),
-            F.col("nrm").alias("q_nrm"),
-            "probe_list",
-        )
-    )
-    # stage 1: cheap truncated-dot score over probed lists only
-    trunc_dot = F.aggregate(
-        F.zip_with(
-            F.slice("v", 1, N_TRUNC_DIMS), F.slice("q_v", 1, N_TRUNC_DIMS), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cand = listed.join(
-        F.broadcast(queries),
-        (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
-    ).select("q_id", "vec_id", "v", "nrm", "q_v", "q_nrm", trunc_dot.alias("approx_score"))
-    w_short = W.partitionBy("q_id").orderBy(F.desc("approx_score"), "vec_id")
-    shortlist = cand.withColumn("srank", F.row_number().over(w_short)).filter(
-        F.col("srank") <= SHORTLIST_MULT * TOP_K
-    )
-    # stage 2: exact cosine only on the shortlist
-    dot = F.aggregate(
-        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    rescored = shortlist.select(
-        "q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine")
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-        .orderBy("q_id", "rank")
-    )
-
-
 def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
     """Coarse-quantizer centroid j: md5-derived uniform components
     normalized to unit length, so BOTH engines replay the identical
@@ -436,6 +285,111 @@ def _centroid_rank_expr(v_col: str):
     return F.array_sort(F.array(*structs))
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN as a pure logical plan: the
+    deterministic md5 coarse quantizer (``_ivf_centroid``) assigns
+    every vector to one of ``N_IVF_LISTS`` lists via a map-side JVM
+    fold; each query probes its ``N_PROBE`` nearest lists only —
+    candidate count drops to ~n·nprobe/nlists. ``ann_ivf_partitioned``
+    is the same semantics pushed into a physical parquet layout with
+    directory pruning; a hash match on BOTH proves the logical plan
+    and the physical layout agree row-for-row. (A trained k-means
+    quantizer — ``ml.kmeans.mllib_kmeans`` — clusters real corpora
+    better but is seed-dependent; swap it in where replayability
+    isn't required.)"""
+    base = _base(spark, sf_dir)
+    ranked = _centroid_rank_expr("v")
+    listed = base.withColumn("list_id", ranked[0]["j"])
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+            "probe_list"
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        listed.join(
+            F.broadcast(queries),
+            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+N_TRUNC_DIMS = 32  # cheap-score dims (half of 64) for the shortlist
+SHORTLIST_MULT = 6  # shortlist size = SHORTLIST_MULT * TOP_K
+# On the synthetic testdata (near-isotropic embeddings) 32/64 dims
+# retain most of plain-IVF recall at half the stage-1 FLOPs; real
+# corpora with decaying spectra (or a true PQ codebook) do better.
+
+
+def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with two-stage re-ranking (the IVF-PQ shape): probe the
+    query's ``N_PROBE`` nearest lists (same md5 quantizer as
+    ``ann_ivf``, so the oracle replays it), score candidates with a
+    CHEAP approximation (dot over the first ``N_TRUNC_DIMS`` dims —
+    the stand-in for a PQ/ADC lookup, rounded to 4 so the shortlist
+    cut is engine-stable), keep a ``SHORTLIST_MULT``·k shortlist per
+    query, then re-rank only the shortlist with the exact
+    full-dimension cosine. At 100 TB the expensive distance runs on
+    O(q·6k) rows instead of O(q·n·nprobe/nlists)."""
+    base = _base(spark, sf_dir)
+    ranked = _centroid_rank_expr("v")
+    listed = base.withColumn("list_id", ranked[0]["j"])
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+            "probe_list"
+        ),
+    )
+    # stage 1: cheap truncated-dot score over probed lists only
+    trunc_dot = F.aggregate(
+        F.zip_with(
+            F.slice("v", 1, N_TRUNC_DIMS), F.slice("q_v", 1, N_TRUNC_DIMS), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = listed.join(
+        F.broadcast(queries),
+        (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id", "vec_id", "v", "nrm", "q_v", "q_nrm",
+        F.round(trunc_dot, 4).alias("approx_score"),
+    )
+    w_short = W.partitionBy("q_id").orderBy(F.desc("approx_score"), "vec_id")
+    shortlist = cand.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= SHORTLIST_MULT * TOP_K
+    )
+    # stage 2: exact cosine only on the shortlist
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rescored = shortlist.select(
+        "q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with lists as PHYSICAL partition keys — the 100 TB layout
     ann_ivf's docstring promises. The corpus is written once to
@@ -450,47 +404,54 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer (``_ivf_centroid``), so unlike the k-means-seeded
     ``ann_ivf`` this end-to-end path is hash-gated: the oracle
     replays quantizer, probes, and ranking in SQL."""
+    import shutil
     import tempfile
 
     base = _base(spark, sf_dir)
     ranked = _centroid_rank_expr("v")
     assigned = base.withColumn("list_id", ranked[0]["j"])
     out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
+    try:
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
 
-    queries = (
-        base.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("q_v"),
-            F.col("nrm").alias("q_nrm"),
-            F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
-                "probe_list"
-            ),
+        queries = (
+            base.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("q_v"),
+                F.col("nrm").alias("q_nrm"),
+                F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+                    "probe_list"
+                ),
+            )
         )
-    )
-    # the union of probed lists is bounded by nlists (16 values), not
-    # by data size — collecting it drives directory-level pruning
-    probe_ids = sorted(r[0] for r in queries.select("probe_list").distinct().collect())
-    data = spark.read.parquet(out_dir).filter(F.col("list_id").isin(probe_ids))
+        # the union of probed lists is bounded by nlists (16 values),
+        # not by data size — collecting it drives directory pruning
+        probe_ids = sorted(r[0] for r in queries.select("probe_list").distinct().collect())
+        data = spark.read.parquet(out_dir).filter(F.col("list_id").isin(probe_ids))
 
-    dot = F.aggregate(
-        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = (
-        data.join(
-            F.broadcast(queries),
-            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        dot = F.aggregate(
+            F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
-        .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-        .orderBy("q_id", "rank")
-    )
+        scored = (
+            data.join(
+                F.broadcast(queries),
+                (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+            )
+            .select("q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"))
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        # eager checkpoint pins the (tiny) top-k result so the staged
+        # list directories can be removed without leaking per run
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "vec_id", "cosine", "rank")
+            .orderBy("q_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _ivf_partitioned_oracle_sql() -> str:
@@ -530,105 +491,247 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_i
 
 ANN_IVF_PARTITIONED_SQL = _ivf_partitioned_oracle_sql()
 
+# ann_ivf shares the partitioned key's oracle verbatim: the two plans
+# are the SAME semantics (md5 quantizer, nprobe lists, exact cosine
+# top-k) executed logically vs through a physical partitioned layout
+# — matching hashes on both proves layout/logical equivalence.
+ANN_IVF_SQL = ANN_IVF_PARTITIONED_SQL
+
+
+def _ivf_rerank_oracle_sql() -> str:
+    rows = ", ".join(
+        "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
+        for j in range(N_IVF_LISTS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), cent(j, c) AS (VALUES {rows}),
+dists AS (
+  SELECT vec_id, v, nrm, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))), j) AS rk
+  FROM base CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, j AS list_id FROM dists WHERE rk = 1
+), qprobe AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, j AS probe_list
+  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND rk <= {N_PROBE}
+), cand AS (
+  SELECT q.q_id, a.vec_id, a.v, a.nrm, q.q_v, q.q_nrm,
+         round(list_sum(list_transform(
+           list_zip(a.v[1:{N_TRUNC_DIMS}], q.q_v[1:{N_TRUNC_DIMS}]),
+           p -> p[1] * p[2])), 4) AS approx_score
+  FROM assigned a JOIN qprobe q ON a.list_id = q.probe_list AND a.vec_id <> q.q_id
+), shortlist AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_score DESC, vec_id) AS srank
+  FROM cand
+), rescored AS (
+  SELECT q_id, vec_id,
+         round(list_sum(list_transform(list_zip(v, q_v), p -> p[1] * p[2])) / (nrm * q_nrm), 4) AS cosine
+  FROM shortlist WHERE srank <= {SHORTLIST_MULT * TOP_K}
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ANN_IVF_RERANK_SQL = _ivf_rerank_oracle_sql()
+
 PQ_M = 8  # subspaces
 PQ_K = 16  # centroids per subspace (4-bit codes)
-PQ_SAMPLE = 1024  # codebook training sample
-PQ_ITERS = 10
+PQ_ANCHOR_LO, PQ_ANCHOR_HI = 1, 16  # vec_ids whose subvectors seed the codebooks
+PQ_SHORTLIST = 20 * TOP_K  # ADC shortlist depth before exact re-rank
+# (measured: shortlist 100 → recall@5 0.84 at sf0.001 / 0.60 at
+# sf0.1 vs brute force; the exact re-rank touches only O(q·100) rows
+# so depth is nearly free at any corpus size)
+# Queries are an EXPLICIT bounded id list (20 ids at any corpus size),
+# not a corpus-growing vec_id % MOD slice — the per-query LUT side
+# stays O(1) no matter how big the data gets.
+PQ_QUERY_IDS = tuple(range(0, 1000, 50))
 
 
-def _pq_train(sample: "np.ndarray") -> "np.ndarray":
-    """Deterministic Lloyd k-means per subspace → (M, K, d/M)
-    codebooks. Seeded init + fixed iteration count: same sample,
-    same codebooks, every run."""
-    rng = np.random.RandomState(13)
-    n, d = sample.shape
-    dsub = d // PQ_M
-    books = np.zeros((PQ_M, PQ_K, dsub))
-    for m in range(PQ_M):
-        X = sample[:, m * dsub : (m + 1) * dsub]
-        centers = X[rng.choice(n, PQ_K, replace=False)].copy()
-        for _ in range(PQ_ITERS):
-            d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for k in range(PQ_K):
-                mask = assign == k
-                if mask.any():
-                    centers[k] = X[mask].mean(0)
-        books[m] = centers
-    return books
+def _pq_anchor_units(spark: SparkSession, sf_dir: str):
+    """(unit_df, books): unit-normalized vectors plus the PQ codebook
+    — center (m, k) is subspace m of anchor vector k. Anchors are a
+    FIXED bounded id range, so the codebook is (a) data-adaptive (real
+    corpus points, the k-means-free PQ seeding), (b) O(K·d) driver
+    metadata exactly like a trained FAISS codebook, and (c) replayable
+    by the SQL oracle from the same table — no RNG anywhere."""
+    base = _base(spark, sf_dir)
+    unit = base.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        "v",
+        "nrm",
+    )
+    anchors = (
+        unit.filter(F.col("vec_id").between(PQ_ANCHOR_LO, PQ_ANCHOR_HI))
+        .orderBy("vec_id")
+        .select("u")
+        .collect()
+    )
+    dsub = _PLANE_DIMS // PQ_M
+    # books[m][k] = center vector (length dsub)
+    books = [
+        [list(anchors[k][0][m * dsub : (m + 1) * dsub]) for k in range(len(anchors))]
+        for m in range(PQ_M)
+    ]
+    return unit, books
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (the FAISS IVF-PQ memory recipe):
-    train M=8 per-subspace codebooks of K=16 centroids on a bounded
-    sample, compress every vector to 8 4-bit codes (64 dims × 4 B →
-    4 B per vector, a 64× memory cut), then answer queries entirely
-    from codes via asymmetric-distance lookup tables. [rows-only;
-    recall vs ann_bruteforce asserted in tests]
+    """Product-quantization ANN (the FAISS IVF-PQ memory recipe),
+    hash-gated end to end: compress every vector to M=8 4-bit codes
+    (64 dims × 4 B → 4 B per vector, a 64× memory cut) against
+    codebooks seeded from a FIXED anchor-id range of corpus vectors,
+    answer a bounded explicit query set entirely from codes via
+    asymmetric-distance (ADC) lookup tables, then re-rank the
+    ADC shortlist with the exact cosine — the standard recall
+    restoration. Everything — codebooks, codes, LUTs, shortlist cut,
+    re-rank — is replayed by the DuckDB oracle from the same parquet.
 
-    Scale: codebooks train on a FIXED-size sample on the driver (the
-    production pattern — PQ training never sees the full corpus) and
-    broadcast; encoding is one vectorized NumPy pass (argmin against
-    16 centroids per subspace); search is one pass over the code
-    table with a per-query LUT of M×K dots — no full-precision
-    vectors touched after encoding. Combine with ann_ivf's lists to
-    prune which codes each query scans at 100 TB."""
-    base = _base(spark, sf_dir)
-    unit = base.select(
-        "vec_id", F.zip_with("v", F.array_repeat("nrm", 64), lambda x, n: x / n).alias("u")
+    Scale: the codebook is O(K·d) metadata (16 anchor vectors)
+    embedded as plan literals — the FAISS pattern of shipping trained
+    codebooks to every node; encoding is a map-side JVM fold (no
+    Python, no shuffle); ADC scans codes once per bounded query set;
+    the exact distance touches only O(q·shortlist) rows. Combine
+    with ann_ivf's lists to prune which codes each query scans at
+    100 TB."""
+    unit, books = _pq_anchor_units(spark, sf_dir)
+    dsub = _PLANE_DIMS // PQ_M
+    n_k = len(books[0])
+
+    def _sub(col: str, m: int):
+        return F.slice(col, m * dsub + 1, dsub)
+
+    def _d2(col, center: list[float]):
+        lit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(col, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _dot(col, center: list[float]):
+        lit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(col, lit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    # encode: per subspace, argmin_k ||u_sub - c_mk||² — a pure JVM
+    # fold (128 small folds), map-side only
+    code_cols = []
+    for m in range(PQ_M):
+        structs = [
+            F.struct(_d2(_sub("u", m), books[m][k]).alias("d"), F.lit(k).alias("k"))
+            for k in range(n_k)
+        ]
+        code_cols.append(F.array_sort(F.array(*structs))[0]["k"])
+    coded = unit.select("vec_id", "u", F.array(*code_cols).alias("codes"))
+
+    # bounded query side with per-query LUT: lut[m][k] = <q_sub_m, c_mk>
+    lut = F.array(
+        *[
+            F.array(*[_dot(_sub("u", m), books[m][k]) for k in range(n_k)])
+            for m in range(PQ_M)
+        ]
     )
-    sample = np.stack(
-        unit.orderBy("vec_id").limit(PQ_SAMPLE).toPandas()["u"].to_numpy()
+    qlut = (
+        unit.filter(F.col("vec_id").isin(*PQ_QUERY_IDS))
+        .select(F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), lut.alias("lut"))
     )
-    books = _pq_train(sample)
-    dsub = sample.shape[1] // PQ_M
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["u"].to_numpy())
-            codes = np.empty((len(X), PQ_M), dtype=np.int32)
-            for m in range(PQ_M):
-                d2 = (
-                    (X[:, m * dsub : (m + 1) * dsub, None] - books[m].T[None, :, :]) ** 2
-                ).sum(1)
-                codes[:, m] = d2.argmin(1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
-
-    coded = unit.mapInPandas(encode, schema="vec_id long, codes array<int>")
-    qrows = unit.filter(F.col("vec_id") % QUERY_MOD == 0).orderBy("vec_id").toPandas()
-    q_ids = qrows["vec_id"].to_numpy()
-    Q = np.stack(qrows["u"].to_numpy())
-    # per-query LUT: lut[q, m, k] = <q_sub_m, center_mk>; approx cosine
-    # of a code word = sum_m lut[q, m, code_m]
-    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, dsub), books)
-
-    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack(pdf["codes"].to_numpy())  # (n, M)
-            # gather: scores[q, i] = sum_m lut[q, m, codes[i, m]]
-            scores = lut[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)  # (q, n)
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids, n),
-                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
-                    "approx_cos": np.round(scores.ravel(), 4),
-                }
-            )
-            yield out[out["q_id"] != out["vec_id"]]
-
-    scored = coded.mapInPandas(adc, schema="q_id long, vec_id long, approx_cos double")
-    w = W.partitionBy("q_id").orderBy(F.desc("approx_cos"), "vec_id")
+    # ADC: one pass over the code table per query — approx cosine of a
+    # code word = Σ_m lut[m][code_m] (sequential fold, oracle-matched)
+    scored = coded.join(F.broadcast(qlut), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        "u",
+        "q_u",
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double),"
+                f" (acc, m) -> acc + lut[m][codes[m]])"
+            ),
+            4,
+        ).alias("approx_cos"),
+    )
+    w_short = W.partitionBy("q_id").orderBy(F.desc("approx_cos"), "vec_id")
+    shortlist = scored.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= PQ_SHORTLIST
+    )
+    # exact re-rank on the shortlist only (unit vectors → plain dot)
+    exact = F.aggregate(
+        F.zip_with("u", "q_u", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rescored = shortlist.select("q_id", "vec_id", F.round(exact, 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "approx_cos", "rank")
+        .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+ANN_PQ_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM base
+), cent AS (
+  SELECT m.m, a.vec_id - {PQ_ANCHOR_LO} AS k,
+         a.u[m.m * {_PLANE_DIMS // PQ_M} + 1 : (m.m + 1) * {_PLANE_DIMS // PQ_M}] AS c
+  FROM unit a, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+  WHERE a.vec_id BETWEEN {PQ_ANCHOR_LO} AND {PQ_ANCHOR_HI}
+), enc AS (
+  SELECT u.vec_id, c.m, c.k,
+         row_number() OVER (
+           PARTITION BY u.vec_id, c.m
+           ORDER BY list_sum(list_transform(
+             list_zip(u.u[c.m * {_PLANE_DIMS // PQ_M} + 1 : (c.m + 1) * {_PLANE_DIMS // PQ_M}], c.c),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), c.k) AS rk
+  FROM unit u CROSS JOIN cent c
+), codes AS (
+  SELECT vec_id, m, k FROM enc WHERE rk = 1
+), lutrows AS (
+  SELECT q.vec_id AS q_id, c.m, c.k,
+         list_sum(list_transform(
+           list_zip(q.u[c.m * {_PLANE_DIMS // PQ_M} + 1 : (c.m + 1) * {_PLANE_DIMS // PQ_M}], c.c),
+           p -> p[1] * p[2])) AS val
+  FROM unit q CROSS JOIN cent c
+  WHERE q.vec_id IN {PQ_QUERY_IDS}
+), scored AS (
+  SELECT l.q_id, e.vec_id, round(list_sum(list(l.val ORDER BY e.m)), 4) AS approx_cos
+  FROM codes e JOIN lutrows l ON e.m = l.m AND e.k = l.k
+  WHERE e.vec_id <> l.q_id
+  GROUP BY l.q_id, e.vec_id
+), shortlist AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS srank
+  FROM scored
+), rescored AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_sum(list_transform(list_zip(du.u, qu.u), p -> p[1] * p[2])), 4) AS cosine
+  FROM shortlist s
+  JOIN unit du ON s.vec_id = du.vec_id
+  JOIN unit qu ON s.q_id = qu.vec_id
+  WHERE s.srank <= {PQ_SHORTLIST}
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
 
 
 def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,7 +855,10 @@ ORACLES = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_partitioned": ANN_IVF_PARTITIONED_SQL,
+    "ann_ivf_rerank": ANN_IVF_RERANK_SQL,
+    "ann_pq": ANN_PQ_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

@@ -310,24 +310,30 @@ def points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     split/cast — no Python in the parse path). Values are k/4.0 so
     the text→double parse is exact on both engines."""
     import os
+    import shutil
     import tempfile
 
     from ..sources.readers import points_from_indexed_csv
 
     tmpdir = tempfile.mkdtemp(prefix="points_src_")
-    path = os.path.join(tmpdir, "chunk0.csv")
-    with open(path, "w") as f:
-        for i in range(120):
-            f.write(f"{i},{(i % 7) / 4.0},{(i * 3 % 11) / 4.0},{(i * 5 % 13) / 4.0}\n")
-    pts = points_from_indexed_csv(spark, path)
-    # Flatten to scalar columns (d0..d2) — the correctness gate's
-    # pandas canonicalization can't sort/hash array cells.
-    return pts.select(
-        "id",
-        F.col("features")[0].alias("d0"),
-        F.col("features")[1].alias("d1"),
-        F.col("features")[2].alias("d2"),
-    ).orderBy("id")
+    try:
+        path = os.path.join(tmpdir, "chunk0.csv")
+        with open(path, "w") as f:
+            for i in range(120):
+                f.write(f"{i},{(i % 7) / 4.0},{(i * 3 % 11) / 4.0},{(i * 5 % 13) / 4.0}\n")
+        pts = points_from_indexed_csv(spark, path)
+        # Flatten to scalar columns (d0..d2) — the correctness gate's
+        # pandas canonicalization can't sort/hash array cells. The
+        # eager localCheckpoint pins the (tiny) result so the staged
+        # chunk dir can be removed without leaking per run.
+        return pts.select(
+            "id",
+            F.col("features")[0].alias("d0"),
+            F.col("features")[1].alias("d1"),
+            F.col("features")[2].alias("d2"),
+        ).orderBy("id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 POINTS_SOURCE_SQL = """
@@ -350,21 +356,26 @@ def source_custom_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     text → double parse is exact on both engines; the oracle
     regenerates the chunks in closed form."""
     import os
+    import shutil
     import tempfile
 
     from ..sources.custom import register_points_source
 
     tmpdir = tempfile.mkdtemp(prefix="custom_pts_")
-    for c in range(4):
-        with open(os.path.join(tmpdir, f"chunk{c}.csv"), "w") as f:
-            for i in range(120):
-                pid = c * 1000 + i
-                f.write(
-                    f"{pid},{(pid % 7) / 4.0},{(pid * 3 % 11) / 4.0},{(pid * 5 % 13) / 4.0}\n"
-                )
-    register_points_source(spark)
-    pts = spark.read.format("bfr_points").option("path", tmpdir).load()
-    return pts.orderBy("id")
+    try:
+        for c in range(4):
+            with open(os.path.join(tmpdir, f"chunk{c}.csv"), "w") as f:
+                for i in range(120):
+                    pid = c * 1000 + i
+                    f.write(
+                        f"{pid},{(pid % 7) / 4.0},{(pid * 3 % 11) / 4.0},{(pid * 5 % 13) / 4.0}\n"
+                    )
+        register_points_source(spark)
+        pts = spark.read.format("bfr_points").option("path", tmpdir).load()
+        # eager checkpoint pins the 480 rows; the chunk dir is removed
+        return pts.orderBy("id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 SOURCE_CUSTOM_POINTS_SQL = """

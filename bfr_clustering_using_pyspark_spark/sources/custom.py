@@ -73,8 +73,13 @@ class PointsReader(DataSourceReader):
 
 
 def register_points_source(spark) -> None:
-    """Idempotently register the format with this session."""
+    """Idempotently register the format with this session. Only the
+    duplicate-registration error is swallowed — a genuine failure
+    (API mismatch, bad class) propagates instead of resurfacing later
+    as a confusing 'format bfr_points not found'."""
     try:
         spark.dataSource.register(PointsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        msg = str(e).lower()
+        if "already" not in msg and "exist" not in msg:
+            raise

@@ -26,10 +26,23 @@ class TestANNRecall:
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         total = sum(len(v) for v in exact.values())
         # nprobe=4 of 16 lists on weakly-clustered data: expect
-        # meaningful but partial recall
+        # meaningful but partial recall (measured 0.46 with the md5
+        # quantizer at sf0.001)
         assert hits / total > 0.3
         # every query answered
         assert set(approx) == set(exact)
+
+    def test_ivf_matches_partitioned_layout(self, spark):
+        """ann_ivf (logical plan) and ann_ivf_partitioned (physical
+        parquet layout + directory pruning) share one quantizer — the
+        two executions must agree row for row."""
+        from bfr_clustering_using_pyspark_spark.operators.similarity import (
+            ann_ivf_partitioned,
+        )
+
+        logical = {tuple(r) for r in ann_ivf(spark, SF_SMALL).collect()}
+        physical = {tuple(r) for r in ann_ivf_partitioned(spark, SF_SMALL).collect()}
+        assert logical == physical and logical
 
     def test_ivf_rerank_recall_vs_plain_ivf(self, spark):
         exact = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))
@@ -155,10 +168,12 @@ class TestStatefulSessionize:
 
 
 def test_pq_recall_and_determinism(spark):
-    """PQ at 8×4-bit codes (64× compression) must stay well above
-    chance recall (top-5 of ~500 ⇒ chance ≈ 0.01) and be exactly
-    reproducible (seeded codebooks, fixed iteration count)."""
+    """PQ at 8×4-bit codes (64× compression) + exact re-rank of the
+    ADC shortlist must clear recall@5 ≥ 0.6 vs brute force (measured
+    0.84 at sf0.001) and be exactly reproducible (anchor-seeded
+    codebooks, no RNG anywhere)."""
     from bfr_clustering_using_pyspark_spark.operators.similarity import (
+        PQ_QUERY_IDS,
         TOP_K,
         ann_bruteforce,
         ann_pq,
@@ -170,8 +185,9 @@ def test_pq_recall_and_determinism(spark):
     truth = {
         (r["q_id"], r["vec_id"])
         for r in ann_bruteforce(spark, SF_MED).collect()
+        if r["q_id"] in PQ_QUERY_IDS  # pq's query set is the bounded list
     }
-    assert len(got & truth) / len(truth) >= 0.2
+    assert len(got & truth) / len(truth) >= 0.6
     again = {(r["q_id"], r["vec_id"]) for r in ann_pq(spark, SF_MED).collect()}
     assert again == got
     per_q = {}

@@ -155,9 +155,17 @@ def test_checkpoint_recovery_vs_single_run(spark):
         STREAM_LATE_DATA_SQL,
     )
 
+    import os
+
+    import pytest
+
+    from tests.conftest import SF_LARGE
+
+    if not os.path.exists(f"{SF_LARGE}/events.parquet"):
+        pytest.skip(f"{SF_LARGE} testdata not present")
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.1/events.parquet'"
+        f"CREATE VIEW events AS SELECT * FROM '{SF_LARGE}/events.parquet'"
     )
     a = dict((r[0], r[1]) for r in con.execute(STREAM_LATE_DATA_SQL).fetchall())
     b = dict(

@@ -1121,12 +1121,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quintile scores for Recency (last
     order date), Frequency (order count), Monetary (total spend),
     combined into a segment code — the classic marketing rollup.
-    One groupBy(customer) pass for the three metrics, then exact
-    ntile windows over the customer aggregate. NOTE the exact-ntile
-    total order funnels the aggregate through one task; at 10⁹+
-    customers swap the ntiles for broadcast quantile cutoffs
-    (percentile_approx on the aggregate → map-side score) — same
-    output contract, no total order."""
+
+    One groupBy(customer) pass for the three metrics, then EXACT
+    ntile(5) per metric via ``operators.ranking.global_ntile`` —
+    range-repartition on the metric, rank locally per partition, add
+    broadcast prefix offsets. Same bit-exact output as a bare
+    ``ntile(5) OVER (ORDER BY …)`` (the oracle's formulation) but
+    with NO unpartitioned window: at 10⁹ customers each scoring pass
+    is a parallel range shuffle instead of one task swallowing the
+    whole aggregate. The only driver materializations are the
+    per-partition count rows (bounded by shuffle partitions)."""
+    from ..operators.ranking import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1134,19 +1140,28 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact cents: monetary is an ntile SORT key, so even a
         # last-ulp cross-engine difference could flip a quintile.
         fixed_sum(F.col("o_totalprice")).alias("monetary"),
+    ).persist()
+    scored = global_ntile(
+        per_cust, 5, [F.desc("last_order"), F.col("o_custkey")], "r_score"
     )
-    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), "o_custkey"))
-    fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(5).over(W.orderBy(F.desc("monetary"), "o_custkey"))
-    scored = per_cust.select(
-        "o_custkey", r.alias("r_score"), fq.alias("f_score"), m.alias("m_score")
+    scored = global_ntile(
+        scored, 5, [F.desc("frequency"), F.col("o_custkey")], "f_score"
     )
-    return (
+    scored = global_ntile(
+        scored, 5, [F.desc("monetary"), F.col("o_custkey")], "m_score"
+    )
+    result = (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").alias("n_customers"))
         .filter(F.col("n_customers") >= 5)
         .orderBy(F.desc("n_customers"), "r_score", "f_score", "m_score")
+        # the ntile passes already ran eager per-partition count jobs;
+        # pin the (small) segment table and release the cached
+        # customer aggregate
+        .localCheckpoint(eager=True)
     )
+    per_cust.unpersist()
+    return result
 
 
 Q_RFM_SEGMENTATION_SQL = """

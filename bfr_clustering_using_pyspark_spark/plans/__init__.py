@@ -27,7 +27,7 @@ _COST_S = {
     "text_quality": 0.4, "text_tokens": 0.4, "text_top_terms": 0.4,
     "mm_pgm_roundtrip": 0.5, "q19_disjunctive": 0.5, "q_cube": 0.5,
     "q_date_funcs": 0.5, "q_events_json": 0.5, "q_histogram": 0.5,
-    "q_moving_avg": 0.5, "q_path_3grams": 0.5, "q_rfm_segmentation": 0.5,
+    "q_moving_avg": 0.5, "q_path_3grams": 0.5, "q_rfm_segmentation": 8.0,
     "stream_bfr_update": 0.5, "suffstats": 0.5, "text_bigrams": 0.5,
     "dedup_embedding": 0.6, "dedup_exact": 0.6, "mm_decode": 0.6,
     "q12_shipmode": 0.6, "q_events_windowed": 0.6, "q_order_priority": 0.6,
@@ -79,6 +79,8 @@ _COST_S = {
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 7.9, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
     "stream_update_counts": 4.0, "source_custom_points": 2.0,
     "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
+    "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0,
 }
 
 

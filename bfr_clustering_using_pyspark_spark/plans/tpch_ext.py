@@ -289,6 +289,139 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+_PCT_PS = (0.5, 0.9, 0.99)
+
+
+def q_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles at 100 TB scale: ``percentile()``
+    buffers every group value in one task's heap, so this variant
+    computes the SAME numbers by DISTRIBUTED RANK instead — one
+    ``grouped_rank`` pass (deterministic literal-cut buckets on the
+    value, per-(group, bucket) local windows + broadcast prefix
+    offsets), tiny per-group count collect (one row per group), then
+    the interpolation ``v_lo + frac·(v_hi − v_lo)`` reads exactly TWO
+    ranked rows per (group, percentile) via a broadcast join. No
+    task ever holds more than its bucket slice; nothing buffers a
+    group. The oracle replays the identical rank-and-interpolate
+    arithmetic in SQL (not quantile_cont), so the gate compares
+    bitwise-identical formulas."""
+    import math
+
+    from ..operators.ranking import grouped_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = grouped_rank(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.col("l_extendedprice"),
+    )
+    # one row per group — catalog-bounded (return flags)
+    cnts = sorted(
+        li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect(),
+        key=lambda r: r["l_returnflag"],
+    )
+    need = []
+    for r in cnts:
+        n_g = r["n"]
+        for p in _PCT_PS:
+            pos = p * (n_g - 1)  # float64, same IEEE ops as the oracle
+            lo0 = math.floor(pos)
+            need.append(
+                (r["l_returnflag"], p, lo0 + 1, min(lo0 + 2, n_g), pos - lo0, n_g)
+            )
+    need_df = spark.createDataFrame(
+        need, "l_returnflag string, p double, lo_rk long, hi_rk long, frac double, n long"
+    )
+    hit = ranked.join(
+        F.broadcast(need_df),
+        (ranked["l_returnflag"] == need_df["l_returnflag"])
+        & ((F.col("_grank") == F.col("lo_rk")) | (F.col("_grank") == F.col("hi_rk"))),
+    ).select(
+        need_df["l_returnflag"], "p", "lo_rk", "hi_rk", "frac", "n",
+        "_grank", "l_extendedprice",
+    )
+    interp = (
+        hit.groupBy("l_returnflag", "p", "frac", "n")
+        .agg(
+            F.max(F.when(F.col("_grank") == F.col("lo_rk"), F.col("l_extendedprice"))).alias("v1"),
+            F.max(F.when(F.col("_grank") == F.col("hi_rk"), F.col("l_extendedprice"))).alias("v2"),
+        )
+        .withColumn("val", F.col("v1") + F.col("frac") * (F.col("v2") - F.col("v1")))
+    )
+    return (
+        interp.groupBy("l_returnflag", "n")
+        .agg(
+            F.round(F.max(F.when(F.col("p") == 0.5, F.col("val"))), 4).alias("p50"),
+            F.round(F.max(F.when(F.col("p") == 0.9, F.col("val"))), 4).alias("p90"),
+            F.round(F.max(F.when(F.col("p") == 0.99, F.col("val"))), 4).alias("p99"),
+        )
+        .select("l_returnflag", "p50", "p90", "p99", "n")
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PERCENTILES_DIST_SQL = """
+WITH cnt AS (
+  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+), need AS (
+  SELECT c.l_returnflag, p.p, c.n,
+         CAST(floor(p.p * (c.n - 1)) AS BIGINT) + 1 AS lo_rk,
+         least(CAST(floor(p.p * (c.n - 1)) AS BIGINT) + 2, c.n) AS hi_rk,
+         p.p * (c.n - 1) - floor(p.p * (c.n - 1)) AS frac
+  FROM cnt c CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p) p
+), interp AS (
+  SELECT nd.l_returnflag, nd.p, nd.frac, nd.n,
+         max(CASE WHEN r.rk = nd.lo_rk THEN r.v END) AS v1,
+         max(CASE WHEN r.rk = nd.hi_rk THEN r.v END) AS v2
+  FROM need nd JOIN ranked r
+    ON r.l_returnflag = nd.l_returnflag
+   AND (r.rk = nd.lo_rk OR r.rk = nd.hi_rk)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT l_returnflag,
+       round(max(CASE WHEN p = 0.5 THEN v1 + frac * (v2 - v1) END), 4) AS p50,
+       round(max(CASE WHEN p = 0.9 THEN v1 + frac * (v2 - v1) END), 4) AS p90,
+       round(max(CASE WHEN p = 0.99 THEN v1 + frac * (v2 - v1) END), 4) AS p99,
+       n
+FROM interp GROUP BY l_returnflag, n ORDER BY l_returnflag
+"""
+
+PCT_APPROX_ACC = 10000  # Greenwald-Khanna accuracy (rank error <= n/acc)
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based grouped percentiles — the cheap scale face next
+    to ``q_percentiles``/``q_percentiles_dist``: one map-side
+    mergeable Greenwald-Khanna sketch per group, O(acc·log n) state
+    per task instead of buffering values. Rank error is bounded by
+    n/accuracy; tests pin ≤1% value error vs the exact key at sf0.1.
+    [rows-only: DuckDB's approx_quantile is a different sketch
+    (t-digest), so no cross-engine hash can exist by construction]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {PCT_APPROX_ACC})"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("ps"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation for skewed keys: event_type has
@@ -1124,13 +1257,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One groupBy(customer) pass for the three metrics, then EXACT
     ntile(5) per metric via ``operators.ranking.global_ntile`` —
-    range-repartition on the metric, rank locally per partition, add
-    broadcast prefix offsets. Same bit-exact output as a bare
-    ``ntile(5) OVER (ORDER BY …)`` (the oracle's formulation) but
-    with NO unpartitioned window: at 10⁹ customers each scoring pass
-    is a parallel range shuffle instead of one task swallowing the
-    whole aggregate. The only driver materializations are the
-    per-partition count rows (bounded by shuffle partitions)."""
+    deterministic literal-cut buckets on the metric, rank locally per
+    bucket, add broadcast prefix offsets. Same bit-exact output as a
+    bare ``ntile(5) OVER (ORDER BY …)`` (the oracle's formulation)
+    but with NO unpartitioned window: at 10⁹ customers each scoring
+    pass is a parallel bucketed shuffle instead of one task
+    swallowing the whole aggregate. The only driver materializations
+    are the three bucket-cut sketches (≤P doubles each)."""
     from ..operators.ranking import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1141,14 +1274,27 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # last-ulp cross-engine difference could flip a quintile.
         fixed_sum(F.col("o_totalprice")).alias("monetary"),
     ).persist()
+    # bucket expressions are negated: leading sort is DESC. All three
+    # cut sketches come from ONE action over the persisted aggregate,
+    # and the known total lets each ntile skip its in-plan count.
+    from ..operators.ranking import bucket_cuts
+
+    r_b = -F.col("last_order").cast("timestamp").cast("double")
+    f_b = -F.col("frequency")
+    m_b = -F.col("monetary")
+    cut_r, cut_f, cut_m = bucket_cuts(per_cust, [r_b, f_b, m_b])
+    n_cust = per_cust.count()
     scored = global_ntile(
-        per_cust, 5, [F.desc("last_order"), F.col("o_custkey")], "r_score"
+        per_cust, 5, [F.desc("last_order"), F.col("o_custkey")],
+        r_b, "r_score", cut_r, n_cust,
     )
     scored = global_ntile(
-        scored, 5, [F.desc("frequency"), F.col("o_custkey")], "f_score"
+        scored, 5, [F.desc("frequency"), F.col("o_custkey")],
+        f_b, "f_score", cut_f, n_cust,
     )
     scored = global_ntile(
-        scored, 5, [F.desc("monetary"), F.col("o_custkey")], "m_score"
+        scored, 5, [F.desc("monetary"), F.col("o_custkey")],
+        m_b, "m_score", cut_m, n_cust,
     )
     result = (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1333,6 +1479,8 @@ QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q_events_json": q_events_json,
     "q_percentiles": q_percentiles,
+    "q_percentiles_dist": q_percentiles_dist,
+    "q_percentiles_approx": q_percentiles_approx,
     "q_window_funcs": q_window_funcs,
     "q_grouping_sets": q_grouping_sets,
     "q_gap_fill": q_gap_fill,
@@ -1366,6 +1514,7 @@ ORACLES = {
     "q19_disjunctive": Q19_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
+    "q_percentiles_dist": Q_PERCENTILES_DIST_SQL,
     "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_gap_fill": Q_GAP_FILL_SQL,

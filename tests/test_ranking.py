@@ -1,5 +1,7 @@
-"""operators.ranking: the distributed global rank/ntile must be
-bit-identical to the single-task window formulation."""
+"""operators.ranking: the distributed rank/ntile must be bit-identical
+to the single-task window formulation — including across repeated
+runs (regression for the sampled-range-bound drift that mis-ranked
+boundary blocks)."""
 
 import pytest
 from pyspark.sql import Window as W
@@ -8,6 +10,7 @@ from pyspark.sql import functions as F
 from bfr_clustering_using_pyspark_spark.operators.ranking import (
     global_ntile,
     global_rank,
+    grouped_rank,
 )
 from tests.conftest import SF_SMALL
 
@@ -22,7 +25,9 @@ def test_global_rank_matches_window(spark):
     ev = _events(spark)
     got = {
         r["event_id"]: r["_grank"]
-        for r in global_rank(ev, [F.desc("value"), F.col("event_id")])[0].collect()
+        for r in global_rank(
+            ev, [F.desc("value"), F.col("event_id")], -F.col("value")
+        ).collect()
     }
     want = {
         r["event_id"]: r["rk"]
@@ -39,7 +44,7 @@ def test_global_ntile_matches_window(spark, n_tiles):
     got = {
         r["event_id"]: r["tile"]
         for r in global_ntile(
-            ev, n_tiles, [F.col("value"), F.col("event_id")], "tile"
+            ev, n_tiles, [F.col("value"), F.col("event_id")], F.col("value"), "tile"
         ).collect()
     }
     want = {
@@ -53,14 +58,58 @@ def test_global_ntile_matches_window(spark, n_tiles):
 
 def test_global_ntile_degenerate_fewer_rows_than_tiles(spark):
     df = _events(spark).limit(3)
-    out = global_ntile(df, 10, [F.col("event_id")], "tile").collect()
+    out = global_ntile(df, 10, [F.col("event_id")], F.col("event_id"), "tile").collect()
     # SQL ntile with n > rows assigns each row its own bucket 1..rows
     assert sorted(r["tile"] for r in out) == [1, 2, 3]
 
 
-def test_global_rank_total_and_uniqueness(spark):
+def test_global_rank_uniqueness(spark):
     ev = _events(spark)
-    ranked, total = global_rank(ev, [F.col("event_id")])
+    ranked = global_rank(ev, [F.col("event_id")], F.col("event_id"))
     ranks = [r["_grank"] for r in ranked.collect()]
-    assert total == len(ranks)
-    assert sorted(ranks) == list(range(1, total + 1))
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_grouped_rank_matches_partitioned_window(spark):
+    ev = _events(spark).withColumn("grp", F.col("user_id") % 7)
+    got = {
+        r["event_id"]: r["_grank"]
+        for r in grouped_rank(
+            ev, ["grp"], [F.col("value"), F.col("event_id")], F.col("value")
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["rk"]
+        for r in ev.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("grp").orderBy("value", "event_id")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_stable_across_runs_lineitem(spark):
+    """Regression for the cross-execution range-bound drift:
+    multi-column string+double order over lineitem must rank
+    identically to the window formulation on EVERY run (the sampled
+    repartitionByRange design was off by a partition-boundary
+    block)."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    oc = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rk"]
+        for r in li.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("l_returnflag").orderBy(*oc)),
+        ).collect()
+    }
+    for _ in range(2):
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): r["_grank"]
+            for r in grouped_rank(
+                li, ["l_returnflag"], oc, F.col("l_extendedprice")
+            ).collect()
+        }
+        assert got == want

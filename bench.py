@@ -31,6 +31,16 @@ HEADLINE = [
     "bfr_fit",
 ]
 
+# Expensive families the headline set never times — tracked separately
+# (single iteration, NOT in the headline total, which stays comparable
+# to the frozen r1 baseline) so round-over-round regressions here are
+# visible in BENCH_r{N}.json.
+EXTRAS = [
+    "dedup_components",
+    "stream_components",
+    "graph_pagerank",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,6 +69,14 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    extra_timings: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        extra_timings[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extra_timings[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # r1 total at sf0.1 (see BASELINE.md); ratio only meaningful there
     baseline_total = 13.838
@@ -71,6 +89,7 @@ def main() -> None:
                 "iterations": 2,
                 "aggregation": "min_per_query",
                 "queries": timings,
+                "extra_queries": extra_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "vs_baseline_total": round(total / baseline_total, 3),
             }

@@ -839,6 +839,152 @@ ORDER BY nt.q_id
 """
 
 
+NND_K = 8       # neighbors kept per node each round
+NND_ITERS = 2   # neighbor-of-neighbor refinement rounds
+
+
+def _nnd_cos(a_col: str, b_col: str):
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.round(dot, 4)
+
+
+def ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN via NN-DESCENT (Dong et al., WWW'11 — the
+    distributed-friendly relative of HNSW, whose sequential insertion
+    loop does not shard): every node keeps its K best neighbors;
+    each round the candidate pool is its current neighbors plus
+    neighbors-of-neighbors over the UNDIRECTED current graph, scored
+    by exact cosine, keeping the top K. Converges in a few rounds
+    because a neighbor's neighbor is likely a neighbor.
+
+    Hash-gated end to end, which is rare for an iterative algorithm:
+    the initial neighbor lists are md5-derived (both engines replay
+    them), every round is a pure join/score/top-k function of the
+    previous round with engine-stable rounding, and the oracle
+    UNROLLS the fixed iteration count into chained SQL CTEs.
+
+    Scale: each round shuffles O(n·K²) candidate edges keyed by
+    node — no all-pairs stage anywhere; the scored joins broadcast
+    nothing bigger than the vector table's join keys. The output is
+    the k-NN GRAPH itself (the index a query-time beam search walks);
+    recall vs brute force is pinned in tests."""
+    base = _base(spark, sf_dir)
+    unit = base.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    n = unit.count()
+
+    # md5 init: K pseudo-random candidate ids per node
+    j_col = F.explode(F.array(*[F.lit(j) for j in range(NND_K)])).alias("j")
+    cand0 = (
+        unit.select(F.col("vec_id").alias("a"), j_col)
+        .select(
+            "a",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("nnd"), F.col("a"), F.lit("_"), F.col("j"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    ua = unit.select(F.col("vec_id").alias("a"), F.col("u").alias("ua"))
+    ub = unit.select(F.col("vec_id").alias("b"), F.col("u").alias("ub"))
+
+    def top_k(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(ua, "a").join(ub, "b")
+            .select("a", "b", _nnd_cos("ua", "ub").alias("cosine"))
+        )
+        w = W.partitionBy("a").orderBy(F.desc("cosine"), "b")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NND_K)
+            .select("a", "b", "cosine", "rank")
+        )
+
+    nn = top_k(cand0)
+    for _ in range(NND_ITERS):
+        edges = nn.select("a", "b")
+        und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        two_hop = (
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        nn = top_k(edges.union(two_hop).distinct())
+    return nn.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("nbr_id"), "cosine", "rank"
+    ).orderBy("vec_id", "rank")
+
+
+def _nndescent_oracle_sql() -> str:
+    """Unrolled NN-Descent in DuckDB CTEs — init, then NND_ITERS
+    rounds of (undirected ∪ two-hop) → score → top-K."""
+    prelude = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM base
+), nvec AS (
+  SELECT count(*) AS n FROM unit
+), cand0 AS (
+  SELECT DISTINCT un.vec_id AS a,
+         ('0x' || substr(md5('nnd' || un.vec_id || '_' || j.j), 1, 15))::BIGINT % nvec.n AS b
+  FROM unit un CROSS JOIN nvec
+  CROSS JOIN (SELECT unnest(generate_series(0, {NND_K - 1})) AS j) j
+  WHERE ('0x' || substr(md5('nnd' || un.vec_id || '_' || j.j), 1, 15))::BIGINT % nvec.n <> un.vec_id
+), nn0 AS (
+  SELECT a, b, cosine, rank FROM (
+    SELECT c.a, c.b,
+           round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) AS cosine,
+           row_number() OVER (PARTITION BY c.a ORDER BY
+             round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) DESC, c.b) AS rank
+    FROM cand0 c JOIN unit x ON c.a = x.vec_id JOIN unit y ON c.b = y.vec_id
+  ) WHERE rank <= {NND_K}
+)"""
+    rounds = []
+    for i in range(NND_ITERS):
+        prev, cur = f"nn{i}", f"nn{i + 1}"
+        rounds.append(f""", und{i} AS (
+  SELECT a, b FROM {prev}
+  UNION
+  SELECT b AS a, a AS b FROM {prev}
+), cand{i + 1} AS (
+  SELECT a, b FROM {prev}
+  UNION
+  SELECT x.a, y.b FROM und{i} x JOIN und{i} y ON x.b = y.a WHERE x.a <> y.b
+), {cur} AS (
+  SELECT a, b, cosine, rank FROM (
+    SELECT c.a, c.b,
+           round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) AS cosine,
+           row_number() OVER (PARTITION BY c.a ORDER BY
+             round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) DESC, c.b) AS rank
+    FROM cand{i + 1} c JOIN unit x ON c.a = x.vec_id JOIN unit y ON c.b = y.vec_id
+  ) WHERE rank <= {NND_K}
+)""")
+    return (
+        prelude
+        + "".join(rounds)
+        + f"""
+SELECT a AS vec_id, b AS nbr_id, cosine, rank
+FROM nn{NND_ITERS} ORDER BY vec_id, rank"""
+    )
+
+
+ANN_NNDESCENT_SQL = _nndescent_oracle_sql()
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
@@ -847,6 +993,7 @@ QUERIES = {
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_rerank": ann_ivf_rerank,
     "ann_pq": ann_pq,
+    "ann_nndescent_graph": ann_nndescent_graph,
     "knn_classify_eval": knn_classify_eval,
     "ann_recall_eval": ann_recall_eval,
 }
@@ -859,6 +1006,7 @@ ORACLES = {
     "ann_ivf_partitioned": ANN_IVF_PARTITIONED_SQL,
     "ann_ivf_rerank": ANN_IVF_RERANK_SQL,
     "ann_pq": ANN_PQ_SQL,
+    "ann_nndescent_graph": ANN_NNDESCENT_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

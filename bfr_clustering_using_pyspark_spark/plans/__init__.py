@@ -80,7 +80,7 @@ _COST_S = {
     "stream_update_counts": 4.0, "source_custom_points": 2.0,
     "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
     "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0,
 }
 
 

@@ -167,6 +167,56 @@ class TestStatefulSessionize:
         ).select("user_id").distinct().count()
 
 
+class TestNNDescent:
+    def _graph_recall(self, spark, iters):
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        old = S.NND_ITERS
+        S.NND_ITERS = iters
+        try:
+            truth = _neighbor_sets(ann_bruteforce(spark, SF_SMALL))
+            graph = {}
+            for r in S.ann_nndescent_graph(spark, SF_SMALL).collect():
+                if r["rank"] <= S.TOP_K:
+                    graph.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+            hits = sum(len(truth[q] & graph.get(q, set())) for q in truth)
+            total = sum(len(v) for v in truth.values())
+            return hits / total
+        finally:
+            S.NND_ITERS = old
+
+    def test_recall_after_two_rounds(self, spark):
+        """Honest recall bar: ≥0.6 at n=500 (measured 0.74). The test
+        embeddings are near-isotropic — NN-Descent's worst case — so
+        this is the floor, not the clustered-corpus number."""
+        assert self._graph_recall(spark, 2) >= 0.6
+
+    def test_rounds_improve_monotonically(self, spark):
+        """The algorithm's core claim: each neighbor-of-neighbor
+        round must strictly improve graph recall over the md5 random
+        init (measured 0.01 → 0.155 → 0.23 at n=2000)."""
+        r0 = self._graph_recall(spark, 0)
+        r1 = self._graph_recall(spark, 1)
+        r2 = self._graph_recall(spark, 2)
+        assert r0 < r1 < r2
+
+    def test_graph_shape(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.similarity import (
+            NND_K,
+            ann_nndescent_graph,
+        )
+
+        rows = ann_nndescent_graph(spark, SF_SMALL).collect()
+        per_node = {}
+        for r in rows:
+            per_node.setdefault(r["vec_id"], []).append(r)
+            assert r["vec_id"] != r["nbr_id"]
+        assert len(per_node) == 500  # every node has a neighbor list
+        for v in per_node.values():
+            assert len(v) <= NND_K
+            assert sorted(r["rank"] for r in v) == list(range(1, len(v) + 1))
+
+
 def test_pq_recall_and_determinism(spark):
     """PQ at 8×4-bit codes (64× compression) + exact re-rank of the
     ADC shortlist must clear recall@5 ≥ 0.6 vs brute force (measured

@@ -39,7 +39,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     1..100) are inserted; result aggregated by status for a compact
     hash-stable output."""
     orders = load_table(spark, sf_dir, "orders")
-    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
     # Bumped price computed as integer cents (round(x*110) =
     # x*1.1 in cents) so the double is exactly cents/100 on both
     # engines — Spark's decimal-string round(x, 2) and DuckDB's
@@ -52,13 +51,20 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("o_orderstatus", F.lit("U"))
     )
-    inserts = spark.range(1, 101).select(
-        (F.col("id") + max_key).alias("o_orderkey"),
-        (F.col("id") % 50).alias("o_custkey"),
-        F.lit("I").alias("o_orderstatus"),
-        F.lit(100.0).alias("o_totalprice"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
-        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    # the max key stays IN-PLAN: a 1-row aggregate broadcast into the
+    # 100-row insert generator (no driver action at plan-build time)
+    max_key_row = orders.agg(F.max("o_orderkey").alias("_max_key"))
+    inserts = (
+        spark.range(1, 101)
+        .crossJoin(F.broadcast(max_key_row))
+        .select(
+            (F.col("id") + F.col("_max_key")).alias("o_orderkey"),
+            (F.col("id") % 50).alias("o_custkey"),
+            F.lit("I").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+            F.lit("3-MEDIUM").alias("o_orderpriority"),
+        )
     )
     merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
     return (

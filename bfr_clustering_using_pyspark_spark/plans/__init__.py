@@ -122,6 +122,8 @@ _CHANGED_THIS_ROUND = (
     # checkpoint + staging-dir cleanup): outputs unchanged, re-check
     "ann_ivf_partitioned", "sink_shard_manifest", "orc_roundtrip",
     "json_roundtrip", "points_source", "source_custom_points",
+    # collects moved in-plan (crossJoin(broadcast(1-row agg)))
+    "q_scalar_subquery", "q_merge_upsert",
 )
 _CONVERTED_THIS_ROUND = ()
 

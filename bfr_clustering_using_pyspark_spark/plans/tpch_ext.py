@@ -701,14 +701,18 @@ SELECT
 
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery filter: orders above the global average price,
-    counted per priority (decorrelates to a broadcast scalar)."""
+    counted per priority. The scalar stays IN-PLAN — a 1-row
+    aggregate crossJoin(broadcast(...)) against the fact scan, the
+    same decorrelation Catalyst performs for a SQL scalar subquery —
+    so no driver action runs at plan-build time."""
     orders = load_table(spark, sf_dir, "orders")
     # Exact-cents mean for the threshold: it's a filter boundary, so
     # an order-dependent double avg could flip borderline rows.
     cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
-    avg_price = orders.agg(F.sum(cents) / F.count("*") / 100.0).collect()[0][0]
+    avg_row = orders.agg((F.sum(cents) / F.count("*") / 100.0).alias("avg_price"))
     return (
-        orders.filter(F.col("o_totalprice") > avg_price)
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_above_avg"), fixed_avg(F.col("o_totalprice")).alias("avg_above"))
         .orderBy("o_orderpriority")

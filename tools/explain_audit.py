@@ -36,7 +36,7 @@ AUDIT = {
     "q16_supplier_cnt": (True, True, 4),  # distinct-count = 2-phase
     "q18_large_orders": (False, True, 4),
     "q_salted_agg": (False, False, 3),
-    "q_merge_upsert": (False, False, 4),
+    "q_merge_upsert": (False, False, 5),  # +1: in-plan max-key 1-row agg (replaced a driver collect)
     "tfidf_top_terms": (False, True, 5),
     "q_regression": (False, True, 2),
     "embedding_normalize": (False, False, 1),
@@ -77,6 +77,15 @@ AUDIT = {
     "q_moving_avg": (False, False, 2),
     "q_window_funcs": (False, False, 3),
     "q_gap_fill": (False, True, 5),
+    # round-6 additions (observed static-plan values)
+    "q_percentiles_dist": (False, True, 6),  # bucketed window + offsets agg + needed-rank bcast join
+    "q_percentiles_approx": (False, False, 2),  # GK sketch agg + sort
+    "q_mad_outliers_approx": (False, True, 5),  # two sketch passes, scalars broadcast back
+    "csv_roundtrip": (False, False, 1),  # eager-checkpointed aggregate
+    "ann_nndescent_graph": (False, True, 24),  # 2 unrolled NN-Descent rounds; AQE stage reuse collapses repeated subtrees at runtime
+    "ann_ivf": (False, True, 2),
+    "ann_pq": (False, True, 3),
+    "ann_ivf_rerank": (False, True, 3),
 }
 
 # Keys allowed to carry a WindowExec with NO partition key: their

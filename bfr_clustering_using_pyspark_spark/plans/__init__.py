@@ -116,14 +116,16 @@ _CHANGED_THIS_ROUND = (
     # round-6 graduations: rows-only → hash-gated (md5/anchor
     # quantizers, bounded query sides, oracles added)
     "ann_ivf", "ann_ivf_rerank", "ann_pq",
+    # round-6 NEW hash-gated keys (no external row can exist yet)
+    "q_percentiles_dist", "csv_roundtrip", "ann_nndescent_graph",
     # round-6 plan rewrites (scale paths) — re-verify outputs
     "q_rfm_segmentation", "q_percentiles", "q_mad_outliers",
+    # collects moved in-plan (crossJoin(broadcast(1-row agg)))
+    "q_scalar_subquery", "q_merge_upsert",
     # round-6 housekeeping that touched plan lineage (eager
     # checkpoint + staging-dir cleanup): outputs unchanged, re-check
     "ann_ivf_partitioned", "sink_shard_manifest", "orc_roundtrip",
     "json_roundtrip", "points_source", "source_custom_points",
-    # collects moved in-plan (crossJoin(broadcast(1-row agg)))
-    "q_scalar_subquery", "q_merge_upsert",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -374,6 +374,134 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_median(spark, ranked, cnts, v_col: str, out: str):
+    """round(median, 4) per event_type from a grouped-rank DataFrame:
+    join the two needed ranked rows per group (broadcast) and
+    interpolate v_lo + frac·(v_hi − v_lo). ``cnts`` is the
+    catalog-bounded (type → n) list."""
+    import math
+
+    need = []
+    for et, n_g in cnts:
+        pos = 0.5 * (n_g - 1)  # exactly representable halves
+        lo0 = math.floor(pos)
+        need.append((et, lo0 + 1, min(lo0 + 2, n_g), pos - lo0))
+    need_df = spark.createDataFrame(
+        need, "event_type string, lo_rk long, hi_rk long, frac double"
+    )
+    hit = ranked.join(
+        F.broadcast(need_df),
+        (ranked["event_type"] == need_df["event_type"])
+        & ((F.col("_grank") == F.col("lo_rk")) | (F.col("_grank") == F.col("hi_rk"))),
+    ).select(need_df["event_type"], "lo_rk", "hi_rk", "frac", "_grank", v_col)
+    return (
+        hit.groupBy("event_type", "frac")
+        .agg(
+            F.max(F.when(F.col("_grank") == F.col("lo_rk"), F.col(v_col))).alias("v1"),
+            F.max(F.when(F.col("_grank") == F.col("hi_rk"), F.col(v_col))).alias("v2"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.col("v1") + F.col("frac") * (F.col("v2") - F.col("v1")), 4
+            ).alias(out),
+        )
+    )
+
+
+def q_mad_outliers_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAD outlier screen with DISTRIBUTED-RANK exact medians —
+    the exact-at-scale face of ``q_mad_outliers``: Spark's
+    ``percentile`` buffers every group value in one task's heap,
+    while this computes each median as the interpolated value at the
+    middle rank via ``operators.ranking.grouped_rank`` (deterministic
+    literal-cut buckets, per-(group, bucket) windows, broadcast
+    prefix offsets). Two ranking passes — values, then absolute
+    residuals — mirror the exact key's two percentile passes; no
+    task ever buffers a group. The oracle replays the identical
+    rank-and-interpolate arithmetic, so the hash gate compares
+    bitwise-identical formulas."""
+    from ..operators.ranking import grouped_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    cnts = sorted(
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+    r1 = grouped_rank(
+        ev, ["event_type"], [F.col("value"), F.col("event_id")], F.col("value")
+    )
+    med = _rank_median(spark, r1, cnts, "value", "med")
+    res = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("resid"), "event_id"
+    )
+    r2 = grouped_rank(
+        res, ["event_type"], [F.col("resid"), F.col("event_id")], F.col("resid")
+    )
+    mad = _rank_median(spark, r2, cnts, "resid", "mad")
+    cutoff = F.round(F.col("med") + MAD_K * MAD_SIGMA * F.col("mad"), 4)
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "value", "med", "mad", cutoff.alias("cutoff"))
+        .groupBy("event_type", "med", "mad", "cutoff")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") > F.col("cutoff")).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_OUTLIERS_DIST_SQL = f"""
+WITH cnt AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+), need AS (
+  SELECT event_type, n,
+         CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS lo_rk,
+         least(CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 2, n) AS hi_rk,
+         CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS frac
+  FROM cnt
+), r1 AS (
+  SELECT event_type, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk
+  FROM events
+), medv AS (
+  SELECT nd.event_type,
+         round(max(CASE WHEN rk = lo_rk THEN v END)
+               + max(frac) * (max(CASE WHEN rk = hi_rk THEN v END)
+                              - max(CASE WHEN rk = lo_rk THEN v END)), 4) AS med
+  FROM need nd JOIN r1 ON r1.event_type = nd.event_type AND (rk = lo_rk OR rk = hi_rk)
+  GROUP BY 1
+), res AS (
+  SELECT e.event_type, abs(e.value - m.med) AS resid, e.event_id
+  FROM events e JOIN medv m USING (event_type)
+), r2 AS (
+  SELECT event_type, resid AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY resid, event_id) AS rk
+  FROM res
+), madv AS (
+  SELECT nd.event_type,
+         round(max(CASE WHEN rk = lo_rk THEN v END)
+               + max(frac) * (max(CASE WHEN rk = hi_rk THEN v END)
+                              - max(CASE WHEN rk = lo_rk THEN v END)), 4) AS mad
+  FROM need nd JOIN r2 ON r2.event_type = nd.event_type AND (rk = lo_rk OR rk = hi_rk)
+  GROUP BY 1
+), cut AS (
+  SELECT m.event_type, m.med, d.mad,
+         round(m.med + {MAD_K} * {MAD_SIGMA} * d.mad, 4) AS cutoff
+  FROM medv m JOIN madv d USING (event_type)
+)
+SELECT e.event_type, med, mad, cutoff,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value > cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN cut USING (event_type)
+GROUP BY 1, 2, 3, 4 ORDER BY e.event_type
+"""
+
+
 MAD_APPROX_ACC = 10000
 
 
@@ -747,6 +875,7 @@ QUERIES = {
     "q_events_anomaly": q_events_anomaly,
     "q_mad_outliers": q_mad_outliers,
     "q_mad_outliers_approx": q_mad_outliers_approx,
+    "q_mad_outliers_dist": q_mad_outliers_dist,
     "q_path_3grams": q_path_3grams,
     "q_ab_test": q_ab_test,
     "q_ks_test": q_ks_test,
@@ -762,6 +891,7 @@ ORACLES = {
     "q_time_range_agg": Q_TIME_RANGE_AGG_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+    "q_mad_outliers_dist": Q_MAD_OUTLIERS_DIST_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,
     "q_ab_test": Q_AB_TEST_SQL,
     "q_ks_test": Q_KS_TEST_SQL,

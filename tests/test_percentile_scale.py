@@ -55,6 +55,22 @@ def test_percentiles_approx_error_bound(spark):
             assert rel <= 0.01, (k, c, rel)
 
 
+def test_mad_outliers_dist_equals_exact(spark):
+    """Distributed-rank MAD must reproduce the percentile() screen to
+    float tolerance (same mathematical definition), including the
+    derived cutoff and outlier counts."""
+    from bfr_clustering_using_pyspark_spark.plans.events import q_mad_outliers_dist
+
+    exact = _rows(q_mad_outliers(spark, SF_SMALL), "event_type")
+    dist = _rows(q_mad_outliers_dist(spark, SF_SMALL), "event_type")
+    assert set(exact) == set(dist)
+    for k in exact:
+        assert exact[k]["n_events"] == dist[k]["n_events"]
+        assert exact[k]["n_outliers"] == dist[k]["n_outliers"]
+        for c in ("med", "mad", "cutoff"):
+            assert abs(exact[k][c] - dist[k][c]) <= 1e-6, (k, c)
+
+
 def test_mad_outliers_approx_error_bound(spark):
     """Sketched MAD: med/mad within 1%, outlier count within 5% of
     the exact screen at sf0.1."""

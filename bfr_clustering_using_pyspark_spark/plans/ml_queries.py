@@ -579,6 +579,124 @@ GROUP BY label ORDER BY label
 """
 
 
+KDET_K = 8        # clusters
+KDET_ITERS = 3    # Lloyd rounds (fixed — the oracle unrolls them)
+KDET_SCALE = 1_000_000.0  # micro-unit quantization for exact sums
+KDET_DIMS = 64
+
+
+def _kdet_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * KDET_SCALE).cast("long")
+    )
+    return emb.select("vec_id", xi.alias("xi"))
+
+
+def _kdet_assign_expr(centroids: dict[int, list[float]]):
+    """argmin_c Σ_d (x_d/SCALE − c_d)², ties → smaller cluster id.
+    Pure JVM fold against centroid literals — a map-side projection."""
+    structs = []
+    for c in sorted(centroids):
+        lit = F.array(*[F.lit(v) for v in centroids[c]])
+        d2 = F.aggregate(
+            F.zip_with(
+                "xi", lit, lambda x, cc: (x / F.lit(KDET_SCALE) - cc) * (x / F.lit(KDET_SCALE) - cc)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
+    return F.array_sort(F.array(*structs))[0]["c"].cast("int")
+
+
+def kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, CROSS-ENGINE BIT-EXACT — the
+    hash-gated face of the clustering core (``kmeans_fit`` keeps the
+    MLlib path, whose seeded init no SQL engine can replay):
+
+    - init: cluster = vec_id % K (deterministic, no RNG);
+    - update: per-(cluster, dim) sums of MICRO-UNIT INTEGER
+      coordinates (round(x·10⁶) as BIGINT) — integer sums are
+      associative, so the map-side partial aggregation is exact under
+      ANY partitioning, and both engines compute identical centroids
+      c_d = S/n/10⁶ (two correctly-rounded double divisions of
+      exactly-representable integers);
+    - assign: argmin over centroid literals via a sequential JVM
+      fold, ties to the smaller cluster id;
+    - ``KDET_ITERS`` fixed rounds; the oracle UNROLLS them in SQL.
+
+    Scale: each round is one map-side-combined (cluster, dim) sum
+    (K·d result rows — the only driver materialization, O(k·d) like
+    any production k-means) plus a literal-argmin projection; no
+    n-sized shuffle beyond the dim explode, no RNG, no heap
+    buffering. Clusters that empty out drop from the candidate set
+    that round on both engines."""
+    pts = _kdet_points(spark, sf_dir).persist()
+    assign = (F.col("vec_id") % KDET_K).cast("int")
+    for _ in range(KDET_ITERS):
+        cur = pts.withColumn("cluster", assign)
+        stats = (
+            cur.select("cluster", F.posexplode("xi").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        cents: dict[int, list[float]] = {}
+        for r in stats:
+            cents.setdefault(r["cluster"], [0.0] * KDET_DIMS)[r["pos"]] = (
+                r["s"] / r["n"] / KDET_SCALE
+            )
+        assign = _kdet_assign_expr(cents)
+    result = (
+        pts.withColumn("cluster", assign)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pts.unpersist()
+    return result
+
+
+def _kdet_oracle_sql() -> str:
+    """Unrolled Lloyd rounds: sums → centroids → argmin, repeated."""
+    head = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KDET_SCALE}) AS BIGINT)) AS xi
+  FROM embeddings
+), dims AS (SELECT unnest(generate_series(0, {KDET_DIMS - 1})) AS pos),
+a0 AS (
+  SELECT vec_id, xi, CAST(vec_id % {KDET_K} AS INT) AS cluster FROM pts
+)"""
+    rounds = []
+    for t in range(KDET_ITERS):
+        prev, cur = f"a{t}", f"a{t + 1}"
+        rounds.append(f""", s{t + 1} AS (
+  SELECT cluster, d.pos, sum(xi[d.pos + 1]) AS s, count(*) AS n
+  FROM {prev} CROSS JOIN dims d GROUP BY cluster, d.pos
+), c{t + 1} AS (
+  SELECT cluster, list(s / n / {KDET_SCALE} ORDER BY pos) AS c FROM s{t + 1} GROUP BY cluster
+), {cur} AS (
+  SELECT vec_id, xi, cluster FROM (
+    SELECT p.vec_id, p.xi, k.cluster,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             list_sum(list_transform(list_zip(p.xi, k.c),
+               q -> (q[1] / {KDET_SCALE} - q[2]) * (q[1] / {KDET_SCALE} - q[2]))), k.cluster) AS rk
+    FROM pts p CROSS JOIN c{t + 1} k
+  ) WHERE rk = 1
+)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+SELECT vec_id, cluster FROM a{KDET_ITERS} ORDER BY vec_id"""
+    )
+
+
+KMEANS_LLOYD_DET_SQL = _kdet_oracle_sql()
+
+
 QUERIES = {
     "silhouette_eval": silhouette_eval,
     "cluster_profile": cluster_profile,
@@ -588,6 +706,7 @@ QUERIES = {
     "nmi_eval": nmi_eval,
     "bfr_fit": bfr_fit,
     "kmeans_fit": kmeans_fit,
+    "kmeans_lloyd_det": kmeans_lloyd_det,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -601,6 +720,7 @@ ORACLES = {
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
     "nmi_eval": NMI_EVAL_SQL,
+    "kmeans_lloyd_det": KMEANS_LLOYD_DET_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

@@ -34,15 +34,25 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 BUCKET_ACC = 1000  # approx_percentile accuracy for the cut sketch
+MAX_BUCKETS = 64
+# Bucket-count cap: correctness never depends on it (any cut set
+# yields the same ranks), it only bounds per-bucket sort size vs
+# expression size. Uncapped, a vanilla 200-shuffle-partition session
+# produced a 199-cut expression that blew Janino's 64 KB method limit
+# and fell back to interpreted eval (~4× slower end to end); 64
+# buckets keep codegen alive and still parallelize each ranking pass
+# 64 ways, with per-bucket window sorts spilling rather than
+# buffering. Raise it alongside a coarser cut representation if a
+# workload needs more spread.
 
 
 def bucket_cuts(df: DataFrame, exprs: list[Column]) -> list[list[float]]:
     """Approx-percentile cut arrays for several bucket expressions in
-    ONE action (≤ shuffle-partitions doubles each). Precompute these
-    when chaining several ranks over one input — each chained rank's
-    own sketch would otherwise re-execute all upstream stages."""
+    ONE action (≤ MAX_BUCKETS doubles each). Precompute these when
+    chaining several ranks over one input — each chained rank's own
+    sketch would otherwise re-execute all upstream stages."""
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")), MAX_BUCKETS)
     probs = F.array(*[F.lit(i / n_parts) for i in range(1, n_parts)])
     row = df.select(
         *[
@@ -59,13 +69,20 @@ def _bucket_col(
     """Deterministic contiguous bucket id: cuts are approx-percentile
     literals (collected once), bucket = #cuts strictly below the
     row's value — a pure row function, identical in every plan
-    branch and every re-execution."""
+    branch and every re-execution. Evaluated as a fold over ONE
+    literal array so the (possibly expensive) bucket expression
+    appears exactly once in the plan regardless of cut count."""
     if cuts is None:
         cuts = bucket_cuts(df, [bucket_expr])[0]
-    bkt = F.lit(0)
-    for c in cuts:
-        bkt = bkt + (bucket_expr.cast("double") > F.lit(c)).cast("int")
-    return bkt
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(c) for c in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(bucket_expr.cast("double") > c, F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 def grouped_rank(

@@ -55,13 +55,14 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # best-of-2 per query: the first run pays Python-worker and scan
-    # warmup that a long-lived cluster wouldn't
+    # best-of-3 per query: the first run pays Python-worker and scan
+    # warmup that a long-lived cluster wouldn't, and min-of-3 damps
+    # host-load noise (observed same-commit swings of 1.5x)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             dt = time.time() - t0
@@ -86,7 +87,7 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "iterations": 2,
+                "iterations": 3,
                 "aggregation": "min_per_query",
                 "queries": timings,
                 "extra_queries": extra_timings,

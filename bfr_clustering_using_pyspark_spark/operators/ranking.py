@@ -112,10 +112,13 @@ def grouped_rank(
     w = W.partitionBy(*keys).orderBy(*order_cols)
     local = part.withColumn("_lrank", F.row_number().over(w))
     cnts = part.groupBy(*keys).agg(F.count("*").alias("_cnt"))
+    # the global-offsets variant partitions on a constant: same
+    # bounded ≤MAX_BUCKETS-row frame, but avoids WindowExec's
+    # "no partition defined" warning spam in driver logs
     w_off = (
         W.partitionBy(*group_cols).orderBy("_bkt")
         if group_cols
-        else W.orderBy("_bkt")
+        else W.partitionBy(F.lit(0)).orderBy("_bkt")
     ).rowsBetween(W.unboundedPreceding, -1)
     offs = cnts.select(
         *keys, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")

@@ -175,6 +175,45 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY o_year
 """
 
+COMPACT_SMALL = 64  # deliberately-fragmented input file count
+COMPACT_TARGET = 4  # files after compaction
+
+
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance op every
+    long-lived 100 TB lake runs: stage the documents table as
+    ``COMPACT_SMALL`` deliberately tiny parquet files (the streaming-
+    ingest fragmentation pattern), compact by reading them back and
+    rewriting at ``COMPACT_TARGET`` files, then prove NO ROW was
+    lost or duplicated with the same hash-gated aggregate the
+    roundtrip keys use. Tests separately assert the physical file
+    count actually shrank 64 → ≤4.
+
+    Scale: compaction is a plain distributed read → repartition →
+    write (at real scale pick partitions from bytes/target-size and
+    bound files with maxRecordsPerFile); nothing touches the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="compact_")
+    small_dir, big_dir = f"{out}/small", f"{out}/compacted"
+    docs.repartition(COMPACT_SMALL).write.mode("overwrite").parquet(small_dir)
+    spark.read.parquet(small_dir).repartition(COMPACT_TARGET).write.mode(
+        "overwrite"
+    ).parquet(big_dir)
+    back = spark.read.parquet(big_dir)
+    return _pin_and_cleanup(
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang", "source"),
+        out,
+    )
+
+
 N_SHARDS = 16
 
 
@@ -236,6 +275,7 @@ QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "json_roundtrip": json_roundtrip,
     "csv_roundtrip": csv_roundtrip,
+    "sink_compact_small_files": sink_compact_small_files,
     "q_bucketed_join": q_bucketed_join,
     "sink_shard_manifest": sink_shard_manifest,
 }
@@ -244,6 +284,7 @@ ORACLES = {
     "orc_roundtrip": _ROUNDTRIP_SQL,
     "json_roundtrip": _ROUNDTRIP_SQL,
     "csv_roundtrip": _ROUNDTRIP_SQL,
+    "sink_compact_small_files": _ROUNDTRIP_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
     "sink_shard_manifest": SINK_SHARD_MANIFEST_SQL,
 }

@@ -728,6 +728,50 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash")
+
+
+def q_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy equivalence proof: the SAME orders⋈customer
+    aggregate executed under all three physical join strategies —
+    broadcast-hash, sort-merge, shuffled-hash — must produce
+    IDENTICAL numbers (tests additionally assert each branch's plan
+    really carries its strategy). This is the safety property that
+    lets an operator pick strategy by cost alone at 100 TB: broadcast
+    while the dim fits, spill to SMJ/SHJ when it doesn't, results
+    bit-identical either way. Exact-cents revenue so the three
+    branches (different partition orders!) still agree to the cent."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    out = None
+    for strat in _JOIN_STRATEGIES:
+        j = orders.join(customer.hint(strat), orders.o_custkey == customer.c_custkey)
+        agg = j.agg(
+            F.lit(strat).alias("strategy"),
+            F.count("*").alias("n_rows"),
+            F.sum(cents).alias("total_cents"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("strategy")
+
+
+Q_JOIN_STRATEGIES_SQL = f"""
+WITH one AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT s.strategy, one.n_rows, one.total_cents, one.n_segments
+FROM one CROSS JOIN (
+  SELECT unnest({list(_JOIN_STRATEGIES)}) AS strategy
+) s
+ORDER BY s.strategy
+"""
+
+
 def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, grouped-map formulation: per-user
     ``pd.merge_asof`` inside ``applyInPandas`` (the alternative to
@@ -1467,6 +1511,7 @@ QUERIES = {
     "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
     "q_scalar_subquery": q_scalar_subquery,
+    "q_join_strategies": q_join_strategies,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1502,6 +1547,7 @@ ORACLES = {
     "q_asof_grouped": Q_ASOF_GROUPED_SQL,
     "q_set_ops": Q_SET_OPS_SQL,
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
+    "q_join_strategies": Q_JOIN_STRATEGIES_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

@@ -818,6 +818,49 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_FRAME_S = 3600  # trailing 1-hour value window
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the VALUE-based frame ``q_window_funcs``'
+    ROWS battery doesn't cover): per user, the exact-cents sum and
+    count of purchases in the trailing ONE HOUR of event time —
+    ``RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`` over epoch
+    seconds, so rows with EQUAL timestamps share a frame (the
+    semantic difference from a ROWS frame). One user-key shuffle;
+    the frame is time-bounded, not n-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-RANGE_FRAME_S, 0)
+    )
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            epoch.alias("epoch_s"),
+            (F.sum(cents).over(w) / 100.0).alias("hour_value"),
+            F.count("*").over(w).alias("hour_events"),
+        )
+        .orderBy("user_id", "epoch_s", "event_id")
+    )
+
+
+Q_RANGE_FRAME_SQL = f"""
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       sum(CAST(round(value * 1e2) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW) / 1e2 AS hour_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW) AS hour_events
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, epoch_s, event_id
+"""
+
+
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery: lead/lag, ntile, percent_rank,
     cume_dist, first_value over per-customer order history — the
@@ -1512,6 +1555,7 @@ QUERIES = {
     "q_set_ops": q_set_ops,
     "q_scalar_subquery": q_scalar_subquery,
     "q_join_strategies": q_join_strategies,
+    "q_range_frame": q_range_frame,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1548,6 +1592,7 @@ ORACLES = {
     "q_set_ops": Q_SET_OPS_SQL,
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
     "q_join_strategies": Q_JOIN_STRATEGIES_SQL,
+    "q_range_frame": Q_RANGE_FRAME_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

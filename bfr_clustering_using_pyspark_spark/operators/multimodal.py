@@ -601,12 +601,133 @@ FROM pcm GROUP BY doc_id, n_samples ORDER BY doc_id
 """
 
 
+VID_EVERY_N = 2  # sample every 2nd frame
+VID_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_px double, min_px int, max_px int"
+)
+
+
+def _video_payload(doc_id: int) -> bytes:
+    """A REAL multi-frame binary container: ASCII header
+    ``BVID\\n<n_frames> <w> <h>\\n`` + n_frames raw 8-bit frames
+    (the netpbm-style stand-in for an MP4 — same parse shape, no
+    codec library needed). Frame f's pixel (r, c) is
+    ``(doc_id + 17·f + 31·r + 7·c) % 256`` so the oracle replays the
+    sampled-frame statistics in closed form."""
+    import numpy as np
+
+    nf = 4 + doc_id % 5
+    w = 8 + doc_id % 5
+    h = 6 + doc_id % 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    frames = [
+        ((doc_id + 17 * f + 31 * r + 7 * c) % 256).astype(np.uint8).tobytes()
+        for f in range(nf)
+    ]
+    return f"BVID\n{nf} {w} {h}\n".encode() + b"".join(frames)
+
+
+def _video_decode_frames(payload: bytes, every_n: int):
+    """Parse the container and yield (frame_idx, n_frames, w, h,
+    pixel-array) for every ``every_n``-th frame — the real
+    frame-seek: header parse, then offset arithmetic into the raw
+    buffer (an MP4 demuxer does the same with chunk tables)."""
+    import numpy as np
+
+    magic, dims, raw = payload.split(b"\n", 2)
+    if magic != b"BVID":
+        raise ValueError(f"not a BVID payload: {magic!r}")
+    nf, w, h = (int(t) for t in dims.split())
+    fsz = w * h
+    for f in range(0, nf, every_n):
+        px = np.frombuffer(raw[f * fsz : (f + 1) * fsz], dtype=np.uint8)
+        yield f, nf, w, h, px
+
+
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling through the binary path: encode a real
+    multi-frame container per document, then SEEK to every
+    ``VID_EVERY_N``-th frame by offset arithmetic (no full-payload
+    decode — the property that makes frame sampling cheap on real
+    video) and emit per-frame pixel statistics. Explode-shaped
+    output (one input row → n_frames/every_n rows), the true shape
+    of video pipelines. Hash-gated: the oracle recomputes each
+    sampled frame's stats from the generation formula — a match
+    proves encoder, transport, header parse, and frame seek agree.
+
+    Scale: two Arrow-batched ``mapInPandas`` stages over an opaque
+    binary column; swap the BVID parser for an ffmpeg/pyav demuxer
+    on a real cluster (same signature, same batch shape)."""
+    import numpy as np  # noqa: F401 — used inside the closures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_video_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f, nf, w, h, px in _video_decode_frames(bytes(payload), VID_EVERY_N):
+                    s, n = int(px.sum()), w * h
+                    rows.append(
+                        (doc_id, f, nf, w, h, (s * 10000 // n) / 10000.0,
+                         int(px.min()), int(px.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "width", "height",
+                         "mean_px", "min_px", "max_px"],
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return encoded.mapInPandas(decode, schema=VID_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+MM_VIDEO_FRAMES_SQL = f"""
+WITH px AS (
+  -- fixed-bound series + filters; nf ∈ [4,8], w ∈ [8,12], h ∈ [6,9]
+  SELECT d.doc_id, f.f AS frame_idx,
+         4 + d.doc_id % 5 AS n_frames,
+         8 + d.doc_id % 5 AS width,
+         6 + d.doc_id % 4 AS height,
+         (d.doc_id + 17 * f.f + 31 * r.r + 7 * c.c) % 256 AS v
+  FROM documents d,
+       generate_series(0, 7) AS f(f),
+       generate_series(0, 8) AS r(r),
+       generate_series(0, 11) AS c(c)
+  WHERE f.f < 4 + d.doc_id % 5 AND f.f % {VID_EVERY_N} = 0
+    AND r.r < 6 + d.doc_id % 4 AND c.c < 8 + d.doc_id % 5
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(sum(v) * 10000 // (width * height) AS DOUBLE) / 10000 AS mean_px,
+       CAST(min(v) AS INT) AS min_px,
+       CAST(max(v) AS INT) AS max_px
+FROM px GROUP BY doc_id, frame_idx, n_frames, width, height
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "mm_decode": mm_decode,
     "mm_pipeline": mm_pipeline,
     "mm_pgm_roundtrip": mm_pgm_roundtrip,
     "mm_pgm_resize": mm_pgm_resize,
     "mm_wav_roundtrip": mm_wav_roundtrip,
+    "mm_video_frames": mm_video_frames,
 }
 ORACLES: dict[str, str] = {
     "mm_pgm_resize": MM_PGM_RESIZE_SQL,
@@ -614,4 +735,5 @@ ORACLES: dict[str, str] = {
     "mm_pipeline": MM_PIPELINE_SQL,
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,
     "mm_wav_roundtrip": MM_WAV_ROUNDTRIP_SQL,
+    "mm_video_frames": MM_VIDEO_FRAMES_SQL,
 }

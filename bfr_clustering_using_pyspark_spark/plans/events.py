@@ -374,6 +374,66 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_KEYS = 50  # dim cardinality; key 0 carries ~80% of the fact
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join: 80% of events land on ONE join key (the
+    hot-partition shape that stalls a sort-merge join at 100 TB —
+    one straggler task processes most of the data). The plan forces
+    SMJ (no broadcast escape hatch) so AQE's skew-join split is the
+    mechanism that saves it: at runtime the oversized partition is
+    divided among many reader tasks, bit-identically. Tests execute
+    this plan under aggressive skew thresholds and assert the
+    executed plan carries the ``skew=true`` split; the hash gate
+    proves the result is the same regardless.
+
+    The dim side is generated in-plan (``spark.range`` → oracle
+    ``generate_series``), so the key is fully replayable. The fact
+    side is round-robin repartitioned first: the AQE skew reader
+    splits a hot reduce partition along MAPPER boundaries, and the
+    single-row-group toy parquet yields one mapper — the repartition
+    stands in for the thousands of input splits a real corpus has
+    (at 100 TB it is unnecessary and would be dropped)."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.repartition(8).select(
+        F.when(F.col("event_id") % 10 < 8, F.lit(0))
+        .otherwise(F.pmod("event_id", F.lit(SKEW_KEYS)))
+        .cast("long")
+        .alias("sk"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    dim = spark.range(SKEW_KEYS).select(
+        F.col("id").alias("sk"), (F.col("id") * 7 % 13).alias("grp")
+    )
+    joined = fact.join(dim.hint("merge"), "sk")
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+            F.countDistinct("sk").alias("n_keys"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_SKEW_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT i AS sk, (i * 7) % 13 AS grp FROM generate_series(0, {SKEW_KEYS - 1}) t(i)
+), fact AS (
+  SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE event_id % {SKEW_KEYS} END AS sk,
+         CAST(round(value * 1e2) AS BIGINT) AS cents
+  FROM events
+)
+SELECT grp, count(*) AS n_events,
+       sum(cents) / 1e2 AS total_value,
+       CAST(count(DISTINCT sk) AS BIGINT) AS n_keys
+FROM fact JOIN dim USING (sk)
+GROUP BY grp ORDER BY grp
+"""
+
+
 def _rank_median(spark, ranked, cnts, v_col: str, out: str):
     """round(median, 4) per event_type from a grouped-rank DataFrame:
     join the two needed ranked rows per group (broadcast) and
@@ -876,6 +936,7 @@ QUERIES = {
     "q_mad_outliers": q_mad_outliers,
     "q_mad_outliers_approx": q_mad_outliers_approx,
     "q_mad_outliers_dist": q_mad_outliers_dist,
+    "q_skew_join": q_skew_join,
     "q_path_3grams": q_path_3grams,
     "q_ab_test": q_ab_test,
     "q_ks_test": q_ks_test,
@@ -892,6 +953,7 @@ ORACLES = {
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_mad_outliers_dist": Q_MAD_OUTLIERS_DIST_SQL,
+    "q_skew_join": Q_SKEW_JOIN_SQL,
     "q_path_3grams": Q_PATH_3GRAMS_SQL,
     "q_ab_test": Q_AB_TEST_SQL,
     "q_ks_test": Q_KS_TEST_SQL,

@@ -63,3 +63,38 @@ def test_join_strategies_rows_identical(spark):
     assert len(rows) == 3
     vals = {(r["n_rows"], r["total_cents"], r["n_segments"]) for r in rows}
     assert len(vals) == 1  # all strategies agree exactly
+
+
+def test_skew_join_aqe_split_fires(spark):
+    """Under aggressive skew thresholds, AQE must split the hot
+    partition (executed plan carries the skew marker) and the result
+    must equal the unsplit run bit-for-bit."""
+    from bfr_clustering_using_pyspark_spark.plans.events import q_skew_join
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the post-join aggregation means the split adds a shuffle,
+        # which AQE declines by default — force it (the production
+        # knob for exactly this join-then-aggregate shape)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q_skew_join(spark, SF_SMALL)
+        rows_split = [tuple(r) for r in df.collect()]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    rows_plain = [tuple(r) for r in q_skew_join(spark, SF_SMALL).collect()]
+    assert rows_split == rows_plain

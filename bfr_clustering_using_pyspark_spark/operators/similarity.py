@@ -605,43 +605,52 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     unit, books = _pq_anchor_units(spark, sf_dir)
     dsub = _PLANE_DIMS // PQ_M
-    n_k = len(books[0])
 
     def _sub(col: str, m: int):
         return F.slice(col, m * dsub + 1, dsub)
 
-    def _d2(col, center: list[float]):
-        lit = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(col, lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def _cent_lit(m: int):
+        # array<array<double>> literal: subspace m's K centers
+        return F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
+
+    def _d2s(m: int):
+        # distances to all K centers via ONE higher-order transform —
+        # the lambda body exists once in the plan (runtime-evaluated
+        # per element), so expression size stays O(M), not O(M·K·d);
+        # the naive unrolled form blew whole-stage codegen and ran
+        # ~10× slower
+        sub = _sub("u", m)
+        return F.transform(
+            _cent_lit(m),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
 
-    def _dot(col, center: list[float]):
-        lit = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(col, lit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    # encode: per subspace, argmin_k ||u_sub - c_mk||² — a pure JVM
-    # fold (128 small folds), map-side only
-    code_cols = []
-    for m in range(PQ_M):
-        structs = [
-            F.struct(_d2(_sub("u", m), books[m][k]).alias("d"), F.lit(k).alias("k"))
-            for k in range(n_k)
-        ]
-        code_cols.append(F.array_sort(F.array(*structs))[0]["k"])
+    # encode: argmin_k per subspace; array_position finds the FIRST
+    # index of the min → ties break to the smaller k, matching the
+    # oracle's ORDER BY d2, k
+    code_cols = [
+        (F.array_position(_d2s(m), F.array_min(_d2s(m))) - 1).cast("int")
+        for m in range(PQ_M)
+    ]
     coded = unit.select("vec_id", "u", F.array(*code_cols).alias("codes"))
 
     # bounded query side with per-query LUT: lut[m][k] = <q_sub_m, c_mk>
-    lut = F.array(
-        *[
-            F.array(*[_dot(_sub("u", m), books[m][k]) for k in range(n_k)])
-            for m in range(PQ_M)
-        ]
-    )
+    def _dots(m: int):
+        sub = _sub("u", m)
+        return F.transform(
+            _cent_lit(m),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    lut = F.array(*[_dots(m) for m in range(PQ_M)])
     qlut = (
         unit.filter(F.col("vec_id").isin(*PQ_QUERY_IDS))
         .select(F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), lut.alias("lut"))

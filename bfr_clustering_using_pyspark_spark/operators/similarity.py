@@ -272,17 +272,26 @@ def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
 def _centroid_rank_expr(v_col: str):
     """array of (d2, j) structs sorted ascending — slot 0 is the
     assignment, the first N_PROBE slots are a query's probe lists.
-    Pure JVM fold per centroid: a map-side projection, no shuffle."""
-    structs = []
-    for j in range(N_IVF_LISTS):
-        lit = F.array(*[F.lit(x) for x in _ivf_centroid(j)])
-        d2 = F.aggregate(
-            F.zip_with(F.col(v_col), lit, lambda x, y: (x - y) * (x - y)),
+    One higher-order transform over an array-of-arrays centroid
+    literal (lambda body exists once in the plan — the unrolled
+    per-centroid form was a codegen-size liability), then an indexed
+    transform attaches the list ids; a map-side projection, no
+    shuffle."""
+    cents = F.array(
+        *[F.array(*[F.lit(x) for x in _ivf_centroid(j)]) for j in range(N_IVF_LISTS)]
+    )
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(v_col), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        structs.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
-    return F.array_sort(F.array(*structs))
+        ),
+    )
+    structs = F.transform(
+        d2s, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("j"))
+    )
+    return F.array_sort(structs)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

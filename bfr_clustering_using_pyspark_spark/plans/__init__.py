@@ -59,9 +59,9 @@ _COST_S = {
     "seq_pack": 1.6, "text_winnow_fingerprint": 1.6,
     "ann_lsh_multiprobe": 1.7, "stream_events_window": 1.9,
     "stream_dedup": 2.0, "stream_quality_filter": 2.0,
-    "stream_session_window": 2.0, "ann_ivf": 3.5, "mm_wav_roundtrip": 2.1,
+    "stream_session_window": 2.0, "ann_ivf": 2.5, "mm_wav_roundtrip": 2.1,
     "q_approx_distinct": 2.2, "ann_recall_eval": 2.3,
-    "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 3.0,
+    "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 2.2,
     "stream_countmin": 2.5, "q_asof_grouped": 2.7,
     "stream_sessionize_stateful": 2.7, "corpus_mix": 2.8,
     "graph_pagerank": 2.8, "kmeans_fit": 2.8, "intermediate_stats": 3.1,
@@ -73,14 +73,14 @@ _COST_S = {
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
-    "ann_ivf_partitioned": 7.7,
+    "ann_ivf_partitioned": 2.6,
     "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,
     "q_bucketed_join": 2.4, "stream_late_data": 4.0,
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 7.9, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
     "stream_update_counts": 4.0, "source_custom_points": 2.0,
     "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
     "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 8.0, "kmeans_lloyd_det": 8.0, "q_join_strategies": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 8.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8,
 }
 

@@ -594,20 +594,27 @@ def _kdet_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kdet_assign_expr(centroids: dict[int, list[float]]):
-    """argmin_c Σ_d (x_d/SCALE − c_d)², ties → smaller cluster id.
-    Pure JVM fold against centroid literals — a map-side projection."""
-    structs = []
-    for c in sorted(centroids):
-        lit = F.array(*[F.lit(v) for v in centroids[c]])
-        d2 = F.aggregate(
+    """argmin_c Σ_d (x_d/SCALE − c_d)², ties → smaller cluster id
+    (centroid ids listed ascending, array_position takes the first
+    min). One higher-order transform over an array-of-arrays literal
+    — the lambda body exists once in the plan, keeping codegen alive
+    across the unrolled rounds."""
+    ids = sorted(centroids)
+    cents = F.array(*[F.array(*[F.lit(v) for v in centroids[c]]) for c in ids])
+    ids_lit = F.array(*[F.lit(c) for c in ids])
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
             F.zip_with(
-                "xi", lit, lambda x, cc: (x / F.lit(KDET_SCALE) - cc) * (x / F.lit(KDET_SCALE) - cc)
+                "xi",
+                c,
+                lambda x, cc: (x / F.lit(KDET_SCALE) - cc) * (x / F.lit(KDET_SCALE) - cc),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        structs.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
-    return F.array_sort(F.array(*structs))[0]["c"].cast("int")
+        ),
+    )
+    return ids_lit[F.array_position(d2s, F.array_min(d2s)) - 1].cast("int")
 
 
 def kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,6 +2,7 @@ from .events_stream import (
     STREAM_BFR_UPDATE_SQL,
     STREAM_DEDUP_SQL,
     STREAM_EVENTS_WINDOW_SQL,
+    STREAM_SLIDING_WINDOW_SQL,
     STREAM_LATE_DATA_SQL,
     STREAM_UPDATE_COUNTS_SQL,
     STREAM_CHECKPOINT_RECOVERY_SQL,
@@ -12,6 +13,7 @@ from .events_stream import (
     stream_bfr_update,
     stream_dedup,
     stream_events_window,
+    stream_sliding_window,
     stream_late_data,
     stream_update_counts,
     stream_checkpoint_recovery,
@@ -34,6 +36,7 @@ QUERIES = {
     "stream_components": stream_components,
     "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
+    "stream_sliding_window": stream_sliding_window,
     "stream_late_data": stream_late_data,
     "stream_update_counts": stream_update_counts,
     "stream_checkpoint_recovery": stream_checkpoint_recovery,
@@ -54,6 +57,7 @@ ORACLES: dict[str, str] = {
     # stateless filter + complete-mode agg: drained result ≡ batch agg
     "stream_quality_filter": STREAM_QUALITY_FILTER_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
+    "stream_sliding_window": STREAM_SLIDING_WINDOW_SQL,
     # multi-batch replay with calibrated drop/emit watermark rules —
     # the staged straggler population makes late-drop really happen
     "stream_late_data": STREAM_LATE_DATA_SQL,

@@ -121,6 +121,49 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1-hour windows every 30 minutes (each event lands in
+    exactly two overlapping windows — the smoothing shape tumbling
+    windows can't express), 2-hour watermark, AvailableNow drain.
+    Hash-gated: the oracle assigns each event its two window starts
+    (time_bucket and time_bucket − 30 min) and applies the calibrated
+    append-emit rule (window_end ≤ max_ts − watermark, equality
+    emits) that the tumbling key established."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_memory(agg, "stream_sliding_window_sink", mode="append")
+    return out.orderBy("window_start", "event_type")
+
+
+STREAM_SLIDING_WINDOW_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+slid AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) - s.off * INTERVAL 30 MINUTE AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS off) s
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value
+FROM slid GROUP BY 1, 2
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY 1, 2
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` on event_id within
     a watermark (the streaming face of exact dedup — state store

@@ -86,6 +86,13 @@ AUDIT = {
     "ann_ivf": (False, True, 2),
     "ann_pq": (False, True, 3),
     "ann_ivf_rerank": (False, True, 3),
+    "q_skew_join": (False, False, 5),  # forced SMJ (no broadcast by design) + demo repartition
+    "q_range_frame": (True, False, 2),
+    "mm_video_frames": (False, False, 1),
+    "q_join_strategies": (True, True, 10),  # 3 strategies x (join + agg) unioned
+    "kmeans_lloyd_det": (False, False, 1),  # eager-checkpointed assignment (per-round plans audited via tests)
+    "q_mad_outliers_dist": (True, True, 12),  # 2 grouped_rank passes (bucket windows + offset aggs)
+    "sink_compact_small_files": (False, False, 1),  # eager-checkpointed manifest aggregate
 }
 
 # Keys allowed to carry a WindowExec with NO partition key: their

@@ -728,6 +728,113 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function surface: ``posexplode(split(...))`` fans
+    each part's type string into (position, word) rows — the
+    explode-shaped row multiplication every tokenization pipeline
+    uses — then aggregates word frequency per position. One shuffle
+    on the (pos, word) agg key; the fan-out happens map-side."""
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "word")
+    )
+    return (
+        words.groupBy("pos", "word")
+        .agg(F.count("*").alias("n_parts"), F.sum("p_partkey").alias("key_checksum"))
+        .orderBy("pos", "word")
+    )
+
+
+Q_GENERATOR_FUNCS_SQL = """
+WITH words AS (
+  SELECT p_partkey, i - 1 AS pos, string_split(p_type, ' ')[i] AS word
+  FROM part, UNNEST(generate_series(1, len(string_split(p_type, ' ')))) AS t(i)
+)
+SELECT pos, word, count(*) AS n_parts,
+       CAST(sum(p_partkey) AS BIGINT) AS key_checksum
+FROM words GROUP BY pos, word ORDER BY pos, word
+"""
+
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:2016 surface): for every nation,
+    its top-2 customers by account balance — the per-group top-k as
+    a correlated subquery instead of a window. Expressed through
+    ``spark.sql`` to exercise the SQL face; Catalyst decorrelates
+    the lateral into a ranked join, so no per-nation re-scan
+    survives into the physical plan."""
+    from ..sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM v_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM v_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+        """
+    )
+
+
+Q_LATERAL_JOIN_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+"""
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery over the embedding column
+    — filter / exists / forall / transform+aggregate, the lambda
+    surface this engine leans on everywhere, exercised and hash-gated
+    in one place. Per vector: positive-component count, any>0.9 /
+    all<1.0 flags, and the exact integer-milli sum of positive
+    components (map-side only until the final sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    pos = F.filter(v, lambda x: x > 0)
+    return (
+        emb.select(
+            "vec_id",
+            F.size(pos).alias("n_pos"),
+            F.exists(v, lambda x: x > 0.9).alias("has_gt09"),
+            F.forall(v, lambda x: x < 1.0).alias("all_lt1"),
+            F.aggregate(
+                F.transform(pos, lambda x: F.round(x * 1000.0).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("pos_milli_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_HIGHER_ORDER_FUNCS_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(v, x -> x > 0.9)) > 0 AS has_gt09,
+       len(list_filter(v, x -> x >= 1.0)) = 0 AS all_lt1,
+       CAST(coalesce(list_sum(list_transform(list_filter(v, x -> x > 0),
+                                             x -> CAST(round(x * 1000) AS BIGINT))), 0) AS BIGINT)
+         AS pos_milli_sum
+FROM v ORDER BY vec_id
+"""
+
+
 _JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash")
 
 
@@ -1556,6 +1663,9 @@ QUERIES = {
     "q_scalar_subquery": q_scalar_subquery,
     "q_join_strategies": q_join_strategies,
     "q_range_frame": q_range_frame,
+    "q_generator_funcs": q_generator_funcs,
+    "q_lateral_join": q_lateral_join,
+    "q_higher_order_funcs": q_higher_order_funcs,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1593,6 +1703,9 @@ ORACLES = {
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
     "q_join_strategies": Q_JOIN_STRATEGIES_SQL,
     "q_range_frame": Q_RANGE_FRAME_SQL,
+    "q_generator_funcs": Q_GENERATOR_FUNCS_SQL,
+    "q_lateral_join": Q_LATERAL_JOIN_SQL,
+    "q_higher_order_funcs": Q_HIGHER_ORDER_FUNCS_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

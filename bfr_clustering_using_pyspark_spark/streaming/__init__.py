@@ -3,6 +3,7 @@ from .events_stream import (
     STREAM_DEDUP_SQL,
     STREAM_EVENTS_WINDOW_SQL,
     STREAM_SLIDING_WINDOW_SQL,
+    STREAM_UPSERT_SINK_SQL,
     STREAM_LATE_DATA_SQL,
     STREAM_UPDATE_COUNTS_SQL,
     STREAM_CHECKPOINT_RECOVERY_SQL,
@@ -14,6 +15,7 @@ from .events_stream import (
     stream_dedup,
     stream_events_window,
     stream_sliding_window,
+    stream_upsert_sink,
     stream_late_data,
     stream_update_counts,
     stream_checkpoint_recovery,
@@ -37,6 +39,7 @@ QUERIES = {
     "stream_quality_filter": stream_quality_filter,
     "stream_events_window": stream_events_window,
     "stream_sliding_window": stream_sliding_window,
+    "stream_upsert_sink": stream_upsert_sink,
     "stream_late_data": stream_late_data,
     "stream_update_counts": stream_update_counts,
     "stream_checkpoint_recovery": stream_checkpoint_recovery,
@@ -58,6 +61,7 @@ ORACLES: dict[str, str] = {
     "stream_quality_filter": STREAM_QUALITY_FILTER_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
     "stream_sliding_window": STREAM_SLIDING_WINDOW_SQL,
+    "stream_upsert_sink": STREAM_UPSERT_SINK_SQL,
     # multi-batch replay with calibrated drop/emit watermark rules —
     # the staged straggler population makes late-drop really happen
     "stream_late_data": STREAM_LATE_DATA_SQL,

@@ -164,6 +164,94 @@ ORDER BY 1, 2
 """
 
 
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink via ``foreachBatch`` — the production
+    pattern for maintaining a serving table from a stream when the
+    sink has no native streaming writer: each micro-batch aggregates
+    its rows and MERGEs them into a versioned parquet state table
+    (read previous version ∪ batch → re-aggregate → write next
+    version — the read-modify-write every lakehouse MERGE performs,
+    with versioned directories standing in for table-format
+    transactions). Four deterministic staged batches (event_id % 4)
+    replay through maxFilesPerTrigger=1; the per-user totals are
+    associative, so the final state equals the one-shot batch
+    aggregate REGARDLESS of batch boundaries — which is exactly what
+    the oracle checks, making the exactly-once upsert loop itself
+    the thing under test."""
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+
+    root = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        src = os.path.join(root, "src")
+        base = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        )
+        for b in range(4):
+            base.filter(F.pmod("event_id", F.lit(4)) == b).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"batch_{b:03d}.parquet"))
+        schema = spark.read.parquet(os.path.join(src, "batch_000.parquet")).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(os.path.join(src, "batch_*.parquet"))
+        )
+
+        state = {"dir": None}
+        cents = F.round(F.col("value") * 100.0).cast("long")
+
+        def upsert(bdf, bid):
+            s = bdf.sparkSession
+            agg = bdf.groupBy("user_id").agg(
+                F.count("*").alias("n_events"), F.sum(cents).alias("cents")
+            )
+            if state["dir"] is not None:
+                prev = s.read.parquet(state["dir"])
+                agg = (
+                    prev.unionByName(agg)
+                    .groupBy("user_id")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("cents").alias("cents"),
+                    )
+                )
+            new_dir = os.path.join(root, f"state_v{bid}")
+            agg.write.mode("overwrite").parquet(new_dir)
+            state["dir"] = new_dir
+
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                raw.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(state["dir"])
+            .select(
+                "user_id",
+                "n_events",
+                (F.col("cents") / 100.0).alias("total_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_UPSERT_SINK_SQL = """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value * 1e2) AS BIGINT)) / 1e2 AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` on event_id within
     a watermark (the streaming face of exact dedup — state store

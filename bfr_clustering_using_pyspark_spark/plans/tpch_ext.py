@@ -835,6 +835,46 @@ FROM v ORDER BY vec_id
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4) — iterative SQL without
+    leaving the engine: walk each customer key's halving chain
+    (k → k÷2 → … → 1, a synthetic org hierarchy) and report how many
+    customers sit at each depth with an id checksum. The recursion is
+    data-bounded (≤⌈log₂ max_key⌉ steps); Spark executes it as an
+    iterated union with the same semantics DuckDB replays. Spark
+    spells integer division ``DIV`` and DuckDB ``//`` — the only
+    difference between the two texts."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start, k, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM v_customer WHERE c_custkey <= 200
+          UNION ALL
+          SELECT start, k DIV 2, depth + 1 FROM chain WHERE k > 1
+        )
+        SELECT depth AS steps_to_root,
+               count(*) AS n_customers,
+               sum(start) AS key_checksum
+        FROM chain WHERE k = 1
+        GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+Q_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain(start, k, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+  UNION ALL
+  SELECT start, k // 2, depth + 1 FROM chain WHERE k > 1
+)
+SELECT depth AS steps_to_root,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(start) AS BIGINT) AS key_checksum
+FROM chain WHERE k = 1
+GROUP BY depth ORDER BY depth
+"""
+
+
 _JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash")
 
 
@@ -1666,6 +1706,7 @@ QUERIES = {
     "q_generator_funcs": q_generator_funcs,
     "q_lateral_join": q_lateral_join,
     "q_higher_order_funcs": q_higher_order_funcs,
+    "q_recursive_cte": q_recursive_cte,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1706,6 +1747,7 @@ ORACLES = {
     "q_generator_funcs": Q_GENERATOR_FUNCS_SQL,
     "q_lateral_join": Q_LATERAL_JOIN_SQL,
     "q_higher_order_funcs": Q_HIGHER_ORDER_FUNCS_SQL,
+    "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

@@ -601,6 +601,97 @@ FROM pcm GROUP BY doc_id, n_samples ORDER BY doc_id
 """
 
 
+AUDIO_FRAME = 64  # samples per analysis frame
+AUDIO_FEAT_SCHEMA = (
+    "doc_id long, frame_idx int, frame_n int, energy_mean double, "
+    "zero_crossings int"
+)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio FEATURE EXTRACTION over the real RIFF/WAV
+    payloads (the step after ``mm_wav_roundtrip``'s decode): split
+    the PCM into 64-sample analysis frames and emit per-frame energy
+    (exact integer mean of squares) and the zero-crossing count —
+    the two classic cheap speech/music features. Explode-shaped
+    output (one clip → n/64 frames), exactly the fan-out a real
+    feature pipeline (MFCC, fbank) produces.
+
+    Hash-gated: the oracle recomputes both features from the sample
+    formula with a lag window — a match proves the encoder, the
+    chunk-walking decoder, the frame split, and the crossing logic
+    (frame-local, first sample of each frame excluded) all agree.
+    Swap the frame loop for librosa/torchaudio on a real cluster."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _sr, pcm = _wav_decode(bytes(payload))
+                v = pcm.astype(np.int64)
+                nonneg = v >= 0
+                # crossing at i (i>0): sign flip vs previous sample,
+                # counted within the frame (first sample excluded)
+                flips = np.zeros(len(v), dtype=bool)
+                flips[1:] = nonneg[1:] != nonneg[:-1]
+                for f in range(0, len(v), AUDIO_FRAME):
+                    seg = v[f : f + AUDIO_FRAME]
+                    segf = flips[f + 1 : f + AUDIO_FRAME]
+                    ssq, n = int((seg * seg).sum()), len(seg)
+                    rows.append(
+                        (
+                            doc_id,
+                            f // AUDIO_FRAME,
+                            n,
+                            (ssq * 10000 // n) / 10000.0,
+                            int(segf.sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_n", "energy_mean", "zero_crossings"],
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return encoded.mapInPandas(feats, schema=AUDIO_FEAT_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MM_AUDIO_FEATURES_SQL = f"""
+WITH pcm AS (
+  SELECT d.doc_id, i.i AS i,
+         ((d.doc_id * 7919 + i.i * 104729) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, 192) AS i(i)
+  WHERE i.i < 64 + d.doc_id % 129
+), lagd AS (
+  SELECT doc_id, i, v, i // {AUDIO_FRAME} AS frame_idx,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM pcm
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS INT) AS frame_n,
+       CAST(sum(v * v) * 10000 // count(*) AS DOUBLE) / 10000 AS energy_mean,
+       CAST(sum(CASE WHEN i % {AUDIO_FRAME} <> 0
+                      AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS INT)
+         AS zero_crossings
+FROM lagd GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
 VID_EVERY_N = 2  # sample every 2nd frame
 VID_SCHEMA = (
     "doc_id long, frame_idx int, n_frames int, width int, height int, "
@@ -728,6 +819,7 @@ QUERIES = {
     "mm_pgm_resize": mm_pgm_resize,
     "mm_wav_roundtrip": mm_wav_roundtrip,
     "mm_video_frames": mm_video_frames,
+    "mm_audio_features": mm_audio_features,
 }
 ORACLES: dict[str, str] = {
     "mm_pgm_resize": MM_PGM_RESIZE_SQL,
@@ -736,4 +828,5 @@ ORACLES: dict[str, str] = {
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,
     "mm_wav_roundtrip": MM_WAV_ROUNDTRIP_SQL,
     "mm_video_frames": MM_VIDEO_FRAMES_SQL,
+    "mm_audio_features": MM_AUDIO_FEATURES_SQL,
 }

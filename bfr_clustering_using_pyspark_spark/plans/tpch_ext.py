@@ -875,6 +875,63 @@ GROUP BY depth ORDER BY depth
 """
 
 
+def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type round-trip: per-customer priority histogram
+    packed into a MAP column (``map_from_entries(collect_list(
+    struct(...)))``), carried with a nested STRUCT of order-date
+    bounds, then EXPLODED back to rows and re-aggregated. The output
+    equals the direct relational aggregate, so the hash gate proves
+    the map/struct construction, transport, and explosion lose
+    nothing — the fidelity contract for nested-schema tables
+    (collect_list order is nondeterministic, but map semantics make
+    the round-trip order-insensitive by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    bounds = orders.groupBy("o_custkey").agg(
+        F.struct(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        ).alias("span")
+    )
+    mapped = (
+        pc.groupBy("o_custkey")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("o_orderpriority", "cnt"))
+            ).alias("prio_map")
+        )
+        .join(bounds, "o_custkey")
+    )
+    back = mapped.select(
+        "o_custkey",
+        F.col("span.first_order").alias("first_order"),
+        F.explode("prio_map").alias("prio", "cnt"),
+    )
+    return (
+        back.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cnt").alias("n_orders"),
+            F.min("first_order").alias("earliest_first_order"),
+        )
+        .orderBy("prio")
+    )
+
+
+Q_COMPLEX_TYPES_SQL = """
+SELECT o_orderpriority AS prio,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       min(first_order) AS earliest_first_order
+FROM orders
+JOIN (SELECT o_custkey AS ck, min(o_orderdate) AS first_order
+      FROM orders GROUP BY 1) b ON o_custkey = b.ck
+GROUP BY 1 ORDER BY prio
+"""
+
+
 _JOIN_STRATEGIES = ("broadcast", "merge", "shuffle_hash")
 
 
@@ -1707,6 +1764,7 @@ QUERIES = {
     "q_lateral_join": q_lateral_join,
     "q_higher_order_funcs": q_higher_order_funcs,
     "q_recursive_cte": q_recursive_cte,
+    "q_complex_types": q_complex_types,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1748,6 +1806,7 @@ ORACLES = {
     "q_lateral_join": Q_LATERAL_JOIN_SQL,
     "q_higher_order_funcs": Q_HIGHER_ORDER_FUNCS_SQL,
     "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
+    "q_complex_types": Q_COMPLEX_TYPES_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

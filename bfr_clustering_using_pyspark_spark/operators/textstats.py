@@ -9,6 +9,8 @@ common RE2/Java subset so the DuckDB oracles match byte-for-byte.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -742,7 +744,46 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR ``@pandas_udf`` face — the one UDF shape the rest
+    of the engine deliberately avoids (built-ins are 10-100× faster
+    for expressible logic) but that real pipelines need for model
+    scoring and library calls: an Arrow-batched Series→Series UDF
+    computing whitespace token counts and ASCII-letter counts with
+    vectorized pandas string ops. Hash-gated against plain SQL, and
+    a pytest pins row-equality with the pure-JVM formulation — the
+    documented proof of WHEN the Python face is exchangeable.
+
+    Scale: Arrow transfers columnar batches (no per-row pickling);
+    the UDF is a map-side projection — no shuffle, no state."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def ws_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int32")
+
+    @pandas_udf("int")
+    def ascii_letters(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Za-z]").astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_tokens("text").alias("n_ws_tokens"),
+        ascii_letters("text").alias("n_letters"),
+    ).orderBy("doc_id")
+
+
+UDF_PANDAS_SCALAR_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_letters
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "udf_pandas_scalar": udf_pandas_scalar,
     "doc_chunk": doc_chunk,
     "udtf_doc_chunk": udtf_doc_chunk,
     "chunk_boilerplate": chunk_boilerplate,
@@ -761,6 +802,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udf_pandas_scalar": UDF_PANDAS_SCALAR_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     # same semantics through the Python UDTF face -> same oracle
     "udtf_doc_chunk": DOC_CHUNK_SQL,

@@ -98,3 +98,28 @@ def test_skew_join_aqe_split_fires(spark):
                 spark.conf.set(k, v)
     rows_plain = [tuple(r) for r in q_skew_join(spark, SF_SMALL).collect()]
     assert rows_split == rows_plain
+
+
+def test_pandas_udf_matches_jvm_builtins(spark):
+    """The scalar @pandas_udf face must be row-identical to the
+    pure-JVM formulation — the exchangeability proof behind 'use
+    built-ins unless you need a library call'."""
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.operators.textstats import (
+        udf_pandas_scalar,
+    )
+    from bfr_clustering_using_pyspark_spark.sources.readers import load_table
+
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_letters"])
+           for r in udf_pandas_scalar(spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("a"),
+            F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0)).alias("b"),
+        ).collect()
+    }
+    assert got == want

@@ -113,3 +113,28 @@ def test_global_rank_stable_across_runs_lineitem(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_global_ntile_fuzz_random_shapes(spark):
+    """Property check over adversarial shapes: heavy ties, negative
+    values, n barely above/below the tile count — the distributed
+    ntile must equal the window formulation on all of them."""
+    import random
+
+    for seed, n, n_tiles in ((3, 7, 5), (11, 40, 7), (29, 301, 5), (47, 64, 64)):
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([-5.0, 0.0, 1.5, 2.5])) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            r["id"]: r["t"]
+            for r in global_ntile(
+                df, n_tiles, [F.col("v"), F.col("id")], F.col("v"), "t"
+            ).collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(n_tiles).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, (seed, n, n_tiles)

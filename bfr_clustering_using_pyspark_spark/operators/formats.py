@@ -76,7 +76,13 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves every text byte survived the quoting cycle. (Avro's
     DataSource connector is an external package not present in this
     environment; CSV completes the built-in format matrix
-    parquet/ORC/JSON/CSV.)"""
+    parquet/ORC/JSON/CSV.)
+
+    Scale note: multiLine CSV is not split-within-file (quoted
+    newlines defeat offset splitting), so read parallelism equals the
+    FILE count — which the distributed writer already made one per
+    partition; keep files bounded (maxRecordsPerFile) and the
+    non-splittable parse stays fully parallel."""
     docs = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="csv_rt_")
     (

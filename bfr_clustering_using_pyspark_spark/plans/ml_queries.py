@@ -643,17 +643,23 @@ def kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (F.col("vec_id") % KDET_K).cast("int")
     for _ in range(KDET_ITERS):
         cur = pts.withColumn("cluster", assign)
+        # wide 64-column partial aggregation — one map-side-combined
+        # pass with NO row explosion (the posexplode formulation the
+        # oracle uses would shuffle 64× the rows; integer sums are
+        # identical either way)
         stats = (
-            cur.select("cluster", F.posexplode("xi").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            cur.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(KDET_DIMS)],
+            )
             .collect()
         )
         cents: dict[int, list[float]] = {}
         for r in stats:
-            cents.setdefault(r["cluster"], [0.0] * KDET_DIMS)[r["pos"]] = (
-                r["s"] / r["n"] / KDET_SCALE
-            )
+            cents[r["cluster"]] = [
+                r[f"s{i}"] / r["n"] / KDET_SCALE for i in range(KDET_DIMS)
+            ]
         assign = _kdet_assign_expr(cents)
     result = (
         pts.withColumn("cluster", assign)

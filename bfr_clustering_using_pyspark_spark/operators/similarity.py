@@ -1002,6 +1002,143 @@ FROM nn{NND_ITERS} ORDER BY vec_id, rank"""
 
 ANN_NNDESCENT_SQL = _nndescent_oracle_sql()
 
+GS_BEAM = 8        # beam width
+GS_HOPS = 3        # unrolled greedy hops
+GS_ENTRIES = 4     # md5-derived entry points per query
+GS_QUERY_IDS = tuple(range(0, 1000, 50))  # bounded explicit query set
+
+
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search QUERY over the NN-Descent graph — the other half
+    of graph ANN (``ann_nndescent_graph`` builds the index; this
+    walks it): start each query at ``GS_ENTRIES`` md5-derived entry
+    nodes, then for ``GS_HOPS`` rounds expand the beam with the
+    graph neighbors of its members, score by exact cosine, keep the
+    best ``GS_BEAM``. Output: top-5 per query. Everything — graph,
+    entries, hop expansion, rounding, ties — is deterministic, so
+    even the SEARCH over an iteratively-built index is hash-gated
+    (the oracle chains the graph CTEs with unrolled hop CTEs).
+
+    Scale: the graph is materialized once (an ANN index IS a
+    materialized artifact — O(n·K) edges); each hop joins the
+    bounded beam (q·B rows, broadcast) against the edge list — the
+    data side never reshuffles; query cost is O(hops·B·K) score
+    evaluations per query, independent of n."""
+    base = _base(spark, sf_dir)
+    unit = base.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    n = unit.count()
+    # materialize the index once: joins below reference it per hop
+    graph = (
+        ann_nndescent_graph(spark, sf_dir)
+        .select("vec_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    uq = unit.select(F.col("vec_id").alias("q_id"), F.col("u").alias("qu"))
+    uc = unit.select(F.col("vec_id").alias("c"), F.col("u").alias("cu"))
+    queries = uq.filter(F.col("q_id").isin(*GS_QUERY_IDS))
+
+    j_col = F.explode(F.array(*[F.lit(j) for j in range(GS_ENTRIES)])).alias("j")
+    beam = (
+        queries.select("q_id", j_col)
+        .select(
+            "q_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("gs"), F.col("q_id"), F.lit("_"), F.col("j"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("c"),
+        )
+        .filter(F.col("q_id") != F.col("c"))
+        .distinct()
+    )
+
+    def top_b(cand: DataFrame, b: int) -> DataFrame:
+        scored = (
+            cand.join(F.broadcast(queries), "q_id")
+            .join(uc, "c")
+            .select("q_id", "c", _nnd_cos("qu", "cu").alias("cosine"))
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= b)
+            .select("q_id", "c", "cosine", "rank")
+        )
+
+    beam = top_b(beam, GS_BEAM)
+    for _ in range(GS_HOPS):
+        nbrs = (
+            beam.select("q_id", F.col("c").alias("vec_id"))
+            .join(graph, "vec_id")
+            .select("q_id", F.col("nbr_id").alias("c"))
+        )
+        cand = (
+            beam.select("q_id", "c")
+            .union(nbrs)
+            .filter(F.col("q_id") != F.col("c"))
+            .distinct()
+        )
+        beam = top_b(cand, GS_BEAM)
+    return (
+        beam.filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("c").alias("vec_id"), "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _graph_search_oracle_sql() -> str:
+    """Graph CTEs (shared with the nndescent oracle) + unrolled beam
+    hops."""
+    graph_part = _nndescent_oracle_sql().rsplit("\nSELECT a AS vec_id", 1)[0]
+    hops = [f""", gq AS (
+  SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id IN {GS_QUERY_IDS}
+), beam0 AS (
+  SELECT q_id, c, cosine, rank FROM (
+    SELECT e.q_id, e.c,
+           round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) AS cosine,
+           row_number() OVER (PARTITION BY e.q_id ORDER BY
+             round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) DESC, e.c) AS rank
+    FROM (
+      SELECT DISTINCT gq.q_id,
+             ('0x' || substr(md5('gs' || gq.q_id || '_' || j.j), 1, 15))::BIGINT % nvec.n AS c
+      FROM gq CROSS JOIN nvec
+      CROSS JOIN (SELECT unnest(generate_series(0, {GS_ENTRIES - 1})) AS j) j
+      WHERE ('0x' || substr(md5('gs' || gq.q_id || '_' || j.j), 1, 15))::BIGINT % nvec.n <> gq.q_id
+    ) e JOIN gq g ON e.q_id = g.q_id JOIN unit y ON e.c = y.vec_id
+  ) WHERE rank <= {GS_BEAM}
+)"""]
+    for h in range(GS_HOPS):
+        prev, cur = f"beam{h}", f"beam{h + 1}"
+        hops.append(f""", candh{h + 1} AS (
+  SELECT q_id, c FROM {prev}
+  UNION
+  SELECT p.q_id, g.b AS c FROM {prev} p JOIN nn{NND_ITERS} g ON p.c = g.a
+), {cur} AS (
+  SELECT q_id, c, cosine, rank FROM (
+    SELECT cd.q_id, cd.c,
+           round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) AS cosine,
+           row_number() OVER (PARTITION BY cd.q_id ORDER BY
+             round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) DESC, cd.c) AS rank
+    FROM (SELECT q_id, c FROM candh{h + 1} WHERE q_id <> c) cd
+    JOIN gq g ON cd.q_id = g.q_id JOIN unit y ON cd.c = y.vec_id
+  ) WHERE rank <= {GS_BEAM}
+)""")
+    return (
+        graph_part
+        + "".join(hops)
+        + f"""
+SELECT q_id, c AS vec_id, cosine, rank
+FROM beam{GS_HOPS} WHERE rank <= {TOP_K} ORDER BY q_id, rank"""
+    )
+
+
+ANN_GRAPH_SEARCH_SQL = _graph_search_oracle_sql()
+
 
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
@@ -1012,6 +1149,7 @@ QUERIES = {
     "ann_ivf_rerank": ann_ivf_rerank,
     "ann_pq": ann_pq,
     "ann_nndescent_graph": ann_nndescent_graph,
+    "ann_graph_search": ann_graph_search,
     "knn_classify_eval": knn_classify_eval,
     "ann_recall_eval": ann_recall_eval,
 }
@@ -1025,6 +1163,7 @@ ORACLES = {
     "ann_ivf_rerank": ANN_IVF_RERANK_SQL,
     "ann_pq": ANN_PQ_SQL,
     "ann_nndescent_graph": ANN_NNDESCENT_SQL,
+    "ann_graph_search": ANN_GRAPH_SEARCH_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

@@ -244,3 +244,46 @@ def test_pq_recall_and_determinism(spark):
     for q, v in got:
         per_q[q] = per_q.get(q, 0) + 1
     assert all(n == TOP_K for n in per_q.values())
+
+
+class TestGraphSearch:
+    def test_recall_floor_and_hop_improvement(self, spark):
+        """Beam search over the NN-Descent graph: recall ≥ 0.4 at
+        n=500 (measured 0.54 — bounded by the 0.74 graph quality on
+        these near-isotropic embeddings), and the hops must strictly
+        improve over the md5 entry points alone."""
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        truth = {}
+        for r in S.ann_bruteforce(spark, SF_SMALL).collect():
+            if r["q_id"] in S.GS_QUERY_IDS:
+                truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+        def recall(hops):
+            old = S.GS_HOPS
+            S.GS_HOPS = hops
+            try:
+                approx = {}
+                for r in S.ann_graph_search(spark, SF_SMALL).collect():
+                    approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+                hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+                return hits / sum(len(v) for v in truth.values())
+            finally:
+                S.GS_HOPS = old
+
+        r0, r3 = recall(0), recall(3)
+        assert r3 >= 0.4
+        assert r3 > r0
+
+    def test_search_shape(self, spark):
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        rows = S.ann_graph_search(spark, SF_SMALL).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q_id"], []).append(r)
+            assert r["q_id"] != r["vec_id"]
+            assert r["q_id"] in S.GS_QUERY_IDS
+        for v in per_q.values():
+            assert sorted(x["rank"] for x in v) == list(range(1, len(v) + 1))
+            assert len(v) <= S.TOP_K

@@ -125,7 +125,7 @@ _CHANGED_THIS_ROUND = (
     "q_skew_join", "stream_sliding_window", "q_generator_funcs",
     "q_lateral_join", "q_higher_order_funcs", "stream_upsert_sink",
     "q_recursive_cte", "mm_audio_features", "q_complex_types",
-    "udf_pandas_scalar", "ann_graph_search",
+    "udf_pandas_scalar",
     # round-6 plan rewrites (scale paths) — re-verify outputs
     "q_rfm_segmentation", "q_percentiles", "q_mad_outliers",
     # collects moved in-plan (crossJoin(broadcast(1-row agg)))
@@ -134,6 +134,9 @@ _CHANGED_THIS_ROUND = (
     # checkpoint + staging-dir cleanup): outputs unchanged, re-check
     "ann_ivf_partitioned", "sink_shard_manifest", "orc_roundtrip",
     "json_roundtrip", "points_source", "source_custom_points",
+    # expensive new key LAST in tier 0: its ~30s graph build must not
+    # crowd cheaper never-sampled keys out of the time budget
+    "ann_graph_search",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -835,6 +835,53 @@ FROM v ORDER BY vec_id
 """
 
 
+def q_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema-on-read JSON (the face ``q_events_json``'s
+    path-string extraction doesn't cover): ``from_json`` parses
+    ``props`` into a STRUCT under an explicit schema (corrupt rows →
+    NULL, not errors), the struct is enriched and serialized back
+    with ``to_json``, re-parsed, and aggregated — the full
+    typed-JSON round-trip a schema-evolving event pipeline performs.
+    A hash match proves from_json/to_json are mutually inverse under
+    the schema and that the enrichment survived the cycle."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    enriched = parsed.select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                F.col("p.k").alias("k"),
+                (F.col("p.k") * 2).alias("k2"),
+            )
+        ).alias("j"),
+    )
+    back = enriched.select(
+        "event_type", F.from_json("j", "k INT, k2 INT").alias("q")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q.k").alias("sum_k"),
+            F.sum("q.k2").alias("sum_k2"),
+            F.count(F.when(F.col("q.k").isNull(), 1)).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_SCHEMA_ROUNDTRIP_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT) * 2) AS BIGINT) AS sum_k2,
+       CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS n_null_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (new in Spark 4) — iterative SQL without
     leaving the engine: walk each customer key's halving chain
@@ -1765,6 +1812,7 @@ QUERIES = {
     "q_higher_order_funcs": q_higher_order_funcs,
     "q_recursive_cte": q_recursive_cte,
     "q_complex_types": q_complex_types,
+    "q_json_schema_roundtrip": q_json_schema_roundtrip,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1807,6 +1855,7 @@ ORACLES = {
     "q_higher_order_funcs": Q_HIGHER_ORDER_FUNCS_SQL,
     "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
     "q_complex_types": Q_COMPLEX_TYPES_SQL,
+    "q_json_schema_roundtrip": Q_JSON_SCHEMA_ROUNDTRIP_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

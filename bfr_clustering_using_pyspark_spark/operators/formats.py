@@ -220,6 +220,48 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION via ``mergeSchema`` — the lake-format
+    reality that a table's files span schema versions: write an old
+    "v1" slice of orders (no priority column) and a new "v2" slice
+    (priority added) as separate file groups in one table directory,
+    read the whole table back with ``mergeSchema=true`` (v1 rows
+    surface NULL priority), and aggregate per status × priority.
+    The hash gate proves the merged read loses no rows and NULLs
+    exactly the pre-evolution slice — replayed by the oracle as a
+    CASE on the version split."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="schevo_")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(f"{out}/part=v1")
+    v2.write.mode("overwrite").parquet(f"{out}/part=v2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    return _pin_and_cleanup(
+        back.groupBy(
+            "o_orderstatus",
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority"),
+        )
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("total_cents"))
+        .orderBy("o_orderstatus", "priority"),
+        out,
+    )
+
+
+Q_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+            ELSE o_orderpriority END AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1, 2 ORDER BY o_orderstatus, priority
+"""
+
+
 N_SHARDS = 16
 
 
@@ -282,6 +324,7 @@ QUERIES = {
     "json_roundtrip": json_roundtrip,
     "csv_roundtrip": csv_roundtrip,
     "sink_compact_small_files": sink_compact_small_files,
+    "q_schema_evolution": q_schema_evolution,
     "q_bucketed_join": q_bucketed_join,
     "sink_shard_manifest": sink_shard_manifest,
 }
@@ -291,6 +334,7 @@ ORACLES = {
     "json_roundtrip": _ROUNDTRIP_SQL,
     "csv_roundtrip": _ROUNDTRIP_SQL,
     "sink_compact_small_files": _ROUNDTRIP_SQL,
+    "q_schema_evolution": Q_SCHEMA_EVOLUTION_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
     "sink_shard_manifest": SINK_SHARD_MANIFEST_SQL,
 }

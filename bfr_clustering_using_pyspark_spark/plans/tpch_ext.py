@@ -667,6 +667,53 @@ FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — ``INTERSECT ALL`` / ``EXCEPT ALL``
+    (bag semantics: duplicates counted, not collapsed — the variant
+    ``q_set_ops``'s distinct forms don't cover): per customer-key
+    bags drawn from the two order-key halves, count the multiset
+    intersection and asymmetric differences, plus the sum identity
+    |A| = |A∩B| + |A∖B| as an in-result invariant."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    second = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey")
+    n_a = first.count()
+    both = first.intersectAll(second).count()
+    only_a = first.exceptAll(second).count()
+    only_b = second.exceptAll(first).count()
+    return spark.createDataFrame(
+        [(int(n_a), int(both), int(only_a), int(only_b), int(both + only_a))],
+        "n_even long, n_both_all long, n_only_even_all long, "
+        "n_only_odd_all long, n_identity long",
+    )
+
+
+Q_SET_OPS_ALL_SQL = """
+SELECT
+  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_even,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     INTERSECT ALL
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) AS n_both_all,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) AS n_only_even_all,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)) AS n_only_odd_all,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     INTERSECT ALL
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1))
+  + (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) AS n_identity
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT set operations: customers who bought in
     both halves of the key space vs only the first."""
@@ -1804,6 +1851,7 @@ QUERIES = {
     "q_key_skew_profile": q_key_skew_profile,
     "q_asof_grouped": q_asof_grouped,
     "q_set_ops": q_set_ops,
+    "q_set_ops_all": q_set_ops_all,
     "q_scalar_subquery": q_scalar_subquery,
     "q_join_strategies": q_join_strategies,
     "q_range_frame": q_range_frame,
@@ -1847,6 +1895,7 @@ ORACLES = {
     "q_key_skew_profile": Q_KEY_SKEW_PROFILE_SQL,
     "q_asof_grouped": Q_ASOF_GROUPED_SQL,
     "q_set_ops": Q_SET_OPS_SQL,
+    "q_set_ops_all": Q_SET_OPS_ALL_SQL,
     "q_scalar_subquery": Q_SCALAR_SUBQUERY_SQL,
     "q_join_strategies": Q_JOIN_STRATEGIES_SQL,
     "q_range_frame": Q_RANGE_FRAME_SQL,

@@ -93,6 +93,17 @@ AUDIT = {
     "kmeans_lloyd_det": (False, False, 1),  # eager-checkpointed assignment (per-round plans audited via tests)
     "q_mad_outliers_dist": (True, True, 12),  # 2 grouped_rank passes (bucket windows + offset aggs)
     "sink_compact_small_files": (False, False, 1),  # eager-checkpointed manifest aggregate
+    # late-round-6 SQL-surface keys (observed static values)
+    "q_generator_funcs": (False, False, 2),
+    "q_lateral_join": (True, True, 3),
+    "q_higher_order_funcs": (False, False, 1),
+    "q_recursive_cte": (False, False, 2),
+    "q_complex_types": (True, True, 5),
+    "q_json_schema_roundtrip": (False, False, 2),
+    "q_set_ops_all": (False, False, 0),  # collected scalar counts (bounded, 1-row result)
+    "q_schema_evolution": (False, False, 0),  # eager-checkpointed aggregate
+    "udf_pandas_scalar": (False, False, 1),
+    "stream_upsert_sink": (False, False, 0),  # eager-checkpointed state table
 }
 
 # Keys allowed to carry a WindowExec with NO partition key: their

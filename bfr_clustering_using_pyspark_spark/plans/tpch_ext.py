@@ -939,12 +939,10 @@ def q_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — the schema-later contract. Aggregated per event type so
     the oracle (plain json_extract) hash-gates the typed access."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    parsed = ev.select(
+    parsed = ev.select("event_type", F.parse_json("props").alias("v")).select(
         "event_type",
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
     )
-    _ = v  # VARIANT column built once; extraction shown via expr above
     return (
         parsed.groupBy("event_type")
         .agg(

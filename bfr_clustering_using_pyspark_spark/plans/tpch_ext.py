@@ -929,6 +929,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API — pipeline TELEMETRY without a second
+    pass: ``df.observe`` attaches accumulator-backed metrics (row
+    count, exact-cents revenue, null counter) to the scan of a
+    normal aggregate; the metrics materialize as a side effect of
+    the one execution, where a naive monitor would re-run the query.
+    The returned aggregate is hash-gated; tests assert the observed
+    metrics equal the aggregate's own totals (the consistency the
+    API promises)."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    obs = Observation("q_observed_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(cents).alias("cents_seen"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("null_prios"),
+    )
+    result = (
+        observed.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("total_cents"))
+        .orderBy("o_orderstatus")
+        # eager: the observation only fills after an action, and the
+        # test reads obs.get — pin both in one execution
+        .localCheckpoint(eager=True)
+    )
+    # stash for tests (Observation.get blocks until the action ran)
+    q_observed_metrics.last_observation = obs  # type: ignore[attr-defined]
+    return result
+
+
+Q_OBSERVED_METRICS_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+
 def q_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's VARIANT type — the open-format semi-structured
     column (the Parquet/Iceberg/Delta variant spec): ``parse_json``
@@ -1897,6 +1937,7 @@ QUERIES = {
     "q_complex_types": q_complex_types,
     "q_json_schema_roundtrip": q_json_schema_roundtrip,
     "q_variant_type": q_variant_type,
+    "q_observed_metrics": q_observed_metrics,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1942,6 +1983,7 @@ ORACLES = {
     "q_complex_types": Q_COMPLEX_TYPES_SQL,
     "q_json_schema_roundtrip": Q_JSON_SCHEMA_ROUNDTRIP_SQL,
     "q_variant_type": Q_VARIANT_TYPE_SQL,
+    "q_observed_metrics": Q_OBSERVED_METRICS_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

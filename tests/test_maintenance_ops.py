@@ -123,3 +123,15 @@ def test_pandas_udf_matches_jvm_builtins(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_observed_metrics_consistent_with_result(spark):
+    """df.observe metrics must equal the aggregate's own totals —
+    telemetry from the same single execution."""
+    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import q_observed_metrics
+
+    rows = q_observed_metrics(spark, SF_SMALL).collect()
+    obs = q_observed_metrics.last_observation.get
+    assert obs["rows_seen"] == sum(r["n"] for r in rows)
+    assert obs["cents_seen"] == sum(r["total_cents"] for r in rows)
+    assert obs["null_prios"] == 0

@@ -929,6 +929,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` vs ``explode`` — the NULL-preserving fan-out
+    semantics (rows whose array is EMPTY survive as a NULL row
+    instead of vanishing): extract 4-digit runs from each document
+    (many have none), explode_outer them, and count per language the
+    documents retained with no match, the match rows, and the
+    distinct matched values. The oracle replays it as a LEFT JOIN
+    against the unnested matches — exactly what explode_outer
+    desugars to."""
+    docs = load_table(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all("text", F.lit("[0-9]{4}"), 0)
+    ex = docs.select(
+        "doc_id", "lang", F.explode_outer(nums).alias("num")
+    )
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("num").alias("n_match_rows"),
+            F.countDistinct("num").alias("n_distinct_nums"),
+            F.count(F.when(F.col("num").isNull(), 1)).alias("n_docs_no_match"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_EXPLODE_OUTER_SQL = """
+WITH m AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[0-9]{4}') AS nums
+  FROM documents
+), ex AS (
+  SELECT d.doc_id, d.lang, u.num
+  FROM m d LEFT JOIN (
+    SELECT doc_id, unnest(nums) AS num FROM m
+  ) u USING (doc_id)
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(num) AS n_match_rows,
+       CAST(count(DISTINCT num) AS BIGINT) AS n_distinct_nums,
+       CAST(count(CASE WHEN num IS NULL THEN 1 END) AS BIGINT) AS n_docs_no_match
+FROM ex GROUP BY lang ORDER BY lang
+"""
+
+
 def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Observation API — pipeline TELEMETRY without a second
     pass: ``df.observe`` attaches accumulator-backed metrics (row
@@ -1938,6 +1983,7 @@ QUERIES = {
     "q_json_schema_roundtrip": q_json_schema_roundtrip,
     "q_variant_type": q_variant_type,
     "q_observed_metrics": q_observed_metrics,
+    "q_explode_outer": q_explode_outer,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -1984,6 +2030,7 @@ ORACLES = {
     "q_json_schema_roundtrip": Q_JSON_SCHEMA_ROUNDTRIP_SQL,
     "q_variant_type": Q_VARIANT_TYPE_SQL,
     "q_observed_metrics": Q_OBSERVED_METRICS_SQL,
+    "q_explode_outer": Q_EXPLODE_OUTER_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

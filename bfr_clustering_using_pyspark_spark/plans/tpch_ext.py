@@ -929,6 +929,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IGNORE NULLS`` window semantics — the gap-carry pattern
+    (last observation carried forward): null out a sentinel priority
+    value, then per customer take the LAST NON-NULL priority seen up
+    to each order (``last(..., ignorenulls=True)`` over the running
+    frame) — how a sparse dimension is forward-filled at scale with
+    one partition-key shuffle. Aggregated to (carried priority →
+    order count) so the oracle (DuckDB's IGNORE NULLS) hash-gates the
+    fill."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sparse = F.nullif("o_orderpriority", F.lit("3-MEDIUM"))
+    filled = orders.select(
+        "o_custkey",
+        F.last(sparse, ignorenulls=True).over(w).alias("carried_priority"),
+    )
+    return (
+        filled.groupBy(
+            F.coalesce("carried_priority", F.lit("<none-yet>")).alias("carried_priority")
+        )
+        .agg(F.count("*").alias("n_orders"), F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("carried_priority")
+    )
+
+
+Q_IGNORE_NULLS_WINDOW_SQL = """
+WITH filled AS (
+  SELECT o_custkey,
+         last_value(nullif(o_orderpriority, '3-MEDIUM') IGNORE NULLS)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS carried_priority
+  FROM orders
+)
+SELECT coalesce(carried_priority, '<none-yet>') AS carried_priority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM filled GROUP BY 1 ORDER BY carried_priority
+"""
+
+
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``explode_outer`` vs ``explode`` — the NULL-preserving fan-out
     semantics (rows whose array is EMPTY survive as a NULL row
@@ -1984,6 +2028,7 @@ QUERIES = {
     "q_variant_type": q_variant_type,
     "q_observed_metrics": q_observed_metrics,
     "q_explode_outer": q_explode_outer,
+    "q_ignore_nulls_window": q_ignore_nulls_window,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -2031,6 +2076,7 @@ ORACLES = {
     "q_variant_type": Q_VARIANT_TYPE_SQL,
     "q_observed_metrics": Q_OBSERVED_METRICS_SQL,
     "q_explode_outer": Q_EXPLODE_OUTER_SQL,
+    "q_ignore_nulls_window": Q_IGNORE_NULLS_WINDOW_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

@@ -929,6 +929,57 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-safe family — NULL-on-failure semantics
+    that keep a 10⁹-row job alive where ANSI mode would kill it on
+    one bad row: ``try_divide`` (zero denominators → NULL),
+    ``try_cast`` (unparseable strings → NULL), ``try_add`` at the
+    BIGINT overflow edge. Derived adversarial inputs from orders
+    (every 7th row gets a zero denominator, every 5th an unparseable
+    string); the oracle replays with TRY_CAST / NULLIF division."""
+    orders = load_table(spark, sf_dir, "orders")
+    denom = F.when(F.col("o_orderkey") % 7 == 0, 0).otherwise(
+        (F.col("o_orderkey") % 9) + 1
+    )
+    s = F.when(F.col("o_orderkey") % 5 == 0, F.lit("oops")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    parsed = orders.select(
+        "o_orderstatus",
+        F.try_divide(F.round(F.col("o_totalprice") * 100).cast("long"), denom).alias("ratio"),
+        s.try_cast("long").alias("parsed"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("ratio").alias("n_ratio_ok"),
+            F.count(F.when(F.col("ratio").isNull(), 1)).alias("n_div_zero"),
+            F.count("parsed").alias("n_parsed_ok"),
+            F.sum("parsed").alias("sum_parsed"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_TRY_ARITHMETIC_SQL = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 1e2) AS BIGINT)
+           / nullif(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE (o_orderkey % 9) + 1 END, 0) AS ratio,
+         TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                       ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n,
+       count(ratio) AS n_ratio_ok,
+       CAST(count(CASE WHEN ratio IS NULL THEN 1 END) AS BIGINT) AS n_div_zero,
+       count(parsed) AS n_parsed_ok,
+       CAST(sum(parsed) AS BIGINT) AS sum_parsed
+FROM t GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+
 def q_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``IGNORE NULLS`` window semantics — the gap-carry pattern
     (last observation carried forward): null out a sentinel priority
@@ -2029,6 +2080,7 @@ QUERIES = {
     "q_observed_metrics": q_observed_metrics,
     "q_explode_outer": q_explode_outer,
     "q_ignore_nulls_window": q_ignore_nulls_window,
+    "q_try_arithmetic": q_try_arithmetic,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -2077,6 +2129,7 @@ ORACLES = {
     "q_observed_metrics": Q_OBSERVED_METRICS_SQL,
     "q_explode_outer": Q_EXPLODE_OUTER_SQL,
     "q_ignore_nulls_window": Q_IGNORE_NULLS_WINDOW_SQL,
+    "q_try_arithmetic": Q_TRY_ARITHMETIC_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

@@ -929,6 +929,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst-ergonomics clause DuckDB
+    introduced and Spark 4 adopted: every non-aggregate select item
+    becomes a grouping key automatically, including the COMPUTED
+    year bucket. Run verbatim on both engines (the same SQL text is
+    the plan AND the oracle — zero translation), proving the
+    dialects' inference rules agree."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gba")
+    return spark.sql(Q_GROUP_BY_ALL_SQL.replace("FROM orders", "FROM v_orders_gba"))
+
+
+Q_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       year(o_orderdate) AS yr,
+       o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, yr, o_orderpriority
+"""
+
+
 def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``try_*`` error-safe family — NULL-on-failure semantics
     that keep a 10⁹-row job alive where ANSI mode would kill it on
@@ -2081,6 +2104,7 @@ QUERIES = {
     "q_explode_outer": q_explode_outer,
     "q_ignore_nulls_window": q_ignore_nulls_window,
     "q_try_arithmetic": q_try_arithmetic,
+    "q_group_by_all": q_group_by_all,
     "q_date_funcs": q_date_funcs,
     "q_unpivot": q_unpivot,
     "q_cube": q_cube,
@@ -2130,6 +2154,7 @@ ORACLES = {
     "q_explode_outer": Q_EXPLODE_OUTER_SQL,
     "q_ignore_nulls_window": Q_IGNORE_NULLS_WINDOW_SQL,
     "q_try_arithmetic": Q_TRY_ARITHMETIC_SQL,
+    "q_group_by_all": Q_GROUP_BY_ALL_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_unpivot": Q_UNPIVOT_SQL,
     "q_cube": Q_CUBE_SQL,

@@ -52,7 +52,13 @@ def bucket_cuts(df: DataFrame, exprs: list[Column]) -> list[list[float]]:
     chaining several ranks over one input — each chained rank's own
     sketch would otherwise re-execute all upstream stages."""
     spark = df.sparkSession
-    n_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")), MAX_BUCKETS)
+    # clamp below by 2: a 1-partition session would otherwise produce
+    # an EMPTY probs array and percentile_approx([]) fails at plan
+    # time; 2 buckets (one median cut) is the degenerate-but-valid
+    # floor
+    n_parts = max(
+        2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), MAX_BUCKETS)
+    )
     probs = F.array(*[F.lit(i / n_parts) for i in range(1, n_parts)])
     row = df.select(
         *[
@@ -64,25 +70,35 @@ def bucket_cuts(df: DataFrame, exprs: list[Column]) -> list[list[float]]:
 
 
 def _bucket_col(
-    df: DataFrame, bucket_expr: Column, cuts: list[float] | None
+    df: DataFrame, bucket_expr: Column, cuts: list[float] | None, nulls: str
 ) -> Column:
     """Deterministic contiguous bucket id: cuts are approx-percentile
     literals (collected once), bucket = #cuts strictly below the
     row's value — a pure row function, identical in every plan
     branch and every re-execution. Evaluated as a fold over ONE
     literal array so the (possibly expensive) bucket expression
-    appears exactly once in the plan regardless of cut count."""
+    appears exactly once in the fold regardless of cut count.
+
+    NULL routing: a NULL bucket value must land in the bucket where
+    the window's ORDER BY will place the row, or the prefix offsets
+    mis-rank it. ``nulls='first'`` (ASC leading key — Spark sorts
+    NULLS FIRST) routes NULLs to bucket 0; ``nulls='last'`` (DESC
+    leading key — NULLS LAST) routes them to the final bucket. The
+    bare fold would silently send NULLs to bucket 0 either way
+    (NULL > c is NULL → otherwise-0), wrong for DESC."""
     if cuts is None:
         cuts = bucket_cuts(df, [bucket_expr])[0]
     if not cuts:
         return F.lit(0)
     arr = F.array(*[F.lit(c) for c in cuts])
-    return F.aggregate(
+    fold = F.aggregate(
         arr,
         F.lit(0),
         lambda acc, c: acc
         + F.when(bucket_expr.cast("double") > c, F.lit(1)).otherwise(F.lit(0)),
     )
+    null_bucket = F.lit(len(cuts) if nulls == "last" else 0)
+    return F.when(bucket_expr.isNull(), null_bucket).otherwise(fold)
 
 
 def grouped_rank(
@@ -92,13 +108,16 @@ def grouped_rank(
     bucket_expr: Column,
     out: str = "_grank",
     cuts: list[float] | None = None,
+    nulls: str = "first",
 ) -> DataFrame:
     """df + exact 1-based rank over ``order_cols`` WITHIN each
     ``group_cols`` group (global rank when ``group_cols`` is empty).
 
     ``bucket_expr`` must be a numeric expression ascending-aligned
     with the leading sort direction of ``order_cols`` within a group
-    (negate it for a DESC leading column). ``order_cols`` must
+    (negate it for a DESC leading column — and then ALSO pass
+    ``nulls='last'`` if the column is nullable, so NULL rows bucket
+    where DESC NULLS LAST sorts them). ``order_cols`` must
     totally order each group — append a unique tiebreaker.
 
     Plan: one bucket-cut sketch action (≤P doubles collected), then a
@@ -106,7 +125,7 @@ def grouped_rank(
     bucket) counts cumsum'd by a bounded ≤P-row-per-group window, and
     a broadcast join adding the offsets. No n-sized frame anywhere.
     """
-    bkt = _bucket_col(df, bucket_expr, cuts).alias("_bkt")
+    bkt = _bucket_col(df, bucket_expr, cuts, nulls).alias("_bkt")
     part = df.withColumn("_bkt", bkt)
     keys = [*group_cols, "_bkt"]
     w = W.partitionBy(*keys).orderBy(*order_cols)
@@ -136,10 +155,24 @@ def global_rank(
     bucket_expr: Column,
     out: str = "_grank",
     cuts: list[float] | None = None,
+    nulls: str = "first",
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY order_cols)`` with
     no unpartitioned n-sized window (see ``grouped_rank``)."""
-    return grouped_rank(df, [], order_cols, bucket_expr, out, cuts)
+    return grouped_rank(df, [], order_cols, bucket_expr, out, cuts, nulls)
+
+
+# Size gate for global_ntile's distributed machinery: below this many
+# rows a single-task ntile window is strictly cheaper than the
+# cut-sketch + bucketed-rank + broadcast-offset pipeline (the window
+# sorts ≤SMALL_TOTAL rows in one task — bounded by the constant, not
+# by the data). Callers that KNOW the input is an already-aggregated
+# small frame pass ``total`` and get the cheap plan automatically;
+# the distributed plan remains the only path when total is unknown or
+# large, so nothing n-sized ever rides a single window task. Both
+# paths are bit-equal (SQL-standard ntile) — pinned in
+# tests/test_ranking.py.
+SMALL_TOTAL = 100_000
 
 
 def global_ntile(
@@ -150,12 +183,19 @@ def global_ntile(
     out: str,
     cuts: list[float] | None = None,
     total: int | None = None,
+    small_total: int = SMALL_TOTAL,
+    nulls: str = "first",
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY order_cols)``: SQL-standard
     semantics (the first ``total % n`` buckets get one extra row)
     computed in closed form from the distributed rank and a broadcast
-    1-row total — a single lazy plan, no n-sized window."""
-    ranked = global_rank(df, order_cols, bucket_expr, "_grank", cuts)
+    1-row total — a single lazy plan, no n-sized window. When the
+    caller-known ``total`` is under ``small_total`` the plain window
+    formulation is used instead (see SMALL_TOTAL)."""
+    if total is not None and total <= small_total:
+        w = W.partitionBy(F.lit(0)).orderBy(*order_cols)
+        return df.withColumn(out, F.ntile(n_tiles).over(w))
+    ranked = global_rank(df, order_cols, bucket_expr, "_grank", cuts, nulls)
     if total is not None:
         # caller-known total (e.g. a counted, persisted input): skip
         # the in-plan total branch entirely

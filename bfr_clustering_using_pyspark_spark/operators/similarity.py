@@ -585,6 +585,18 @@ def _pq_anchor_units(spark: SparkSession, sf_dir: str):
         .select("u")
         .collect()
     )
+    # the oracle indexes centers as k = vec_id - PQ_ANCHOR_LO while
+    # this side indexes positionally over the collected list — a gap
+    # in the anchor id range would silently misalign the two; fail
+    # fast instead of hash-mismatching far from the cause
+    expected = PQ_ANCHOR_HI - PQ_ANCHOR_LO + 1
+    if len(anchors) != expected:
+        raise ValueError(
+            f"PQ anchor range [{PQ_ANCHOR_LO}, {PQ_ANCHOR_HI}] is sparse: "
+            f"found {len(anchors)} of {expected} vec_ids — positional "
+            "codebook indexing would diverge from the oracle's "
+            "id-offset indexing"
+        )
     dsub = _PLANE_DIMS // PQ_M
     # books[m][k] = center vector (length dsub)
     books = [
@@ -868,26 +880,31 @@ def _nnd_cos(a_col: str, b_col: str):
     return F.round(dot, 4)
 
 
-def ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-based ANN via NN-DESCENT (Dong et al., WWW'11 — the
-    distributed-friendly relative of HNSW, whose sequential insertion
-    loop does not shard): every node keeps its K best neighbors;
-    each round the candidate pool is its current neighbors plus
-    neighbors-of-neighbors over the UNDIRECTED current graph, scored
-    by exact cosine, keeping the top K. Converges in a few rounds
-    because a neighbor's neighbor is likely a neighbor.
+# The NN-Descent index is an ARTIFACT — built once, then queried.
+# Both faces (`ann_nndescent_graph` returns it, `ann_graph_search`
+# walks it) share one materialized build per (Spark app, sf_dir), the
+# in-session stand-in for persisting the index table a production
+# deployment would write to storage. localCheckpoint pins the edges
+# on executors; the cache dies with the application.
+_NND_GRAPH_CACHE: dict[tuple, DataFrame] = {}
 
-    Hash-gated end to end, which is rare for an iterative algorithm:
-    the initial neighbor lists are md5-derived (both engines replay
-    them), every round is a pure join/score/top-k function of the
-    previous round with engine-stable rounding, and the oracle
-    UNROLLS the fixed iteration count into chained SQL CTEs.
 
-    Scale: each round shuffles O(n·K²) candidate edges keyed by
-    node — no all-pairs stage anywhere; the scored joins broadcast
-    nothing bigger than the vector table's join keys. The output is
-    the k-NN GRAPH itself (the index a query-time beam search walks);
-    recall vs brute force is pinned in tests."""
+def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized NN-Descent k-NN graph (a, b, cosine, rank),
+    built at most once per (application, sf_dir, build params) —
+    the params are in the key so a caller tuning NND_K/NND_ITERS
+    (tests do) gets a fresh build, not a stale cache hit."""
+    key = (spark.sparkContext.applicationId, sf_dir, NND_K, NND_ITERS)
+    cached = _NND_GRAPH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    graph = _nnd_graph_build(spark, sf_dir).localCheckpoint(eager=True)
+    _NND_GRAPH_CACHE[key] = graph
+    return graph
+
+
+def _nnd_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NN-Descent build plan (see ``ann_nndescent_graph``)."""
     base = _base(spark, sf_dir)
     unit = base.select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
@@ -939,7 +956,31 @@ def ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("a") != F.col("b"))
         )
         nn = top_k(edges.union(two_hop).distinct())
-    return nn.select(
+    return nn
+
+
+def ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN via NN-DESCENT (Dong et al., WWW'11 — the
+    distributed-friendly relative of HNSW, whose sequential insertion
+    loop does not shard): every node keeps its K best neighbors;
+    each round the candidate pool is its current neighbors plus
+    neighbors-of-neighbors over the UNDIRECTED current graph, scored
+    by exact cosine, keeping the top K. Converges in a few rounds
+    because a neighbor's neighbor is likely a neighbor.
+
+    Hash-gated end to end, which is rare for an iterative algorithm:
+    the initial neighbor lists are md5-derived (both engines replay
+    them), every round is a pure join/score/top-k function of the
+    previous round with engine-stable rounding, and the oracle
+    UNROLLS the fixed iteration count into chained SQL CTEs.
+
+    Scale: each round shuffles O(n·K²) candidate edges keyed by
+    node — no all-pairs stage anywhere; the scored joins broadcast
+    nothing bigger than the vector table's join keys. The output is
+    the k-NN GRAPH itself (the index a query-time beam search walks,
+    shared via ``_nnd_graph`` so build and search pay one build);
+    recall vs brute force is pinned in tests."""
+    return _nnd_graph(spark, sf_dir).select(
         F.col("a").alias("vec_id"), F.col("b").alias("nbr_id"), "cosine", "rank"
     ).orderBy("vec_id", "rank")
 
@@ -1029,11 +1070,11 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
     n = unit.count()
-    # materialize the index once: joins below reference it per hop
-    graph = (
-        ann_nndescent_graph(spark, sf_dir)
-        .select("vec_id", "nbr_id")
-        .localCheckpoint(eager=True)
+    # the shared materialized index (one build per session+sf_dir,
+    # however many of the two graph faces run): joins below
+    # reference it per hop
+    graph = _nnd_graph(spark, sf_dir).select(
+        F.col("a").alias("vec_id"), F.col("b").alias("nbr_id")
     )
     uq = unit.select(F.col("vec_id").alias("q_id"), F.col("u").alias("qu"))
     uc = unit.select(F.col("vec_id").alias("c"), F.col("u").alias("cu"))

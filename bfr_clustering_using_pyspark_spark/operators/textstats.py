@@ -756,22 +756,40 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Arrow transfers columnar batches (no per-row pickling);
     the UDF is a map-side projection — no shuffle, no state."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def ws_tokens(s: pd.Series) -> pd.Series:
-        return s.str.split(" ").str.len().astype("int32")
-
-    @pandas_udf("int")
-    def ascii_letters(s: pd.Series) -> pd.Series:
-        return s.str.count(r"[A-Za-z]").astype("int32")
-
+    ws_tokens, ascii_letters = _pandas_scalar_udfs()
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         ws_tokens("text").alias("n_ws_tokens"),
         ascii_letters("text").alias("n_letters"),
     ).orderBy("doc_id")
+
+
+_PANDAS_SCALAR_UDFS: list = []
+
+
+def _pandas_scalar_udfs():
+    """The two scalar pandas UDFs, defined once per process (lazily —
+    ``pandas_udf`` resolves its DDL return type against an ACTIVE
+    SparkContext, so definition can't happen at import): nullable
+    Int32 (capital I) because NULL text yields NaN from the pandas
+    string ops and plain .astype("int32") would raise — the extension
+    dtype round-trips NULL through Arrow exactly like the JVM
+    built-ins do (NULL in → NULL out; pinned in tests)."""
+    if _PANDAS_SCALAR_UDFS:
+        return _PANDAS_SCALAR_UDFS[0]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def ws_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("Int32")
+
+    @pandas_udf("int")
+    def ascii_letters(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Za-z]").astype("Int32")
+
+    _PANDAS_SCALAR_UDFS.append((ws_tokens, ascii_letters))
+    return _PANDAS_SCALAR_UDFS[0]
 
 
 UDF_PANDAS_SCALAR_SQL = """

@@ -27,7 +27,7 @@ _COST_S = {
     "text_quality": 0.4, "text_tokens": 0.4, "text_top_terms": 0.4,
     "mm_pgm_roundtrip": 0.5, "q19_disjunctive": 0.5, "q_cube": 0.5,
     "q_date_funcs": 0.5, "q_events_json": 0.5, "q_histogram": 0.5,
-    "q_moving_avg": 0.5, "q_path_3grams": 0.5, "q_rfm_segmentation": 8.0,
+    "q_moving_avg": 0.5, "q_path_3grams": 0.5, "q_rfm_segmentation": 1.5,
     "stream_bfr_update": 0.5, "suffstats": 0.5, "text_bigrams": 0.5,
     "dedup_embedding": 0.6, "dedup_exact": 0.6, "mm_decode": 0.6,
     "q12_shipmode": 0.6, "q_events_windowed": 0.6, "q_order_priority": 0.6,
@@ -80,9 +80,12 @@ _COST_S = {
     "stream_update_counts": 4.0, "source_custom_points": 2.0,
     "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
     "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 8.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
+    # ann_nndescent_graph costs ~15s standalone but ~2s when the
+    # session's shared graph build (_nnd_graph) already ran for
+    # ann_graph_search — tier-0 orders the search first
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 2.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
-    "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 30.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
+    "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 27.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
 
 
@@ -103,59 +106,62 @@ _COST_S = {
 #     an oracle (they can graduate to hash-green).
 #   tier 4 — keys converted to the fixed-point numeric pattern this
 #     round (previously green; local strict gate re-verified).
-#   tier 5 — everything else, cost-ascending, so spare budget keeps
-#     re-sampling the cheapest previously-green keys each round.
+#   tier 5 — everything else, STALEST-FIRST (oldest newest external
+#     row, then cost-ascending within a round cohort), so spare
+#     budget refreshes r1/r3-era rows instead of re-sampling the
+#     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 6, highest priority: the 8 keys that have NEVER had an
-    # external CORRECTNESS row (r5 verdict item #1). In r5 they sat
-    # in tier 1 but the gate's TIME budget ran out before reaching
-    # them (they are the expensive tail, 4-13 s each) — pinning them
-    # to the very front, cheapest-first, guarantees they are sampled
-    # before anything else this round.
-    "stream_late_data", "stream_update_counts", "dedup_substring",
-    "dedup_minhash_lsh", "text_pii_scrub", "stream_checkpoint_recovery",
-    "dedup_components", "stream_components",
-    # round-6 graduations: rows-only → hash-gated (md5/anchor
-    # quantizers, bounded query sides, oracles added)
-    "ann_ivf", "ann_ivf_rerank", "ann_pq",
-    # round-6 NEW hash-gated keys (no external row can exist yet)
-    "q_percentiles_dist", "csv_roundtrip", "ann_nndescent_graph",
-    "q_mad_outliers_dist", "kmeans_lloyd_det", "q_join_strategies",
-    "sink_compact_small_files", "q_range_frame", "mm_video_frames",
-    "q_skew_join", "stream_sliding_window", "q_generator_funcs",
-    "q_lateral_join", "q_higher_order_funcs", "stream_upsert_sink",
-    "q_recursive_cte", "mm_audio_features", "q_complex_types",
-    "udf_pandas_scalar", "q_json_schema_roundtrip", "q_schema_evolution", "q_set_ops_all",
-    "q_variant_type", "q_observed_metrics", "q_explode_outer",
-    "q_ignore_nulls_window", "q_try_arithmetic", "q_group_by_all",
-    # round-6 plan rewrites (scale paths) — re-verify outputs
-    "q_rfm_segmentation", "q_percentiles", "q_mad_outliers",
-    # collects moved in-plan (crossJoin(broadcast(1-row agg)))
-    "q_scalar_subquery", "q_merge_upsert",
-    # round-6 housekeeping that touched plan lineage (eager
-    # checkpoint + staging-dir cleanup): outputs unchanged, re-check
-    "ann_ivf_partitioned", "sink_shard_manifest", "orc_roundtrip",
-    "json_roundtrip", "points_source", "source_custom_points",
-    # expensive new key LAST in tier 0: its ~30s graph build must not
-    # crowd cheaper never-sampled keys out of the time budget
-    "ann_graph_search",
+    # round 7, highest priority (r6 verdict item #2): the last two
+    # oracled keys with NO external hash row, pinned FIRST this time
+    # — ann_graph_search's graph build is now SHARED with
+    # ann_nndescent_graph (one build per session), so its gate cost
+    # no longer crowds out the rest of the budget.
+    "ann_graph_search", "q_asof_grouped",
+    # ann_nndescent_graph right after: it reuses the graph the
+    # search just built (near-free) and its plan lineage changed
+    # (shared materialized build), so re-verify its hashes
+    "ann_nndescent_graph",
+    # scale-killer fix (r6 verdict item #1): final labels now pinned
+    # by eager localCheckpoint on executors instead of a driver
+    # collect — same rows, re-verify externally
+    "stream_components",
+    # gate-cost trim (r6 verdict item #6): size-gated small-input
+    # ntile path — same bit-exact output, new plan at gate SF
+    "q_rfm_segmentation",
+    # distributed-ranking NULL-routing + single-partition-session
+    # fixes (ADVICE): callers re-verified
+    "q_mad_outliers_dist",
+    # nullable-Int32 pandas UDFs (ADVICE): NULL-safe now, same
+    # values on the null-free gate table
+    "udf_pandas_scalar",
+    # staged-batch boundary fix (coalesce(1) per slice, ADVICE):
+    # associative result unchanged, replay path changed
+    "stream_upsert_sink",
+    # PQ codebook anchor-density assert (ADVICE): plan unchanged,
+    # cheap re-check
+    "ann_pq",
 )
 _CONVERTED_THIS_ROUND = ()
 
 
 def _external_history():
-    """key -> 'green' | 'rows' | 'red' from the NEWEST row per key
-    across all driver CORRECTNESS_r*.json artifacts. Keys absent from
-    every artifact have never been externally sampled. Reading the
-    artifacts (instead of hardcoding grader state) keeps the
-    rotation honest and self-maintaining across rounds."""
+    """key -> (status, round) where status is 'green' | 'rows' |
+    'red' from the NEWEST row per key across all driver
+    CORRECTNESS_r*.json artifacts and round is that newest
+    artifact's round number (for stalest-first re-sampling). Keys
+    absent from every artifact have never been externally sampled.
+    Reading the artifacts (instead of hardcoding grader state) keeps
+    the rotation honest and self-maintaining across rounds."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir)
-    hist: dict[str, str] = {}
+    hist: dict[str, tuple[str, int]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -165,11 +171,11 @@ def _external_history():
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                hist[k] = "green"
+                hist[k] = ("green", rnd)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                hist[k] = "rows"
+                hist[k] = ("rows", rnd)
             else:
-                hist[k] = "red"
+                hist[k] = ("red", rnd)
     return hist
 
 
@@ -190,13 +196,17 @@ def all_queries():
             return (0, changed[k])
         if k not in hist:
             return (1, 0)
-        if hist[k] == "red":
+        status, rnd = hist[k]
+        if status == "red":
             return (2, 0)
-        if hist[k] == "rows" and k in oracled:
+        if status == "rows" and k in oracled:
             return (3, 0)
         if k in converted:
             return (4, converted[k])
-        return (5, 0)
+        # tier 5 orders STALEST-FIRST (oldest newest-row round before
+        # cost): cheapest-first alone re-sampled the same cheap keys
+        # every round and left r1/r3-era rows un-refreshed forever
+        return (5, rnd)
 
     return dict(
         sorted(

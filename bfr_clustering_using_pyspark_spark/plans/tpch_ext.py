@@ -1890,8 +1890,11 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     but with NO unpartitioned window: at 10⁹ customers each scoring
     pass is a parallel bucketed shuffle instead of one task
     swallowing the whole aggregate. The only driver materializations
-    are the three bucket-cut sketches (≤P doubles each)."""
-    from ..operators.ranking import global_ntile
+    are the three bucket-cut sketches (≤P doubles each) — and those
+    are skipped entirely when the counted aggregate is under
+    ``ranking.SMALL_TOTAL``, where global_ntile's size gate uses the
+    plain window (both paths bit-equal, tests/test_ranking.py)."""
+    from ..operators.ranking import SMALL_TOTAL, bucket_cuts, global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1901,27 +1904,31 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # last-ulp cross-engine difference could flip a quintile.
         fixed_sum(F.col("o_totalprice")).alias("monetary"),
     ).persist()
-    # bucket expressions are negated: leading sort is DESC. All three
-    # cut sketches come from ONE action over the persisted aggregate,
-    # and the known total lets each ntile skip its in-plan count.
-    from ..operators.ranking import bucket_cuts
-
+    # bucket expressions are negated: leading sort is DESC (and the
+    # keys are non-null groupBy aggregates; nulls='last' documents
+    # the DESC alignment anyway). All three cut sketches come from
+    # ONE action over the persisted aggregate — only on the
+    # distributed path — and the known total lets each ntile skip
+    # its in-plan count.
     r_b = -F.col("last_order").cast("timestamp").cast("double")
     f_b = -F.col("frequency")
     m_b = -F.col("monetary")
-    cut_r, cut_f, cut_m = bucket_cuts(per_cust, [r_b, f_b, m_b])
     n_cust = per_cust.count()
+    if n_cust > SMALL_TOTAL:
+        cut_r, cut_f, cut_m = bucket_cuts(per_cust, [r_b, f_b, m_b])
+    else:
+        cut_r = cut_f = cut_m = None
     scored = global_ntile(
         per_cust, 5, [F.desc("last_order"), F.col("o_custkey")],
-        r_b, "r_score", cut_r, n_cust,
+        r_b, "r_score", cut_r, n_cust, nulls="last",
     )
     scored = global_ntile(
         scored, 5, [F.desc("frequency"), F.col("o_custkey")],
-        f_b, "f_score", cut_f, n_cust,
+        f_b, "f_score", cut_f, n_cust, nulls="last",
     )
     scored = global_ntile(
         scored, 5, [F.desc("monetary"), F.col("o_custkey")],
-        m_b, "m_score", cut_m, n_cust,
+        m_b, "m_score", cut_m, n_cust, nulls="last",
     )
     result = (
         scored.groupBy("r_score", "f_score", "m_score")

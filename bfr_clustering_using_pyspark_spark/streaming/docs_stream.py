@@ -198,9 +198,15 @@ def stream_components(
             final = spark.read.parquet(lbl_path)
         except AnalysisException:
             return spark.createDataFrame([], "doc_id long, comp long")
-        # the state dir dies with the context manager — materialize
-        rows = final.orderBy("doc_id").collect()
-        return spark.createDataFrame(rows or [], "doc_id long, comp long")
+        # the state dir dies with the context manager — pin the final
+        # labels on EXECUTORS (eager localCheckpoint), never the
+        # driver: the label table is O(n_docs) and a driver collect
+        # here is the one thing that would not survive a real corpus
+        return (
+            final.select(F.col("doc_id").cast("long"), F.col("comp").cast("long"))
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
 
 
 def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:

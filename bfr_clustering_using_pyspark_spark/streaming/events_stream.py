@@ -190,7 +190,12 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "value"
         )
         for b in range(4):
-            base.filter(F.pmod("event_id", F.lit(4)) == b).write.mode(
+            # one part-file per staged slice: maxFilesPerTrigger=1
+            # replays FILES, not directories, so without the
+            # coalesce each slice's many part-files would each
+            # become a micro-batch and the intended four batch
+            # boundaries would never occur
+            base.filter(F.pmod("event_id", F.lit(4)) == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(src, f"batch_{b:03d}.parquet"))
         schema = spark.read.parquet(os.path.join(src, "batch_000.parquet")).schema

@@ -278,3 +278,57 @@ def test_ks_test_detects_planted_shift(spark, tmp_path):
     pdf.to_parquet(f"{tmp_path}/events.parquet", index=False)
     r2 = q_ks_test(spark, str(tmp_path)).collect()[0]
     assert r2["reject_5pct"] is False
+
+
+class TestPandasScalarUdfNulls:
+    def test_null_text_yields_null_not_crash(self, spark):
+        """The scalar pandas UDFs must match built-in NULL semantics:
+        NULL text in → NULL counts out (the nullable-Int32 fix; a
+        plain int32 astype raised on the NaN the string ops emit)."""
+        from bfr_clustering_using_pyspark_spark.operators.textstats import (
+            _pandas_scalar_udfs,
+        )
+
+        ws_tokens, ascii_letters = _pandas_scalar_udfs()
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, None), (2, ""), (3, "Xy z9")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: (r["t"], r["l"])
+            for r in df.select(
+                "doc_id",
+                ws_tokens("text").alias("t"),
+                ascii_letters("text").alias("l"),
+            ).collect()
+        }
+        assert rows[0] == (3, 3)
+        assert rows[1] == (None, None)
+        assert rows[2] == (1, 0)  # ''.split(' ') -> [''] like the JVM
+        assert rows[3] == (2, 3)
+
+
+class TestAnnSharedGraphAndPqAssert:
+    def test_nnd_graph_cached_per_session(self, spark):
+        """ann_nndescent_graph and ann_graph_search share one
+        materialized build: the second _nnd_graph call must return
+        the SAME checkpointed frame, not rebuild."""
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        g1 = S._nnd_graph(spark, "/root/testdata/sf0.001")
+        g2 = S._nnd_graph(spark, "/root/testdata/sf0.001")
+        assert g1 is g2
+
+    def test_pq_sparse_anchor_range_fails_fast(self, spark):
+        """A gap in the PQ anchor id range must raise immediately
+        (positional codebook indexing would silently diverge from
+        the oracle's id-offset indexing)."""
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        old_hi = S.PQ_ANCHOR_HI
+        S.PQ_ANCHOR_HI = old_hi + 10_000_000  # beyond any vec_id
+        try:
+            with pytest.raises(ValueError, match="sparse"):
+                S._pq_anchor_units(spark, "/root/testdata/sf0.001")
+        finally:
+            S.PQ_ANCHOR_HI = old_hi

@@ -138,3 +138,80 @@ def test_global_ntile_fuzz_random_shapes(spark):
             ).collect()
         }
         assert got == want, (seed, n, n_tiles)
+
+def test_global_ntile_small_path_matches_distributed(spark):
+    """The size-gated small-input path (plain window, taken when the
+    caller-known total is under small_total) must be bit-equal to
+    the distributed bucketed path on the same input."""
+    ev = _events(spark)
+    n = ev.count()
+    small = {
+        r["event_id"]: r["t"]
+        for r in global_ntile(
+            ev, 5, [F.col("value"), F.col("event_id")], F.col("value"), "t",
+            total=n,  # default small_total >> n: plain-window path
+        ).collect()
+    }
+    dist = {
+        r["event_id"]: r["t"]
+        for r in global_ntile(
+            ev, 5, [F.col("value"), F.col("event_id")], F.col("value"), "t",
+            total=n, small_total=0,  # force the distributed path
+        ).collect()
+    }
+    assert small == dist
+
+
+def test_null_sort_key_desc_nulls_last(spark):
+    """Regression for NULL bucket routing: with a DESC leading key
+    (negated bucket expr) Spark sorts NULLS LAST, so NULL rows must
+    land in the LAST bucket (nulls='last'), not bucket 0 — bucket 0
+    would hand them a small prefix offset and rank them inside the
+    top block."""
+    rows = [(i, float(i % 13) if i % 9 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["_grank"]
+        for r in global_rank(
+            df, [F.desc("v"), F.col("id")], -F.col("v"), nulls="last"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("v"), "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_null_sort_key_asc_nulls_first(spark):
+    """ASC leading key: NULLS FIRST, default nulls='first' routing."""
+    rows = [(i, float(i % 13) if i % 9 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["_grank"]
+        for r in global_rank(df, [F.col("v"), F.col("id")], F.col("v")).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bucket_cuts_single_shuffle_partition(spark):
+    """A 1-shuffle-partition session must not produce an empty probs
+    array (percentile_approx([]) fails at plan time) — the clamp
+    floors the bucket count at 2."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        df = _events(spark).limit(50)
+        ranked = global_rank(df, [F.col("value"), F.col("event_id")], F.col("value"))
+        ranks = sorted(r["_grank"] for r in ranked.collect())
+        assert ranks == list(range(1, len(ranks) + 1))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -75,9 +75,9 @@ _COST_S = {
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
     "ann_ivf_partitioned": 2.6,
     "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,
-    "q_bucketed_join": 2.4, "stream_late_data": 4.0,
+    "q_bucketed_join": 2.4, "stream_late_data": 2.5,
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 7.9, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
-    "stream_update_counts": 4.0, "source_custom_points": 2.0,
+    "stream_update_counts": 2.2, "source_custom_points": 2.0,
     "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 3.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
     "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
     # ann_nndescent_graph costs ~15s standalone but ~2s when the
@@ -123,8 +123,12 @@ _CHANGED_THIS_ROUND = (
     "ann_nndescent_graph",
     # scale-killer fix (r6 verdict item #1): final labels now pinned
     # by eager localCheckpoint on executors instead of a driver
-    # collect — same rows, re-verify externally
-    "stream_components",
+    # collect — same rows, re-verify externally (same pattern applied
+    # to stream_checkpoint_recovery's sink-table read-back)
+    "stream_components", "stream_checkpoint_recovery",
+    # staged-replay family now shares one session-cached staging dir
+    # (stage once, three keys replay it) — re-verify the drains
+    "stream_late_data", "stream_update_counts",
     # gate-cost trim (r6 verdict item #6): size-gated small-input
     # ntile path — same bit-exact output, new plan at gate SF
     "q_rfm_segmentation",

@@ -676,6 +676,40 @@ def _stage_weekly_batches(
     return stage_dir
 
 
+# The staged weekly replay is a pure function of (sf_dir): three keys
+# replay it (late_data / update_counts append+update drains,
+# checkpoint_recovery's two-sitting restart). Stage ONCE per session
+# and reuse — the gate walks all three in one session, so this cuts
+# two of the three staging jobs (checkpoint_recovery file-copies its
+# two sittings from the cache instead of re-running Spark filters).
+_STAGED_WEEKLY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_weekly_cached(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _STAGED_WEEKLY_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = _stage_weekly_batches(spark, sf_dir)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STAGED_WEEKLY_CACHE[key] = d
+    return d
+
+
+def _copy_staged_batches(src_dir: str, dst_dir: str, batches) -> None:
+    """Copy staged batch files between replay dirs, re-pinning the
+    mtimes that make file-source replay order deterministic."""
+    for b in batches:
+        name = f"batch_{b:03d}.parquet"
+        dst = os.path.join(dst_dir, name)
+        shutil.copytree(os.path.join(src_dir, name), dst)
+        stamp = (1_000_000 + b, 1_000_000 + b)
+        os.utime(dst, stamp)
+        for part in os.listdir(dst):
+            os.utime(os.path.join(dst, part), stamp)
+
+
 def _hourly_agg(raw: DataFrame) -> DataFrame:
     """The shared 1-hour tumbling / 30-min watermark aggregation over
     a staged replay stream."""
@@ -699,21 +733,19 @@ def _staged_replay_agg(
 ) -> DataFrame:
     """The shared windowed aggregation over the staged 4-batch replay
     (1-hour tumbling windows, 30-minute watermark), drained in the
-    given output mode."""
-    stage_dir = _stage_weekly_batches(spark, sf_dir)
-    try:
-        schema = spark.read.parquet(
-            os.path.join(stage_dir, "batch_000.parquet")
-        ).schema
-        raw = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(os.path.join(stage_dir, "batch_*.parquet"))
-        )
-        return _run_to_memory(_hourly_agg(raw), sink, mode=mode)
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+    given output mode. The staged dir is the session-cached one —
+    the drain only READS it, so sharing is safe."""
+    stage_dir = _staged_weekly_cached(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(stage_dir, "batch_000.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(stage_dir, "batch_*.parquet"))
+    )
+    return _run_to_memory(_hourly_agg(raw), sink, mode=mode)
 
 
 def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,15 +800,28 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     try:
-        _stage_weekly_batches(spark, sf_dir, stage_dir, [0, 1])
+        # two sittings from the session-cached staging (identical
+        # files — _stage_weekly_batches is deterministic per batch):
+        # phase 1 must see ONLY files 0-1, so copy incrementally
+        cached = _staged_weekly_cached(spark, sf_dir)
+        _copy_staged_batches(cached, stage_dir, [0, 1])
         run_phase()
-        _stage_weekly_batches(spark, sf_dir, stage_dir, [2, 3])
+        _copy_staged_batches(cached, stage_dir, [2, 3])
         run_phase()
-        rows = spark.read.parquet(out).orderBy("window_start").collect()
-        result = spark.createDataFrame(
-            rows, "window_start timestamp, n_events bigint, total_value double"
+        # pin the sink table on executors before the staging dir dies
+        # (eager localCheckpoint, not a driver collect — the hourly
+        # window table is calendar-bounded but there is no reason to
+        # round-trip it through the driver)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("window_start").cast("timestamp"),
+                F.col("n_events").cast("bigint"),
+                F.col("total_value").cast("double"),
+            )
+            .orderBy("window_start")
+            .localCheckpoint(eager=True)
         )
-        return result.orderBy("window_start")
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
 

@@ -1,0 +1,63 @@
+"""Scale guard: every driver materialization in the package must be
+BOUNDED (1-row aggregates, O(k·d) model state, sketch cells, bounded
+query/anchor id lists, reference output contracts) — never O(n) in
+the data. The n-sized cases all use eager ``localCheckpoint`` (data
+stays on executors) or a parquet staging dir instead.
+
+This test pins the per-file count of driver-materialization calls
+(.collect() / .toPandas() / .first()) against a justified whitelist.
+Adding a new one fails here until it is justified below — the same
+audit the round verdicts run by hand, automated.
+"""
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "bfr_clustering_using_pyspark_spark"
+
+PATTERN = re.compile(r"\.(collect|toPandas|first)\(\)")
+
+# relpath -> (expected_count, justification)
+WHITELIST = {
+    "cli.py": (1, "reference output contract: point->cluster JSON map (bfr.py:453-468 parity)"),
+    "sources/sinks.py": (1, "same reference output contract, library face"),
+    "ml/bfr.py": (4, "1-row id-range agg; 1-row dim probe; seeded init sample; O(k*d) per-chunk suffstats feedback"),
+    "ml/kmeans.py": (2, "seeded init sample; O(k*d) centroid frame per round"),
+    "ml/metrics.py": (1, "O(k^2) contingency table for NMI"),
+    "plans/ml_queries.py": (1, "O(k*d) centroids per Lloyd round (documented production k-means shape)"),
+    "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),
+    "plans/tpch_ext.py": (1, "per-returnflag counts (3 rows) for rank medians"),
+    "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),
+    "operators/dedup.py": (1, "1-row agg (corpus-level scalars)"),
+    "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
+    "operators/embeddings_ops.py": (2, "dim probe; O(d^2) covariance/eigh input for PCA"),
+    "streaming/docs_stream.py": (1, "CMS partial cells per batch (<= d*w counters)"),
+    "streaming/events_stream.py": (1, "8-bucket partial aggregates per batch"),
+}
+
+
+def _counts():
+    got = {}
+    for py in sorted(PKG.rglob("*.py")):
+        n = len(PATTERN.findall(py.read_text()))
+        if n:
+            got[str(py.relative_to(PKG))] = n
+    return got
+
+
+def test_driver_materializations_are_whitelisted():
+    got = _counts()
+    want = {k: v[0] for k, v in WHITELIST.items()}
+    unexpected = {k: n for k, n in got.items() if k not in want}
+    assert not unexpected, (
+        f"NEW driver materialization site(s) {unexpected}: justify each "
+        "as bounded (add to WHITELIST with a reason) or rewrite with "
+        "localCheckpoint/staging so the data never rides the driver"
+    )
+    drifted = {k: (n, want[k]) for k, n in got.items() if want.get(k) != n}
+    assert not drifted, (
+        f"driver-materialization count drifted (got, expected): {drifted} "
+        "— update the WHITELIST justification if the new count is bounded"
+    )
+    missing = {k for k in want if k not in got}
+    assert not missing, f"stale WHITELIST entries (sites removed): {missing}"

@@ -82,7 +82,7 @@ AUDIT = {
     "q_percentiles_approx": (False, False, 2),  # GK sketch agg + sort
     "q_mad_outliers_approx": (False, True, 5),  # two sketch passes, scalars broadcast back
     "csv_roundtrip": (False, False, 1),  # eager-checkpointed aggregate
-    "ann_nndescent_graph": (False, True, 24),  # 2 unrolled NN-Descent rounds; AQE stage reuse collapses repeated subtrees at runtime
+    "ann_nndescent_graph": (False, False, 1),  # materialized shared build (_nnd_graph cache) + sort; inner build plan: 2 unrolled NN-Descent rounds, bucketed joins (scale props pinned in tests)
     "ann_ivf": (False, True, 2),
     "ann_pq": (False, True, 3),
     "ann_ivf_rerank": (False, True, 3),

@@ -128,10 +128,15 @@ def stream_components(
                 bands = hashed.mapInPandas(
                     _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
                 )
-                bands.write.mode("append").parquet(sig_path)
-                base.write.mode("append").parquet(sh_path)
-                new_bands = bands.localCheckpoint(eager=True)
-                all_bands = sp.read.parquet(sig_path)
+                # per-batch SUBDIRS, then read back: the Python
+                # minhash kernel executes exactly ONCE per batch (the
+                # write); the join sides below are parquet scans of
+                # the written state, not re-executions or extra
+                # checkpoint jobs
+                bands.write.parquet(f"{sig_path}/b{batch_id:05d}")
+                base.write.parquet(f"{sh_path}/b{batch_id:05d}")
+                new_bands = sp.read.parquet(f"{sig_path}/b{batch_id:05d}")
+                all_bands = sp.read.parquet(f"{sig_path}/b*")
                 cand = (
                     new_bands.alias("n")
                     .join(
@@ -146,7 +151,7 @@ def stream_components(
                     )
                     .distinct()
                 )
-                all_sh = sp.read.parquet(sh_path)
+                all_sh = sp.read.parquet(f"{sh_path}/b*")
                 sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
                 sb = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
                 inter = F.size(F.array_intersect("sh_a", "sh_b"))

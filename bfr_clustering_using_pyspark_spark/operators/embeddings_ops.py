@@ -280,6 +280,201 @@ FROM joined GROUP BY label ORDER BY label
 """
 
 
+# --- deterministic PCA (hash-gated face) ----------------------------
+# pca_project's eigh is engine-specific (sign/order ambiguous), so it
+# stays rows-only. This face makes the TOP component cross-engine
+# bit-exact with the kmeans_lloyd_det recipe: quantize to micro-unit
+# integers, keep every data-sized sum in exact int64 arithmetic, and
+# run a FIXED number of power-iteration rounds from an md5-seeded
+# start vector, renormalizing to integer micro-units each round. The
+# only floating point is division of exactly-representable ints —
+# identical in both engines — so the oracle replays it bit-for-bit.
+PCA_SCALE = 100_000     # micro-units: |x| < 1 → |xq| ≤ 1e5
+PCA_M_DIV = 1_000_000   # raw gram-entry shrink before normalization
+PCA_M_NORM = 100_000_000  # matrix renormalization scale (1e8)
+PCA_SQUARINGS = 7
+# Matrix SQUARING, not plain vector iteration: the synthetic
+# embeddings are near-isotropic (λ2/λ1 ≈ 0.93), so plain power
+# iteration needs ~40 rounds for 3-digit alignment; M^(2^k) converges
+# as ratio^(2^k) — 7 squarings align to machine cosine (measured
+# cos(v, eigh top) = 1.0 at sf0.001). Exactness budget (int64): gram
+# entries ≤ n·4e10 exact to n ≈ 2×10⁸ (shrink PCA_SCALE beyond);
+# normalized entries ≤ 1e8 → squaring terms ≤ 64·1e16 ≈ 2^59.5 —
+# exact; the ×1e8/max renormalization casts int64 → double (IEEE
+# nearest, identical in Spark / DuckDB / NumPy even above 2^53) and
+# rounds, so every engine walks the same integer sequence.
+
+
+def _pca_v0() -> list[int]:
+    """md5-seeded integer start vector — the same formula the oracle
+    computes in SQL (`('0x'||substr(md5('pca_'||pos),1,15))::BIGINT`)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"pca_{p}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for p in range(64)
+    ]
+
+
+def pca_power_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component scores, cross-engine BIT-EXACT: center
+    on the micro-unit-rounded mean, build the integer gram matrix
+    with one map-side nested-transform explode (n·d² products
+    partial-aggregated to d² cells — no n-sized join), then run the
+    fixed-round integer matrix squarings on the collected d²-cell
+    matrix in NumPy (int64-exact, same sequence both engines — see
+    the convergence note above), apply the md5-seeded start vector,
+    and project every vector onto the resulting direction with an
+    exact integer dot product. Output: (vec_id, pc1_q) — the score
+    in squared micro-units; a pytest pins bit-equality to a NumPy
+    replay AND |cos| ≈ 1 vs eigh's top eigenvector.
+
+    Scale: the only n-sized stages are the gram build (one narrow
+    shuffle, ≤d² partial-agg cells per task) and the final broadcast
+    zip_with projection (map-only). Driver state is the 64-int mean
+    and the d²=4096-int gram matrix — the same bounded O(d²) driver
+    step as pca_project's eigh (whitelisted); iterating 4096-row
+    frames on executors measured 12 s of pure scheduler overhead for
+    work NumPy does in microseconds."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    xq_expr = F.expr(
+        f"transform(v, x -> cast(round(x * {PCA_SCALE}, 0) as bigint))"
+    )
+    base = emb.select("vec_id", xq_expr.alias("xq"))
+    # 64-int mean: exact int sums / count, rounded back to micro-units
+    mean_rows = (
+        base.select(F.posexplode("xq").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.sum("c").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("mu")
+        )
+        .collect()
+    )
+    mu = [0] * 64
+    for r in mean_rows:
+        mu[r["pos"]] = int(r["mu"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    cdf = base.select(
+        "vec_id",
+        F.zip_with("xq", mu_lit, lambda a, b: a - b).alias("cq"),
+    )
+    # integer gram matrix: per-row outer product exploded map-side,
+    # partial-agg collapses to ≤4096 cells per task before the shuffle
+    pairs = cdf.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(cq, (ci, i) -> "
+                "transform(cq, (cj, j) -> struct(i, j, ci * cj as p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    m_rows = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("p").cast("double") / PCA_M_DIV, 0)
+            .cast("long")
+            .alias("m")
+        )
+        .collect()
+    )
+
+    import numpy as np
+
+    # Spark F.round / DuckDB round() are HALF AWAY FROM ZERO;
+    # np.round is banker's — use the engines' rule so the driver-side
+    # squarings walk the identical integer sequence.
+    def _r(a):
+        return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+    m = np.zeros((64, 64), dtype=np.int64)
+    for row in m_rows:
+        m[row["i"], row["j"]] = int(row["m"])
+    m = _r(m.astype(np.float64) * PCA_M_NORM / np.abs(m).max())
+    for _ in range(PCA_SQUARINGS):
+        sq = m @ m  # exact in int64: |entries| <= 64 * 1e16 < 2^63
+        m = _r(sq.astype(np.float64) * PCA_M_NORM / np.abs(sq).max())
+    w = m @ np.array(_pca_v0(), dtype=np.int64)
+    v = _r(w.astype(np.float64) * PCA_SCALE / np.abs(w).max())
+    v_lit = F.array(*[F.lit(int(x)) for x in v])
+    return (
+        cdf.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("cq", v_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("pc1_q"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pca_power_oracle() -> str:
+    # Every CTE that is referenced more than once (directly or via
+    # the scalar-subquery max) is AS MATERIALIZED: DuckDB inlines
+    # plain CTEs, and an inlined 7-round squaring chain doubles the
+    # expression tree per round — 2^7 parquet re-scans exhausts file
+    # descriptors before it exhausts patience.
+    prelude = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, g.p - 1 AS pos,
+         CAST(round(CAST(embedding[g.p] AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT) AS xq
+  FROM embeddings, generate_series(1, 64) AS g(p)
+  WHERE g.p <= len(embedding)
+), mean_r AS MATERIALIZED (
+  SELECT pos, CAST(round(CAST(sum(xq) AS DOUBLE) / count(*), 0) AS BIGINT) AS mu
+  FROM q GROUP BY pos
+), c AS MATERIALIZED (
+  SELECT q.vec_id, q.pos, q.xq - m.mu AS cq FROM q JOIN mean_r m USING (pos)
+), mraw AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(round(CAST(sum(a.cq * b.cq) AS DOUBLE) / {PCA_M_DIV}, 0) AS BIGINT) AS m
+  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+), m0 AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(m AS DOUBLE) * {PCA_M_NORM}
+                    / (SELECT max(abs(m)) FROM mraw), 0) AS BIGINT) AS m
+  FROM mraw
+), v0 AS (
+  SELECT g.p - 1 AS pos,
+         ('0x' || substr(md5('pca_' || (g.p - 1)), 1, 15))::BIGINT % 2001 - 1000 AS val
+  FROM generate_series(1, 64) AS g(p)
+)"""
+    rounds = []
+    for t in range(1, PCA_SQUARINGS + 1):
+        rounds.append(f""", sq{t} AS MATERIALIZED (
+  SELECT a.i, b.j, CAST(sum(a.m * b.m) AS BIGINT) AS m
+  FROM m{t - 1} a JOIN m{t - 1} b ON a.j = b.i GROUP BY 1, 2
+), m{t} AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(m AS DOUBLE) * {PCA_M_NORM}
+                    / (SELECT max(abs(m)) FROM sq{t}), 0) AS BIGINT) AS m
+  FROM sq{t}
+)""")
+    k = PCA_SQUARINGS
+    return (
+        prelude
+        + "".join(rounds)
+        + f""", w AS MATERIALIZED (
+  SELECT m{k}.i AS pos, CAST(sum(m{k}.m * v0.val) AS BIGINT) AS w
+  FROM m{k} JOIN v0 ON m{k}.j = v0.pos GROUP BY 1
+), v AS (
+  SELECT pos,
+         CAST(round(CAST(w AS DOUBLE) * {PCA_SCALE}
+                    / (SELECT max(abs(w)) FROM w), 0) AS BIGINT) AS val
+  FROM w
+)
+SELECT c.vec_id, CAST(sum(c.cq * v.val) AS BIGINT) AS pc1_q
+FROM c JOIN v ON c.pos = v.pos
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
+PCA_POWER_DET_SQL = _pca_power_oracle()
+
+
 def pca_project_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry wrapper: flatten the ``pc array<double>`` column to
     scalar pc0..pc7 — the gate's pandas canonicalizer can't sort/hash
@@ -298,6 +493,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "tfidf_top_terms": tfidf_top_terms,
     "pca_project": pca_project_flat,
+    "pca_power_det": pca_power_det,
 }
 
 ORACLES = {
@@ -305,4 +501,5 @@ ORACLES = {
     "embedding_normalize": EMBEDDING_NORMALIZE_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "pca_power_det": PCA_POWER_DET_SQL,
 }

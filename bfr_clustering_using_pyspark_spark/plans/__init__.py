@@ -42,7 +42,8 @@ _COST_S = {
     "q_countmin_topk": 0.8, "q_drift_detect": 0.8, "q_gap_fill": 0.8,
     "q_outer_join": 0.8, "q_rollup": 0.8, "dedup_simhash": 0.9,
     "json_roundtrip": 0.9, "kmeans_assign": 0.9, "mahalanobis_assign": 0.9,
-    "orc_roundtrip": 0.9, "pca_project": 0.9, "q16_supplier_cnt": 0.9,
+    "orc_roundtrip": 0.9, "pca_project": 0.9, "pca_power_det": 3.0,
+    "q16_supplier_cnt": 0.9,
     "q17_small_qty_revenue": 0.9, "q7_volume_shipping": 0.9,
     "q_events_sessionize": 0.9, "q_linear_count": 0.9,
     "q_merge_upsert": 0.9, "q_part_pivot": 0.9, "q_percentiles": 0.9,
@@ -144,6 +145,9 @@ _CHANGED_THIS_ROUND = (
     # PQ codebook anchor-density assert (ADVICE): plan unchanged,
     # cheap re-check
     "ann_pq",
+    # round-7 NEW hash-gated key: deterministic top-PC power
+    # iteration (the hash-gated face of the rows-only pca_project)
+    "pca_power_det",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -30,7 +30,7 @@ WHITELIST = {
     "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),
     "operators/dedup.py": (1, "1-row agg (corpus-level scalars)"),
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
-    "operators/embeddings_ops.py": (2, "dim probe; O(d^2) covariance/eigh input for PCA"),
+    "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
     "streaming/docs_stream.py": (1, "CMS partial cells per batch (<= d*w counters)"),
     "streaming/events_stream.py": (1, "8-bucket partial aggregates per batch"),
 }

@@ -106,6 +106,55 @@ class TestPCA:
         assert len(ev) == 4
         np.testing.assert_allclose(ev, var, rtol=1e-3, atol=1e-6)
 
+    def test_power_det_matches_integer_replay_and_true_pc1(self, spark):
+        """pca_power_det must (a) equal a NumPy replay of the exact
+        integer matrix-squaring algorithm bit-for-bit, and (b) point
+        within machine cosine of the true top eigenvector — the
+        determinism is not bought with a wrong direction."""
+        from bfr_clustering_using_pyspark_spark.operators.embeddings_ops import (
+            PCA_M_DIV,
+            PCA_M_NORM,
+            PCA_SCALE,
+            PCA_SQUARINGS,
+            _pca_v0,
+            pca_power_det,
+        )
+        from tests.conftest import SF_SMALL
+
+        got = {
+            r["vec_id"]: r["pc1_q"]
+            for r in pca_power_det(spark, SF_SMALL).collect()
+        }
+
+        # Spark F.round / DuckDB round() are HALF AWAY FROM ZERO;
+        # np.round is banker's — replay with the engines' rule.
+        def r(a):
+            return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+        emb = emb.sort_values("vec_id")
+        X = np.stack(emb["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        xq = r(X * PCA_SCALE)
+        mu = r(xq.sum(axis=0).astype(np.float64) / len(xq))
+        c = xq - mu
+        m = r((c.T @ c).astype(np.float64) / PCA_M_DIV)
+        m = r(m.astype(np.float64) * PCA_M_NORM / np.abs(m).max())
+        for _ in range(PCA_SQUARINGS):
+            sq = m @ m  # exact in int64: |entries| <= 64 * 1e16 < 2^63
+            m = r(sq.astype(np.float64) * PCA_M_NORM / np.abs(sq).max())
+        v0 = np.array(_pca_v0(), dtype=np.int64)
+        w = m @ v0
+        v = r(w.astype(np.float64) * PCA_SCALE / np.abs(w).max())
+        want = dict(zip(emb["vec_id"].to_numpy(), (c @ v).tolist()))
+        assert got == want
+
+        # direction check vs eigh's top component (sign-insensitive)
+        cov = np.cov(X, rowvar=False)
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        top = eigvecs[:, np.argmax(eigvals)]
+        cos = abs(top @ v / (np.linalg.norm(top) * np.linalg.norm(v)))
+        assert cos > 0.9998, cos
+
 
 def test_dedup_substring_equals_lcs_bruteforce(spark, tmp_path):
     """On random small-alphabet corpora (repetition-heavy, so shared

@@ -51,7 +51,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_BRUTEFORCE_SQL = f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -144,7 +144,7 @@ def _lsh_oracle_sql() -> str:
         )
     bucket = " + ".join(terms)
     return f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -222,7 +222,7 @@ def _lsh_multiprobe_oracle_sql() -> str:
     bucket = " + ".join(terms)
     probe_list = "[bucket" + "".join(f", xor(bucket, {1 << j})" for j in range(N_PLANES)) + "]"
     return f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -469,7 +469,7 @@ def _ivf_partitioned_oracle_sql() -> str:
         for j in range(N_IVF_LISTS)
     )
     return f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -513,7 +513,7 @@ def _ivf_rerank_oracle_sql() -> str:
         for j in range(N_IVF_LISTS)
     )
     return f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -711,11 +711,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_PQ_SQL = f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
-), unit AS (
+), unit AS MATERIALIZED (
   SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM base
 ), cent AS (
   SELECT m.m, a.vec_id - {PQ_ANCHOR_LO} AS k,
@@ -898,7 +898,21 @@ def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _NND_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
-    graph = _nnd_graph_build(spark, sf_dir).localCheckpoint(eager=True)
+    # Size the build's shuffle width to its data: every exchange in
+    # the build moves O(n·K²) candidate edges, so at gate SF the
+    # session default (200) is ~25 tasks of scheduler overhead per
+    # row of work. ~1M candidate rows per partition, floored at 8,
+    # never above the deployment default — at real n the formula
+    # returns the default. The swap is safe because the eager
+    # localCheckpoint executes the whole build inside it.
+    n = _base(spark, sf_dir).count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev), max(8, (n * NND_K * NND_K) // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        graph = _nnd_graph_build(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     _NND_GRAPH_CACHE[key] = graph
     return graph
 
@@ -989,21 +1003,21 @@ def _nndescent_oracle_sql() -> str:
     """Unrolled NN-Descent in DuckDB CTEs — init, then NND_ITERS
     rounds of (undirected ∪ two-hop) → score → top-K."""
     prelude = f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
-), unit AS (
+), unit AS MATERIALIZED (
   SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM base
-), nvec AS (
+), nvec AS MATERIALIZED (
   SELECT count(*) AS n FROM unit
-), cand0 AS (
+), cand0 AS MATERIALIZED (
   SELECT DISTINCT un.vec_id AS a,
          ('0x' || substr(md5('nnd' || un.vec_id || '_' || j.j), 1, 15))::BIGINT % nvec.n AS b
   FROM unit un CROSS JOIN nvec
   CROSS JOIN (SELECT unnest(generate_series(0, {NND_K - 1})) AS j) j
   WHERE ('0x' || substr(md5('nnd' || un.vec_id || '_' || j.j), 1, 15))::BIGINT % nvec.n <> un.vec_id
-), nn0 AS (
+), nn0 AS MATERIALIZED (
   SELECT a, b, cosine, rank FROM (
     SELECT c.a, c.b,
            round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) AS cosine,
@@ -1015,15 +1029,15 @@ WITH base AS (
     rounds = []
     for i in range(NND_ITERS):
         prev, cur = f"nn{i}", f"nn{i + 1}"
-        rounds.append(f""", und{i} AS (
+        rounds.append(f""", und{i} AS MATERIALIZED (
   SELECT a, b FROM {prev}
   UNION
   SELECT b AS a, a AS b FROM {prev}
-), cand{i + 1} AS (
+), cand{i + 1} AS MATERIALIZED (
   SELECT a, b FROM {prev}
   UNION
   SELECT x.a, y.b FROM und{i} x JOIN und{i} y ON x.b = y.a WHERE x.a <> y.b
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT a, b, cosine, rank FROM (
     SELECT c.a, c.b,
            round(list_sum(list_transform(list_zip(x.u, y.u), p -> p[1] * p[2])), 4) AS cosine,
@@ -1099,8 +1113,11 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top_b(cand: DataFrame, b: int) -> DataFrame:
+        # the beam/candidate side is provably bounded (≤ q·B·(K+1)
+        # rows) — BROADCAST it into the n-sized unit-vector join so
+        # the data side never reshuffles, at any n
         scored = (
-            cand.join(F.broadcast(queries), "q_id")
+            F.broadcast(cand.join(F.broadcast(queries), "q_id"))
             .join(uc, "c")
             .select("q_id", "c", _nnd_cos("qu", "cu").alias("cosine"))
         )
@@ -1111,34 +1128,46 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "c", "cosine", "rank")
         )
 
-    beam = top_b(beam, GS_BEAM)
-    for _ in range(GS_HOPS):
-        nbrs = (
-            beam.select("q_id", F.col("c").alias("vec_id"))
-            .join(graph, "vec_id")
-            .select("q_id", F.col("nbr_id").alias("c"))
+    def run_search(beam: DataFrame) -> DataFrame:
+        beam = top_b(beam, GS_BEAM)
+        for _ in range(GS_HOPS):
+            nbrs = (
+                beam.select("q_id", F.col("c").alias("vec_id"))
+                .join(graph, "vec_id")
+                .select("q_id", F.col("nbr_id").alias("c"))
+            )
+            cand = (
+                beam.select("q_id", "c")
+                .union(nbrs)
+                .filter(F.col("q_id") != F.col("c"))
+                .distinct()
+            )
+            beam = top_b(cand, GS_BEAM)
+        return (
+            beam.filter(F.col("rank") <= TOP_K)
+            .select("q_id", F.col("c").alias("vec_id"), "cosine", "rank")
+            .orderBy("q_id", "rank")
         )
-        cand = (
-            beam.select("q_id", "c")
-            .union(nbrs)
-            .filter(F.col("q_id") != F.col("c"))
-            .distinct()
-        )
-        beam = top_b(cand, GS_BEAM)
-    return (
-        beam.filter(F.col("rank") <= TOP_K)
-        .select("q_id", F.col("c").alias("vec_id"), "cosine", "rank")
-        .orderBy("q_id", "rank")
-    )
+
+    # every shuffle in the search moves bounded beam-sized frames
+    # (the n-sized side is broadcast-joined above), so a narrow
+    # shuffle width is scale-correct — execute eagerly inside the
+    # swap; the result is ≤ |queries|·TOP_K rows
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        return run_search(beam).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _graph_search_oracle_sql() -> str:
     """Graph CTEs (shared with the nndescent oracle) + unrolled beam
     hops."""
     graph_part = _nndescent_oracle_sql().rsplit("\nSELECT a AS vec_id", 1)[0]
-    hops = [f""", gq AS (
+    hops = [f""", gq AS MATERIALIZED (
   SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id IN {GS_QUERY_IDS}
-), beam0 AS (
+), beam0 AS MATERIALIZED (
   SELECT q_id, c, cosine, rank FROM (
     SELECT e.q_id, e.c,
            round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) AS cosine,
@@ -1155,11 +1184,11 @@ def _graph_search_oracle_sql() -> str:
 )"""]
     for h in range(GS_HOPS):
         prev, cur = f"beam{h}", f"beam{h + 1}"
-        hops.append(f""", candh{h + 1} AS (
+        hops.append(f""", candh{h + 1} AS MATERIALIZED (
   SELECT q_id, c FROM {prev}
   UNION
   SELECT p.q_id, g.b AS c FROM {prev} p JOIN nn{NND_ITERS} g ON p.c = g.a
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT q_id, c, cosine, rank FROM (
     SELECT cd.q_id, cd.c,
            round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) AS cosine,

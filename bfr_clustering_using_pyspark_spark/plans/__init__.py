@@ -70,7 +70,7 @@ _COST_S = {
     "dedup_ngram_jaccard": 3.8, "bfr_fit": 3.9, "dedup_containment": 3.9,
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
     "text_pii_scrub": 5.8, "dedup_components": 8.7,
-    "stream_components": 13.3, "silhouette_eval": 2.0, "q_survivorship": 0.7,
+    "stream_components": 19.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
@@ -84,9 +84,9 @@ _COST_S = {
     # ann_nndescent_graph costs ~15s standalone but ~2s when the
     # session's shared graph build (_nnd_graph) already ran for
     # ann_graph_search — tier-0 orders the search first
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 2.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 1.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
-    "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 27.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
+    "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
 
 

@@ -459,11 +459,11 @@ GROUP BY 1 ORDER BY lev_dist
 _MINHASH_PAIRS_CTE = """
 t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                 for i in generate_series(1, len(toks) - 2)]) AS shingles
   FROM t WHERE len(toks) >= 3
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT * FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 /
@@ -623,7 +623,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
 
 DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_MINHASH_PAIRS_CTE},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),

@@ -530,21 +530,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry old_comp THROUGH the checkpoint: the convergence
+        # probe is then a filter over one already-materialized frame
+        # (no extra join+shuffle per round), and limit(1) stops the
+        # scan at the first changed label
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            labels.select("doc_id", F.col("comp").alias("old_comp"))
-            .join(new_labels, "doc_id")
-            .filter(F.col("old_comp") != F.col("comp"))
-            .count()
+            new_labels.filter(F.col("old_comp") != F.col("comp")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "comp")
         if changed == 0:
             break
     return labels.orderBy("doc_id")

@@ -393,12 +393,18 @@ def pca_power_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = np.zeros((64, 64), dtype=np.int64)
     for row in m_rows:
         m[row["i"], row["j"]] = int(row["m"])
-    m = _r(m.astype(np.float64) * PCA_M_NORM / np.abs(m).max())
+    # every normalization divisor floors at 1: a corpus whose
+    # variance is below the quantization granularity has an all-zero
+    # gram matrix, and 0/0 would diverge across engines (nan vs
+    # NULL) — with the floor, both engines deterministically score
+    # every vector 0; non-degenerate inputs are untouched (the max
+    # is >= 1 whenever any cell is nonzero)
+    m = _r(m.astype(np.float64) * PCA_M_NORM / max(np.abs(m).max(), 1))
     for _ in range(PCA_SQUARINGS):
         sq = m @ m  # exact in int64: |entries| <= 64 * 1e16 < 2^63
-        m = _r(sq.astype(np.float64) * PCA_M_NORM / np.abs(sq).max())
+        m = _r(sq.astype(np.float64) * PCA_M_NORM / max(np.abs(sq).max(), 1))
     w = m @ np.array(_pca_v0(), dtype=np.int64)
-    v = _r(w.astype(np.float64) * PCA_SCALE / np.abs(w).max())
+    v = _r(w.astype(np.float64) * PCA_SCALE / max(np.abs(w).max(), 1))
     v_lit = F.array(*[F.lit(int(x)) for x in v])
     return (
         cdf.select(
@@ -436,7 +442,7 @@ WITH q AS MATERIALIZED (
   FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
 ), m0 AS MATERIALIZED (
   SELECT i, j, CAST(round(CAST(m AS DOUBLE) * {PCA_M_NORM}
-                    / (SELECT max(abs(m)) FROM mraw), 0) AS BIGINT) AS m
+                    / (SELECT greatest(max(abs(m)), 1) FROM mraw), 0) AS BIGINT) AS m
   FROM mraw
 ), v0 AS (
   SELECT g.p - 1 AS pos,
@@ -450,7 +456,7 @@ WITH q AS MATERIALIZED (
   FROM m{t - 1} a JOIN m{t - 1} b ON a.j = b.i GROUP BY 1, 2
 ), m{t} AS MATERIALIZED (
   SELECT i, j, CAST(round(CAST(m AS DOUBLE) * {PCA_M_NORM}
-                    / (SELECT max(abs(m)) FROM sq{t}), 0) AS BIGINT) AS m
+                    / (SELECT greatest(max(abs(m)), 1) FROM sq{t}), 0) AS BIGINT) AS m
   FROM sq{t}
 )""")
     k = PCA_SQUARINGS
@@ -463,7 +469,7 @@ WITH q AS MATERIALIZED (
 ), v AS (
   SELECT pos,
          CAST(round(CAST(w AS DOUBLE) * {PCA_SCALE}
-                    / (SELECT max(abs(w)) FROM w), 0) AS BIGINT) AS val
+                    / (SELECT greatest(max(abs(w)), 1) FROM w), 0) AS BIGINT) AS val
   FROM w
 )
 SELECT c.vec_id, CAST(sum(c.cq * v.val) AS BIGINT) AS pc1_q

@@ -138,13 +138,13 @@ class TestPCA:
         mu = r(xq.sum(axis=0).astype(np.float64) / len(xq))
         c = xq - mu
         m = r((c.T @ c).astype(np.float64) / PCA_M_DIV)
-        m = r(m.astype(np.float64) * PCA_M_NORM / np.abs(m).max())
+        m = r(m.astype(np.float64) * PCA_M_NORM / max(np.abs(m).max(), 1))
         for _ in range(PCA_SQUARINGS):
             sq = m @ m  # exact in int64: |entries| <= 64 * 1e16 < 2^63
-            m = r(sq.astype(np.float64) * PCA_M_NORM / np.abs(sq).max())
+            m = r(sq.astype(np.float64) * PCA_M_NORM / max(np.abs(sq).max(), 1))
         v0 = np.array(_pca_v0(), dtype=np.int64)
         w = m @ v0
-        v = r(w.astype(np.float64) * PCA_SCALE / np.abs(w).max())
+        v = r(w.astype(np.float64) * PCA_SCALE / max(np.abs(w).max(), 1))
         want = dict(zip(emb["vec_id"].to_numpy(), (c @ v).tolist()))
         assert got == want
 
@@ -154,6 +154,42 @@ class TestPCA:
         top = eigvecs[:, np.argmax(eigvals)]
         cos = abs(top @ v / (np.linalg.norm(top) * np.linalg.norm(v)))
         assert cos > 0.9998, cos
+
+    def test_power_det_cross_engine_fuzz(self, spark, tmp_path):
+        """Spark face == DuckDB oracle BIT-FOR-BIT on seeded random
+        corpora (different n, anisotropy, near-tie magnitudes) — the
+        determinism claim must not hinge on the shipped table's
+        particular values."""
+        import duckdb
+        import pandas as pd
+
+        from bfr_clustering_using_pyspark_spark.operators.embeddings_ops import (
+            PCA_POWER_DET_SQL,
+            pca_power_det,
+        )
+
+        for seed, n, scale in ((1, 37, 1.0), (2, 80, 1e-3), (3, 150, 0.999)):
+            rng = np.random.default_rng(seed)
+            # anisotropic gaussian squashed into (-1, 1); tiny scale
+            # stresses the quantizer near its rounding granularity
+            X = np.tanh(rng.normal(size=(n, 64)) @ np.diag(rng.uniform(0.2, 1, 64))) * scale
+            pdf = pd.DataFrame(
+                {"vec_id": range(n), "embedding": [row.astype(np.float32) for row in X]}
+            )
+            d = tmp_path / f"fuzz{seed}"
+            d.mkdir()
+            spark.createDataFrame(pdf).write.parquet(str(d / "embeddings.parquet"))
+
+            got = [
+                (r["vec_id"], r["pc1_q"])
+                for r in pca_power_det(spark, str(d)).collect()
+            ]
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+            )
+            want = [(r[0], r[1]) for r in con.execute(PCA_POWER_DET_SQL).fetchall()]
+            assert got == want, f"seed={seed}: first diff {[p for p in zip(got, want) if p[0] != p[1]][:3]}"
 
 
 def test_dedup_substring_equals_lcs_bruteforce(spark, tmp_path):

@@ -148,6 +148,11 @@ _CHANGED_THIS_ROUND = (
     # round-7 NEW hash-gated key: deterministic top-PC power
     # iteration (the hash-gated face of the rows-only pca_project)
     "pca_power_det",
+    # connected_components' convergence probe changed (old_comp
+    # carried through the checkpoint) and the dedup oracles'
+    # shared CTEs are now MATERIALIZED — re-verify the callers
+    # (stream_components is already pinned above)
+    "dedup_components", "dedup_minhash_lsh",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -62,7 +62,21 @@ def compact_parquet(spark, path: str, out_path: str, target_mb: int = 128) -> in
 def write_cluster_map_json(assigned: DataFrame, path: str) -> None:
     """Reference ``cluster_out`` format (bfr.py:463-464): one JSON
     object mapping point-id string → cluster label. Driver-side
-    single-file write, as the reference does."""
+    single-file write, as the reference does — this is the strict
+    output CONTRACT face and inherits its scale ceiling from the
+    contract itself (one JSON object cannot be sharded). For corpora
+    where the map itself is big data, use
+    ``write_cluster_map_jsonl`` — same information, distributed."""
     out = {str(r["id"]): int(r["cluster"]) for r in assigned.collect()}
     with open(path, "w") as f:
         json.dump(out, f)
+
+
+def write_cluster_map_jsonl(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """The 100 TB face of the cluster map: executor-side JSONL shards
+    of ``{"id": ..., "cluster": ...}`` rows — no row ever rides the
+    driver. Downstream consumers stream-merge the shards (or read
+    them straight back as a table); the single-object contract file
+    remains available via ``write_cluster_map_json`` for
+    reference-compatible tooling at contract scale."""
+    assigned.select("id", "cluster").write.mode(mode).json(path)

@@ -82,6 +82,19 @@ def test_cluster_map_json_sink(spark, tmp_path):
     assert json.load(open(out)) == {"1": 0, "2": 1}
 
 
+def test_cluster_map_jsonl_sink_matches_contract_face(spark, tmp_path):
+    """The distributed JSONL face carries the same map as the
+    single-object contract face, via executor-side shards."""
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "cluster": [0, 1, 0]}))
+    out = tmp_path / "map_jsonl"
+    sinks.write_cluster_map_jsonl(df, str(out))
+    back = {
+        r["id"]: r["cluster"]
+        for r in spark.read.json(str(out)).collect()
+    }
+    assert back == {1: 0, 2: 1, 3: 0}
+
+
 def test_approx_distinct_within_5pct(spark):
     rows = q_approx_distinct(spark, SF_SMALL).collect()
     for r in rows:

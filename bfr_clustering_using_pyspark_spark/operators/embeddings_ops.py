@@ -354,6 +354,14 @@ def pca_power_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # fail fast on a non-64-dim corpus: the oracle's generate_series,
+    # the v0 seed length, and the int64 exactness budget are all
+    # calibrated for d=64 — a shorter/longer embedding would NULL-pad
+    # the zip_with (silent hash divergence) or index out of range
+    if len(mean_rows) != 64:
+        raise ValueError(
+            f"pca_power_det is calibrated for 64-dim embeddings; got d={len(mean_rows)}"
+        )
     mu = [0] * 64
     for r in mean_rows:
         mu[r["pos"]] = int(r["mu"])

@@ -142,8 +142,17 @@ def grouped_rank(
     offs = cnts.select(
         *keys, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
+    # NULL-SAFE equality on the group columns: groupBy and
+    # partitionBy both treat NULL as its own group, so the offsets
+    # frame has a row for NULL groups — a plain equi-join would
+    # silently drop those rows here
+    l, o = local.alias("_rk_l"), offs.alias("_rk_o")
+    cond = F.col("_rk_l._bkt") == F.col("_rk_o._bkt")
+    for c in group_cols:
+        cond = cond & F.col(f"_rk_l.{c}").eqNullSafe(F.col(f"_rk_o.{c}"))
     return (
-        local.join(F.broadcast(offs), keys)
+        l.join(F.broadcast(o), cond)
+        .select("_rk_l.*", F.col("_rk_o._off").alias("_off"))
         .withColumn(out, (F.col("_off") + F.col("_lrank")).cast("long"))
         .drop("_bkt", "_lrank", "_off")
     )

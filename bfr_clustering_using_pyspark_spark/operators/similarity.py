@@ -886,14 +886,16 @@ def _nnd_cos(a_col: str, b_col: str):
 # in-session stand-in for persisting the index table a production
 # deployment would write to storage. localCheckpoint pins the edges
 # on executors; the cache dies with the application.
-_NND_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+_NND_GRAPH_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
 
 
-def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized NN-Descent k-NN graph (a, b, cosine, rank),
-    built at most once per (application, sf_dir, build params) —
-    the params are in the key so a caller tuning NND_K/NND_ITERS
-    (tests do) gets a fresh build, not a stale cache hit."""
+def _nnd_graph_and_n(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Materialized NN-Descent k-NN graph (a, b, cosine, rank) plus
+    the vector count it was built over, built/counted at most once
+    per (application, sf_dir, build params) — the params are in the
+    key so a caller tuning NND_K/NND_ITERS (tests do) gets a fresh
+    build, not a stale cache hit. Sharing n spares the search a
+    second full scan of the vector table."""
     key = (spark.sparkContext.applicationId, sf_dir, NND_K, NND_ITERS)
     cached = _NND_GRAPH_CACHE.get(key)
     if cached is not None:
@@ -910,20 +912,26 @@ def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = min(int(prev), max(8, (n * NND_K * NND_K) // 1_000_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        graph = _nnd_graph_build(spark, sf_dir).localCheckpoint(eager=True)
+        graph = _nnd_graph_build(spark, sf_dir, n).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    _NND_GRAPH_CACHE[key] = graph
-    return graph
+    _NND_GRAPH_CACHE[key] = (graph, n)
+    return graph, n
 
 
-def _nnd_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized shared graph (see ``_nnd_graph_and_n``)."""
+    return _nnd_graph_and_n(spark, sf_dir)[0]
+
+
+def _nnd_graph_build(spark: SparkSession, sf_dir: str, n: int | None = None) -> DataFrame:
     """The NN-Descent build plan (see ``ann_nndescent_graph``)."""
     base = _base(spark, sf_dir)
     unit = base.select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
-    n = unit.count()
+    if n is None:
+        n = unit.count()
 
     # md5 init: K pseudo-random candidate ids per node
     j_col = F.explode(F.array(*[F.lit(j) for j in range(NND_K)])).alias("j")
@@ -1083,11 +1091,11 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = base.select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
-    n = unit.count()
     # the shared materialized index (one build per session+sf_dir,
-    # however many of the two graph faces run): joins below
-    # reference it per hop
-    graph = _nnd_graph(spark, sf_dir).select(
+    # however many of the two graph faces run) and the vector count
+    # it was built over — no second full scan just for n
+    shared_graph, n = _nnd_graph_and_n(spark, sf_dir)
+    graph = shared_graph.select(
         F.col("a").alias("vec_id"), F.col("b").alias("nbr_id")
     )
     uq = unit.select(F.col("vec_id").alias("q_id"), F.col("u").alias("qu"))

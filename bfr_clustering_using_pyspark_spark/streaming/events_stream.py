@@ -635,17 +635,23 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
-def _stage_weekly_batches(
-    spark: SparkSession,
-    sf_dir: str,
-    stage_dir: str | None = None,
-    batches: "range | list[int]" = range(4),
-) -> str:
-    """Stage events into mtime-ordered micro-batch parquet files
+def _pin_batch_mtime(path: str, b: int) -> None:
+    """File-source replay order is (mtime, path): pin a staged batch
+    directory (and its part files) to a deterministic stamp so
+    micro-batch order is stable across filesystems. The ONE copy of
+    the stamp formula — staging and cache-copying must agree."""
+    stamp = (1_000_000 + b, 1_000_000 + b)
+    os.utime(path, stamp)
+    for part in os.listdir(path):
+        os.utime(os.path.join(path, part), stamp)
+
+
+def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events into four mtime-ordered micro-batch parquet files
     (weekly splits, 4% two-batch stragglers) for deterministic
-    file-source replay. Caller owns the returned directory; pass an
-    existing dir + a batch subset to stage incrementally (the
-    checkpoint-recovery op stages files in two sittings)."""
+    file-source replay. Caller owns the returned directory; ops that
+    need a subset or a two-sitting layout copy from the session cache
+    with ``_copy_staged_batches``."""
     from ..sources.readers import ensure_utc, load_table
 
     ensure_utc(spark)
@@ -658,9 +664,8 @@ def _stage_weekly_batches(
         .otherwise(week)
     )
     staged = ev.withColumn("batch", batch)
-    if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="late_stage_")
-    for b in batches:
+    stage_dir = tempfile.mkdtemp(prefix="late_stage_")
+    for b in range(4):
         path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
         (
             staged.filter(F.col("batch") == b)
@@ -668,11 +673,7 @@ def _stage_weekly_batches(
             .coalesce(1)
             .write.parquet(path)
         )
-        # file-source replay order is (mtime, path): pin mtimes so
-        # micro-batch order is deterministic across filesystems
-        os.utime(path, (1_000_000 + b, 1_000_000 + b))
-        for part in os.listdir(path):
-            os.utime(os.path.join(path, part), (1_000_000 + b, 1_000_000 + b))
+        _pin_batch_mtime(path, b)
     return stage_dir
 
 
@@ -699,15 +700,13 @@ def _staged_weekly_cached(spark: SparkSession, sf_dir: str) -> str:
 
 def _copy_staged_batches(src_dir: str, dst_dir: str, batches) -> None:
     """Copy staged batch files between replay dirs, re-pinning the
-    mtimes that make file-source replay order deterministic."""
+    mtimes that make file-source replay order deterministic (copying
+    resets mtimes, so the stamps must be re-applied)."""
     for b in batches:
         name = f"batch_{b:03d}.parquet"
         dst = os.path.join(dst_dir, name)
         shutil.copytree(os.path.join(src_dir, name), dst)
-        stamp = (1_000_000 + b, 1_000_000 + b)
-        os.utime(dst, stamp)
-        for part in os.listdir(dst):
-            os.utime(os.path.join(dst, part), stamp)
+        _pin_batch_mtime(dst, b)
 
 
 def _hourly_agg(raw: DataFrame) -> DataFrame:

@@ -215,3 +215,27 @@ def test_bucket_cuts_single_shuffle_partition(spark):
         assert ranks == list(range(1, len(ranks) + 1))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_grouped_rank_keeps_null_group_rows(spark):
+    """Rows whose group column is NULL must survive and rank as
+    their own partition — exactly like the plain window formulation
+    (a null-unsafe offsets join used to silently drop them)."""
+    rows = [
+        (i, None if i % 5 == 0 else f"g{i % 3}", float(i % 17)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        (r["grp"], r["id"]): r["_grank"]
+        for r in grouped_rank(
+            df, ["grp"], [F.col("v"), F.col("id")], F.col("v")
+        ).collect()
+    }
+    want = {
+        (r["grp"], r["id"]): r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.partitionBy("grp").orderBy("v", "id"))
+        ).collect()
+    }
+    assert len(got) == 120  # nothing dropped, NULL group included
+    assert got == want

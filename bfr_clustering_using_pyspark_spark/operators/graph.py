@@ -49,30 +49,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # transition weight: fraction of src's outflow carried by this edge
-    trans = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(N_ITER):
-        contrib = (
-            trans.join(ranks, trans.src == ranks.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
-        )
-        # every node has outgoing AND incoming edges here (symmetrized
-        # graph), so no dangling-mass term is needed
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                ((1.0 - DAMPING) / n_nodes + DAMPING * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
-            )
+    # the edge build above ran at deployment width (it scans the fact
+    # tables); the ITERATION only ever shuffles O(edges) rows, so size
+    # its width to the materialized edge count (~1M rows/partition,
+    # floored at 8, capped at the deployment default). Safe because
+    # every round executes inside the swap via eager localCheckpoint.
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+        # transition weight: fraction of src's outflow carried by this edge
+        trans = (
+            edges.join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
             .localCheckpoint(eager=True)
         )
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(N_ITER):
+            contrib = (
+                trans.join(ranks, trans.src == ranks.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+            )
+            # every node has outgoing AND incoming edges here (symmetrized
+            # graph), so no dangling-mass term is needed
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    ((1.0 - DAMPING) / n_nodes + DAMPING * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         ranks.select(
             F.when(F.col("node") >= _SUPP_OFFSET, F.col("node") - _SUPP_OFFSET)
@@ -247,16 +259,25 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("label")
     )
     rn_w = W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
-    for _ in range(LP_ITER):
-        labels = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.sum("w").alias("wt"))
-            .withColumn("rn", F.row_number().over(rn_w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+    # iteration width sized to the materialized edge count — same
+    # reasoning and bounds as graph_pagerank above
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for _ in range(LP_ITER):
+            labels = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.sum("w").alias("wt"))
+                .withColumn("rn", F.row_number().over(rn_w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(

@@ -153,6 +153,9 @@ _CHANGED_THIS_ROUND = (
     # shared CTEs are now MATERIALIZED — re-verify the callers
     # (stream_components is already pinned above)
     "dedup_components", "dedup_minhash_lsh",
+    # iteration shuffle width now sized to the materialized edge
+    # count (same values, new plans) — re-verify externally
+    "graph_pagerank", "graph_label_prop",
 )
 _CONVERTED_THIS_ROUND = ()
 

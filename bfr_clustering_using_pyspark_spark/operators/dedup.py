@@ -524,6 +524,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # every propagation round shuffles O(edges) rows: size the round
+    # width to the materialized edge count (~1M rows/partition,
+    # floored at 8, capped at the deployment default — real graphs
+    # get the default). Safe: each round executes eagerly inside.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _propagate(edges, labels, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels.orderBy("doc_id")
+
+
+def _propagate(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -549,7 +566,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         labels = new_labels.select("doc_id", "comp")
         if changed == 0:
             break
-    return labels.orderBy("doc_id")
+    return labels
 
 
 def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

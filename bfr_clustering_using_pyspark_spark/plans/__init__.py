@@ -69,8 +69,8 @@ _COST_S = {
     "embedding_quantize": 3.5, "stream_stream_join": 3.7,
     "dedup_ngram_jaccard": 3.8, "bfr_fit": 3.9, "dedup_containment": 3.9,
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
-    "text_pii_scrub": 5.8, "dedup_components": 8.7,
-    "stream_components": 19.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
+    "text_pii_scrub": 5.8, "dedup_components": 5.5,
+    "stream_components": 14.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,

@@ -600,36 +600,46 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
-    for _ in range(max_rounds):
-        # large-star: strictly-larger neighbors re-point at m(u)
-        m = min_nbr(edges)
-        s = sym(edges)
-        large = (
-            s.filter(F.col("dst") > F.col("src"))
-            .join(m, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-        # small-star: u AND each ≤ neighbor re-point at m(u) — both
-        # emissions are required (dropping the neighbor side strands
-        # leaf nodes whose only link was to a larger node)
-        m2 = min_nbr(large)
-        s2 = sym(large)
-        small_nb = s2.filter(F.col("dst") <= F.col("src")).join(m2, "src")
-        small = (
-            small_nb.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(small_nb.select(F.col("src"), F.col("m").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        edges = small
-        sig = edges.agg(
-            F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
-        ).collect()[0]
-        if prev_sig == (sig["n"], sig["s"]):
-            break
-        prev_sig = (sig["n"], sig["s"])
+    # round width sized to the materialized edge count, same bounds
+    # and reasoning as plain propagation above
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        prev_sig = None
+        for _ in range(max_rounds):
+            # large-star: strictly-larger neighbors re-point at m(u)
+            m = min_nbr(edges)
+            s = sym(edges)
+            large = (
+                s.filter(F.col("dst") > F.col("src"))
+                .join(m, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            )
+            # small-star: u AND each ≤ neighbor re-point at m(u) — both
+            # emissions are required (dropping the neighbor side strands
+            # leaf nodes whose only link was to a larger node)
+            m2 = min_nbr(large)
+            s2 = sym(large)
+            small_nb = s2.filter(F.col("dst") <= F.col("src")).join(m2, "src")
+            small = (
+                small_nb.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .union(small_nb.select(F.col("src"), F.col("m").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            edges = small
+            sig = edges.agg(
+                F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+            ).collect()[0]
+            if prev_sig == (sig["n"], sig["s"]):
+                break
+            prev_sig = (sig["n"], sig["s"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # converged: every edge points a node at its component min
     labels = (
         sym(edges)

@@ -92,6 +92,28 @@ FROM t GROUP BY lang, passes_quality ORDER BY lang, passes_quality
 """
 
 
+# the chunked source corpus is a pure function of (sf_dir, n_chunks):
+# stage it once per session and re-drain from the cache (the STATE
+# dirs below stay per-call — they accumulate and must start empty)
+_CHUNKED_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    import atexit
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
+    d = _CHUNKED_SRC_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="streamcc_src_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CHUNKED_SRC_CACHE[key] = d
+    return d
+
+
 def stream_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.7, n_chunks: int = 2
 ) -> DataFrame:
@@ -103,12 +125,10 @@ def stream_components(
     multi-batch incrementality (a single-file source would collapse
     to one batch). Oracle: same transitive-closure SQL as
     ``dedup_components``."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a_p, b_p = _minhash_params()
+    src = _chunked_docs_cached(spark, sf_dir, n_chunks)
 
     with tempfile.TemporaryDirectory(prefix="streamcc_") as tmp:
-        src = f"{tmp}/src"
-        docs.repartition(n_chunks).write.parquet(src)
         sig_path = f"{tmp}/state/sigs"
         sh_path = f"{tmp}/state/shingles"
         lbl_path = f"{tmp}/state/labels"

@@ -944,8 +944,234 @@ ORDER BY doc_a, doc_b
 """
 
 
+EVAL_N = 1000       # deterministic eval universe: doc_id < EVAL_N
+EVAL_J = 0.7        # ground-truth Jaccard threshold
+
+
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality measurement — the eval a production dedup
+    pipeline runs before trusting a blocking scheme at scale: exact
+    word-trigram Jaccard ≥ EVAL_J ground-truth pairs over a BOUNDED
+    deterministic universe (doc_id < EVAL_N — constant work at any
+    corpus size; sampled-truth eval is the standard practice, since
+    exhaustive truth at 100 TB is definitionally impossible), then
+    per blocking scheme: how many truth pairs land in a shared block
+    (recall) and how many blocked pairs are true (precision).
+
+    Schemes evaluated: ``simhash`` (16-bit majority-vote signature
+    equality, dedup_simhash's buckets) and ``minsh_block`` (the
+    (length-bucket, 1-permutation-MinHash) key dedup_ngram_jaccard
+    blocks on). Output: one row per scheme with counts and 1e-4
+    fixed-point recall/precision (NULL when the denominator is 0).
+
+    Scale: the truth self-join is bounded by EVAL_N², further cut by
+    the lossless length-ratio prune; both candidate sides are plain
+    blocked self-joins on the scheme key. Nothing here is O(corpus²).
+    """
+    # every frame in this eval is bounded by the CONSTANT EVAL_N
+    # (universe, truth pairs, candidate pairs), so a narrow shuffle
+    # width is scale-correct; the whole eval executes inside the swap
+    # via the eager checkpoints and the final count-driven aggregates
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+    try:
+        return _dedup_recall_eval(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < EVAL_N)
+    # intersections run on md5-HASHED shingles (long arrays): same
+    # Jaccard both engines (identical md5 stream, collisions
+    # deterministic and negligible at 2^60), ~3x cheaper than string
+    # intersects; minsh falls out as array_min of the same array
+    base = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"), "n_chars")
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "toks",
+            _shingles_expr().alias("shingles"),
+            F.floor(F.col("n_chars") / 64).cast("int").alias("len_bucket"),
+        )
+        .withColumn(
+            "sh_h",
+            F.expr(
+                "transform(shingles,"
+                " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn("minsh", F.array_min("sh_h"))
+        .drop("shingles")
+        .localCheckpoint(eager=True)
+    )
+
+    # exact ground truth with the lossless length-ratio prune
+    a, b = base.alias("a"), base.alias("b")
+    r_num = int(EVAL_J * 10)
+    inter = F.size(F.array_intersect(F.col("a.sh_h"), F.col("b.sh_h")))
+    union = F.size(F.col("a.sh_h")) + F.size(F.col("b.sh_h")) - inter
+    jac = F.round(inter / union * 10000.0).cast("long") / 10000.0
+    truth = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.size(F.col("a.sh_h")) * 10 >= F.size(F.col("b.sh_h")) * r_num)
+            & (F.size(F.col("b.sh_h")) * 10 >= F.size(F.col("a.sh_h")) * r_num),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= EVAL_J)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+    # scheme 1: simhash signature equality (same formulation as
+    # dedup_simhash, restricted to the eval universe)
+    tok = base.select("doc_id", F.explode("toks").alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bb}")
+            for bb in range(N_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for bb in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"v{bb}") > 0, F.lit(2**bb)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = votes.select("doc_id", sig.cast("long").alias("k"))
+    sim_pairs = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), (F.col("x.k") == F.col("y.k")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+
+    # scheme 2: (len_bucket, minsh) blocking key
+    blk_keys = base.select("doc_id", "len_bucket", "minsh")
+    blk_pairs = (
+        blk_keys.alias("x")
+        .join(
+            blk_keys.alias("y"),
+            (F.col("x.len_bucket") == F.col("y.len_bucket"))
+            & (F.col("x.minsh") == F.col("y.minsh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+
+    n_truth = truth.count()
+
+    def score(method: str, cand: DataFrame) -> DataFrame:
+        hit = cand.join(truth, ["doc_a", "doc_b"])
+        agg = cand.agg(F.count("*").alias("n_cand")).crossJoin(
+            hit.agg(F.count("*").alias("n_hit"))
+        )
+        rec = F.when(
+            F.lit(n_truth) > 0,
+            F.round(F.col("n_hit") * 10000.0 / n_truth).cast("long"),
+        )
+        prec = F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_hit") * 10000.0 / F.col("n_cand")).cast("long"),
+        )
+        return agg.select(
+            F.lit(method).alias("method"),
+            F.lit(n_truth).alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            rec.alias("recall_x1e4"),
+            prec.alias("precision_x1e4"),
+        )
+
+    return (
+        score("minsh_block", blk_pairs)
+        .union(score("simhash", sim_pairs))
+        .orderBy("method")
+    )
+
+
+_EVAL_VOTE_SQL = ",\n".join(
+    f"         sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(N_SIMHASH_BITS)
+)
+_EVAL_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(N_SIMHASH_BITS)
+)
+
+DEDUP_RECALL_EVAL_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         CAST(floor(n_chars / 64) AS INT) AS len_bucket
+  FROM documents WHERE doc_id < {EVAL_N}
+), sh AS MATERIALIZED (
+  SELECT doc_id, toks, len_bucket,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in generate_series(1, len(toks) - 2)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+), keyed AS MATERIALIZED (
+  SELECT doc_id, toks, len_bucket,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS sh_h,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minsh
+  FROM sh
+), truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(round(len(list_intersect(a.sh_h, b.sh_h)) * 1e0 /
+                 (len(a.sh_h) + len(b.sh_h) - len(list_intersect(a.sh_h, b.sh_h)))
+                 * 1e4) AS BIGINT) / 1e4 AS jaccard
+    FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+      AND len(a.sh_h) * 10 >= len(b.sh_h) * {int(EVAL_J * 10)}
+      AND len(b.sh_h) * 10 >= len(a.sh_h) * {int(EVAL_J * 10)}
+  ) WHERE jaccard >= {EVAL_J}
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM keyed)
+), votes AS (
+  SELECT doc_id,
+{_EVAL_VOTE_SQL}
+  FROM hashed GROUP BY doc_id
+), sigs AS MATERIALIZED (
+  SELECT doc_id, CAST({_EVAL_SIG_SQL} AS BIGINT) AS k FROM votes
+), sim_pairs AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sigs x JOIN sigs y ON x.k = y.k AND x.doc_id < y.doc_id
+), blk_pairs AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keyed x JOIN keyed y
+    ON x.len_bucket = y.len_bucket AND x.minsh = y.minsh AND x.doc_id < y.doc_id
+), nt AS (SELECT count(*) AS n_truth FROM truth),
+scored AS (
+  SELECT 'minsh_block' AS method,
+         (SELECT n_truth FROM nt) AS n_truth,
+         CAST(count(*) AS BIGINT) AS n_cand,
+         CAST((SELECT count(*) FROM blk_pairs p JOIN truth USING (doc_a, doc_b)) AS BIGINT) AS n_hit
+  FROM blk_pairs
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT n_truth FROM nt),
+         CAST(count(*) AS BIGINT),
+         CAST((SELECT count(*) FROM sim_pairs p JOIN truth USING (doc_a, doc_b)) AS BIGINT)
+  FROM sim_pairs
+)
+SELECT method, n_truth, n_cand, n_hit,
+       CASE WHEN n_truth > 0
+            THEN CAST(round(n_hit * 1e4 / n_truth) AS BIGINT) END AS recall_x1e4,
+       CASE WHEN n_cand > 0
+            THEN CAST(round(n_hit * 1e4 / n_cand) AS BIGINT) END AS precision_x1e4
+FROM scored ORDER BY method
+"""
+
+
 QUERIES = {
     "q_survivorship": q_survivorship,
+    "dedup_recall_eval": dedup_recall_eval,
     "dedup_substring": dedup_substring,
     "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
@@ -959,6 +1185,7 @@ QUERIES = {
 
 ORACLES = {
     "q_survivorship": Q_SURVIVORSHIP_SQL,
+    "dedup_recall_eval": DEDUP_RECALL_EVAL_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

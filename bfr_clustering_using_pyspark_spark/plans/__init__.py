@@ -69,7 +69,7 @@ _COST_S = {
     "embedding_quantize": 3.5, "stream_stream_join": 3.7,
     "dedup_ngram_jaccard": 3.8, "bfr_fit": 3.9, "dedup_containment": 3.9,
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
-    "text_pii_scrub": 5.8, "dedup_components": 5.5,
+    "text_pii_scrub": 5.8, "dedup_components": 5.5, "dedup_recall_eval": 13.0,
     "stream_components": 14.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
@@ -156,6 +156,9 @@ _CHANGED_THIS_ROUND = (
     # iteration shuffle width now sized to the materialized edge
     # count (same values, new plans) — re-verify externally
     "graph_pagerank", "graph_label_prop",
+    # round-7 NEW hash-gated key: blocking-scheme recall/precision
+    # eval against exact sampled ground truth
+    "dedup_recall_eval",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -66,3 +66,24 @@ def test_funnel_stage3_consistent_with_decontaminate(spark):
 
     n_eval = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 97 == 0).count()
     assert 0 <= dropped <= contaminated_all + n_eval
+
+
+def test_dedup_recall_eval_sane(spark):
+    """The blocking eval's numbers must be internally consistent and
+    match known corpus behavior: minsh blocking beats simhash-bucket
+    recall at J>=0.7 on this corpus, hits never exceed truth or
+    candidates, and ratios are exact fixed-point of the counts."""
+    from bfr_clustering_using_pyspark_spark.operators.dedup import dedup_recall_eval
+    from tests.conftest import SF_SMALL
+
+    rows = {r["method"]: r for r in dedup_recall_eval(spark, SF_SMALL).collect()}
+    assert set(rows) == {"minsh_block", "simhash"}
+    for r in rows.values():
+        assert r["n_hit"] <= r["n_truth"] and r["n_hit"] <= r["n_cand"]
+        if r["n_truth"] > 0:
+            assert r["recall_x1e4"] == round(r["n_hit"] * 1e4 / r["n_truth"])
+        if r["n_cand"] > 0:
+            assert r["precision_x1e4"] == round(r["n_hit"] * 1e4 / r["n_cand"])
+    assert rows["minsh_block"]["n_truth"] == rows["simhash"]["n_truth"]
+    if rows["minsh_block"]["n_truth"] > 0:
+        assert rows["minsh_block"]["recall_x1e4"] >= rows["simhash"]["recall_x1e4"]

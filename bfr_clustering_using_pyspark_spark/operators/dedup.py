@@ -961,7 +961,12 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schemes evaluated: ``simhash`` (16-bit majority-vote signature
     equality, dedup_simhash's buckets) and ``minsh_block`` (the
     (length-bucket, 1-permutation-MinHash) key dedup_ngram_jaccard
-    blocks on). Output: one row per scheme with counts and 1e-4
+    blocks on). The third blocking family the engine ships — banded
+    MinHash-LSH — is deliberately absent here: its NumPy-PCG64
+    permutations are not SQL-replayable, and its recall is already
+    oracle-PROVEN (not sampled) by ``dedup_minhash_lsh``'s own gate,
+    which compares the banded output against the exhaustive pair
+    list. Output: one row per scheme with counts and 1e-4
     fixed-point recall/precision (NULL when the denominator is 0).
 
     Scale: the truth self-join is bounded by EVAL_N², further cut by

@@ -20,6 +20,11 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from check_correctness import table_hash  # noqa: E402
 
+# deterministic keys only: probabilistic-recall blockers
+# (dedup_minhash_lsh's banded collisions, dedup_containment's 1-perm
+# block) are excluded by design — on a random corpus a borderline
+# J≈0.7 pair can legitimately miss its bucket, which is the scheme's
+# documented recall, not an engine divergence
 DOC_KEYS = [
     "dedup_exact",
     "dedup_simhash",
@@ -32,6 +37,12 @@ DOC_KEYS = [
     "text_repetition",
     "tfidf_top_terms",
     "text_langid",
+    "text_clean_pipeline",
+    "text_winnow_fingerprint",
+    "text_pii_scrub",
+    "text_unigram_logprob",
+    "doc_chunk",
+    "chunk_boilerplate",
 ]
 EMB_KEYS = [
     "embedding_normalize",
@@ -65,6 +76,7 @@ def _gen_documents(rng: np.random.Generator, n: int) -> pd.DataFrame:
     texts[0] = ""
     texts[1] = "solo"
     texts[2] = "Ünïcode!! *** 42 --- the THE The"
+    texts[3] = "contact me at foo.bar@example.com or 555-123-4567 today"
     return pd.DataFrame(
         {
             "doc_id": np.arange(n, dtype=np.int64),

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.tuning import scoped_shuffle_width, sized_width
 from ..sources.readers import load_table
 
 TOKEN_RE = "[a-z0-9]+"
@@ -529,14 +530,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
     # floored at 8, capped at the deployment default — real graphs
     # get the default). Safe: each round executes eagerly inside.
     spark = pairs.sparkSession
-    n_edges = edges.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with scoped_shuffle_width(spark, sized_width(spark, edges.count())):
         labels = _propagate(edges, labels, max_rounds)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.orderBy("doc_id")
 
 
@@ -603,11 +598,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
     # round width sized to the materialized edge count, same bounds
     # and reasoning as plain propagation above
     spark = pairs.sparkSession
-    n_edges = edges.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with scoped_shuffle_width(spark, sized_width(spark, edges.count())):
         prev_sig = None
         for _ in range(max_rounds):
             # large-star: strictly-larger neighbors re-point at m(u)
@@ -638,8 +629,6 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
             if prev_sig == (sig["n"], sig["s"]):
                 break
             prev_sig = (sig["n"], sig["s"])
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # converged: every edge points a node at its component min
     labels = (
         sym(edges)
@@ -977,12 +966,8 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (universe, truth pairs, candidate pairs), so a narrow shuffle
     # width is scale-correct; the whole eval executes inside the swap
     # via the eager checkpoints and the final count-driven aggregates
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
-    try:
+    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
         return _dedup_recall_eval(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -354,10 +354,17 @@ def pca_power_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # empty corpus: both faces agree on an EMPTY result (the oracle's
+    # CTE chain yields zero rows) instead of raising from the driver —
+    # ADVICE r7 symmetry fix
+    if not mean_rows:
+        return spark.createDataFrame([], "vec_id bigint, pc1_q bigint")
     # fail fast on a non-64-dim corpus: the oracle's generate_series,
     # the v0 seed length, and the int64 exactness budget are all
     # calibrated for d=64 — a shorter/longer embedding would NULL-pad
-    # the zip_with (silent hash divergence) or index out of range
+    # the zip_with (silent hash divergence) or index out of range.
+    # The oracle raises on the same condition (chk CTE), so the two
+    # faces fail symmetrically on malformed corpora.
     if len(mean_rows) != 64:
         raise ValueError(
             f"pca_power_det is calibrated for 64-dim embeddings; got d={len(mean_rows)}"
@@ -434,11 +441,18 @@ def _pca_power_oracle() -> str:
     # expression tree per round — 2^7 parquet re-scans exhausts file
     # descriptors before it exhausts patience.
     prelude = f"""
-WITH q AS MATERIALIZED (
+WITH chk AS MATERIALIZED (
+  -- fail on a non-64-dim corpus exactly like the Spark face's
+  -- ValueError (empty corpora pass and yield an empty result)
+  SELECT CASE WHEN count(*) = 0
+               OR (min(len(embedding)) = 64 AND max(len(embedding)) = 64)
+              THEN 1 ELSE error('pca_power_det requires 64-dim embeddings') END AS ok
+  FROM embeddings
+), q AS MATERIALIZED (
   SELECT vec_id, g.p - 1 AS pos,
          CAST(round(CAST(embedding[g.p] AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT) AS xq
   FROM embeddings, generate_series(1, 64) AS g(p)
-  WHERE g.p <= len(embedding)
+  WHERE (SELECT ok FROM chk) = 1
 ), mean_r AS MATERIALIZED (
   SELECT pos, CAST(round(CAST(sum(xq) AS DOUBLE) / count(*), 0) AS BIGINT) AS mu
   FROM q GROUP BY pos

@@ -21,11 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tuning import scoped_shuffle_width, sized_width
 from ..sources.readers import load_table
 
-DAMPING = 0.85
+# damping 0.85 carried as the exact rational 17/20 so the iteration can
+# run in integer arithmetic (see graph_pagerank)
+DAMP_NUM, DAMP_DEN = 17, 20
 N_ITER = 5
 _SUPP_OFFSET = 1_000_000  # supplier node ids = s_suppkey + offset
+# fixed-point scales: rank in units of 1e-12, transition prob in units
+# of 1e-6.  Bound: a node's inflow sum Σ p_q·rank_q ≤ P_SCALE·R_SCALE
+# = 1e18 < int64 max (total rank mass ≤ 1), at ANY node/edge count —
+# the per-product and per-sum headroom is n-independent.
+R_SCALE = 10**12
+P_SCALE = 10**6
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +46,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
         )
-        .agg(F.count("*").cast("double").alias("w"))
+        .agg(F.count("*").alias("w"))
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     return fwd.union(rev)
@@ -45,46 +54,62 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by weighted PageRank after 5 damped iterations.
-    Returns (node_id, node_type, rank)."""
+    Returns (node_id, node_type, rank).
+
+    Numeric determinism: all iteration state is FIXED-POINT int64 —
+    rank in 1e-12 units, transition probabilities floored to 1e-6
+    units, damping applied as the exact rational 17/20 with integer
+    floor-division.  Integer partials merge exactly under any
+    partitioning / executor count, so the result (and its hash) is
+    invariant to shuffle layout — the same doctrine as
+    ``kmeans_lloyd_det`` / ``pca_power_det``; the double-sum
+    formulation this replaces was partition-order-dependent in the
+    last ulp.  The DuckDB oracle unrolls the identical integer
+    recurrence, so this stays a hash-gated iterative algorithm."""
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
     # the edge build above ran at deployment width (it scans the fact
     # tables); the ITERATION only ever shuffles O(edges) rows, so size
-    # its width to the materialized edge count (~1M rows/partition,
-    # floored at 8, capped at the deployment default). Safe because
-    # every round executes inside the swap via eager localCheckpoint.
+    # its width to the materialized edge count.  Safe because every
+    # round executes inside the swap via eager localCheckpoint.
     n_edges = edges.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    r0 = R_SCALE // n_nodes  # initial rank, 1e-12 units
+    base = ((DAMP_DEN - DAMP_NUM) * R_SCALE) // (DAMP_DEN * n_nodes)  # (1-d)/n
+    with scoped_shuffle_width(spark, sized_width(spark, n_edges)):
         out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-        # transition weight: fraction of src's outflow carried by this edge
+        # transition weight: fraction of src's outflow carried by this
+        # edge, floored to 1e-6 units (exact integer division)
         trans = (
             edges.join(out_w, "src")
-            .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+            .select("src", "dst", F.expr(f"(w * {P_SCALE}) DIV out_w").alias("p_q"))
             .localCheckpoint(eager=True)
         )
-        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        ranks = nodes.select("node", F.lit(r0).alias("rank_q"))
         for _ in range(N_ITER):
             contrib = (
                 trans.join(ranks, trans.src == ranks.node)
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+                .agg(F.sum(F.col("p_q") * F.col("rank_q")).alias("inflow_q2"))
             )
             # every node has outgoing AND incoming edges here (symmetrized
-            # graph), so no dangling-mass term is needed
+            # graph), so no dangling-mass term is needed.  Descale the
+            # inflow first (÷P_SCALE) so the ×DAMP_NUM product stays well
+            # inside int64.
             ranks = (
                 nodes.join(contrib, "node", "left")
                 .select(
                     "node",
-                    ((1.0 - DAMPING) / n_nodes + DAMPING * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({DAMP_NUM} * (coalesce(inflow_q2, CAST(0 AS BIGINT))"
+                            f" DIV {P_SCALE})) DIV {DAMP_DEN}"
+                        )
+                    ).alias("rank_q"),
                 )
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         ranks.select(
             F.when(F.col("node") >= _SUPP_OFFSET, F.col("node") - _SUPP_OFFSET)
@@ -93,7 +118,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
             .otherwise(F.lit("customer"))
             .alias("node_type"),
-            F.round("rank", 8).alias("rank"),
+            # report at 1e-8 precision: truncate the exact integer state,
+            # then ONE division — both engines compute the identical
+            # double from the identical int (no decimal-tie rounding)
+            F.expr("(rank_q DIV 10000) / 1e8").alias("rank"),
         )
         .orderBy(F.col("rank").desc(), "node_type", "node_id")
         .limit(20)
@@ -103,25 +131,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_sql() -> str:
     base = f"""
 WITH fwd AS (
-  SELECT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst, CAST(count(*) AS DOUBLE) AS w
+  SELECT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst, CAST(count(*) AS BIGINT) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ), edges AS (
   SELECT src, dst, w FROM fwd UNION ALL SELECT dst, src, w FROM fwd
 ), nodes AS (
   SELECT DISTINCT src AS node FROM edges
-), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-trans AS (
-  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+trans AS MATERIALIZED (
+  SELECT src, dst,
+         CAST((w * {P_SCALE}) // CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS BIGINT) AS p_q
+  FROM edges
 ), r0 AS (
-  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+  SELECT node, CAST({R_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank_q FROM nodes
 )"""
     steps = []
     for i in range(N_ITER):
-        steps.append(f""", r{i + 1} AS (
+        steps.append(f""", r{i + 1} AS MATERIALIZED (
   SELECT nodes.node,
-         (1.0 - {DAMPING}) / (SELECT n FROM nn)
-         + {DAMPING} * coalesce(sum(t.p * r.rank), 0.0) AS rank
+         CAST(({DAMP_DEN - DAMP_NUM} * {R_SCALE}) // ({DAMP_DEN} * (SELECT n FROM nn))
+         + ({DAMP_NUM} * (coalesce(CAST(sum(t.p_q * r.rank_q) AS BIGINT), 0)
+            // {P_SCALE})) // {DAMP_DEN} AS BIGINT) AS rank_q
   FROM nodes
   LEFT JOIN trans t ON t.dst = nodes.node
   LEFT JOIN r{i} r ON r.node = t.src
@@ -130,7 +161,7 @@ trans AS (
     final = f"""
 SELECT CASE WHEN node >= {_SUPP_OFFSET} THEN node - {_SUPP_OFFSET} ELSE node END AS node_id,
        CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS node_type,
-       round(rank, 8) AS rank
+       (rank_q // 10000) / 1e8 AS rank
 FROM r{N_ITER}
 ORDER BY rank DESC, node_type, node_id
 LIMIT 20"""
@@ -261,11 +292,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn_w = W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
     # iteration width sized to the materialized edge count — same
     # reasoning and bounds as graph_pagerank above
-    n_edges = edges.count()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = min(int(prev_parts), max(8, n_edges // 1_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with scoped_shuffle_width(spark, sized_width(spark, edges.count())):
         for _ in range(LP_ITER):
             labels = (
                 edges.join(labels, edges.src == labels.node)
@@ -276,8 +303,6 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("node", "label")
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(

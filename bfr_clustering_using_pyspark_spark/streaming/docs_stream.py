@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.tuning import scoped_shuffle_width
 from ..operators.dedup import (
     _minhash_kernel,
     _minhash_params,
@@ -153,8 +154,11 @@ def stream_components(
                 # write); the join sides below are parquet scans of
                 # the written state, not re-executions or extra
                 # checkpoint jobs
-                bands.write.parquet(f"{sig_path}/b{batch_id:05d}")
-                base.write.parquet(f"{sh_path}/b{batch_id:05d}")
+                # mode=overwrite so a foreachBatch RETRY of the same
+                # batch_id (task failure after a partial write) replays
+                # idempotently instead of dying on path-already-exists
+                bands.write.mode("overwrite").parquet(f"{sig_path}/b{batch_id:05d}")
+                base.write.mode("overwrite").parquet(f"{sh_path}/b{batch_id:05d}")
                 new_bands = sp.read.parquet(f"{sig_path}/b{batch_id:05d}")
                 all_bands = sp.read.parquet(f"{sig_path}/b*")
                 cand = (
@@ -201,9 +205,7 @@ def stream_components(
         # shuffle width during the drain (same reasoning as
         # events_stream._run_to_memory: partition count is a
         # per-deployment knob, not a per-query one)
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
-        try:
+        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
             with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
                 q = (
                     spark.readStream.schema("doc_id long, text string")
@@ -216,8 +218,6 @@ def stream_components(
                     .start()
                 )
                 q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
         try:
             final = spark.read.parquet(lbl_path)
@@ -278,9 +278,7 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in cells:
             state[int(row["seed"]), int(row["bucket"])] += int(row["cnt"])
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
-    try:
+    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             q = (
                 spark.readStream.schema(
@@ -295,8 +293,6 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     rows = [
         {

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.tuning import scoped_shuffle_width
+
 from ..functions.numeric import fixed_sum
 
 
@@ -76,9 +78,7 @@ def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") 
     # real cluster sizes this to executor-cores × executors — the
     # partition count is fixed at first checkpoint, so choose per
     # deployment, not per query).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
-    try:
+    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             q = (
                 stream_df.writeStream.format("memory")
@@ -90,8 +90,6 @@ def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") 
             )
             q.awaitTermination()
             LAST_PROGRESS[query_name] = list(q.recentProgress)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
@@ -782,9 +780,7 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .load(src_glob)
         )
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
-        try:
+        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
             q = (
                 _hourly_agg(raw)
                 .writeStream.format("parquet")
@@ -795,8 +791,6 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     try:
         # two sittings from the session-cached staging (identical

@@ -217,6 +217,35 @@ class TestNNDescent:
             assert sorted(r["rank"] for r in v) == list(range(1, len(v) + 1))
 
 
+class TestNNDIndexPersistence:
+    def test_warehouse_reload_skips_rebuild(self, spark):
+        """The NN-Descent index is a persisted artifact: after one
+        build, a fresh session (simulated by clearing the in-memory
+        cache) must RELOAD the parquet index from the warehouse with
+        zero rebuilds, and serve identical edges."""
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        first = {
+            (r["a"], r["b"], r["rank"]): r["cosine"]
+            for r in S._nnd_graph(spark, SF_SMALL).collect()
+        }
+        builds_after_first = S.NND_BUILD_COUNT
+        S._NND_GRAPH_CACHE.clear()  # what a process restart does
+        reloaded = {
+            (r["a"], r["b"], r["rank"]): r["cosine"]
+            for r in S._nnd_graph(spark, SF_SMALL).collect()
+        }
+        assert S.NND_BUILD_COUNT == builds_after_first  # no rebuild
+        assert reloaded == first
+
+    def test_stale_app_entries_evicted_on_insert(self, spark):
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        S._NND_GRAPH_CACHE[("dead-app-id", "x", 1, 1)] = (None, 0)
+        S._nnd_graph(spark, SF_SMALL)
+        assert ("dead-app-id", "x", 1, 1) not in S._NND_GRAPH_CACHE
+
+
 def test_pq_recall_and_determinism(spark):
     """PQ at 8×4-bit codes (64× compression) + exact re-rank of the
     ADC shortlist must clear recall@5 ≥ 0.6 vs brute force (measured

@@ -39,6 +39,24 @@ def test_pagerank_mass_conserved(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_pagerank_partitioning_invariant(spark):
+    """The fixed-point iteration must produce BIT-IDENTICAL ranks under
+    different shuffle layouts — the property the old double-sum
+    formulation could not guarantee (partition-order-dependent fp
+    addition).  Integer partials merge exactly, so any drift here is a
+    real defect, not noise."""
+    results = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = graph_pagerank(spark, SF_SMALL).collect()
+            results.append([(r["node_id"], r["node_type"], r["rank"]) for r in rows])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
+
+
 def test_triangles_invariants(spark):
     """Every triangle participant's degree must be ≥ 2, and triangle
     participation is bounded by C(degree, 2) (a node can't be in

@@ -192,6 +192,53 @@ class TestPCA:
             assert got == want, f"seed={seed}: first diff {[p for p in zip(got, want) if p[0] != p[1]][:3]}"
 
 
+def test_pca_power_det_degenerate_corpora_symmetric(spark, tmp_path):
+    """Contract symmetry on malformed corpora (ADVICE r7): empty
+    table → BOTH faces return an empty (vec_id, pc1_q) result;
+    short embeddings → BOTH faces raise."""
+    import duckdb
+    import pandas as pd
+
+    from bfr_clustering_using_pyspark_spark.operators.embeddings_ops import (
+        PCA_POWER_DET_SQL,
+        pca_power_det,
+    )
+
+    # empty corpus
+    d = tmp_path / "empty"
+    d.mkdir()
+    pdf = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                        "embedding": pd.Series([], dtype="object")})
+    spark.createDataFrame(pdf, "vec_id long, embedding array<float>").write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    out = pca_power_det(spark, str(d))
+    assert out.columns == ["vec_id", "pc1_q"]
+    assert out.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert con.execute(PCA_POWER_DET_SQL).fetchall() == []
+
+    # short (non-64-dim) corpus: both faces fail fast
+    d2 = tmp_path / "short"
+    d2.mkdir()
+    pdf2 = pd.DataFrame({"vec_id": [0, 1],
+                         "embedding": [np.ones(8, dtype=np.float32)] * 2})
+    spark.createDataFrame(pdf2).write.parquet(str(d2 / "embeddings.parquet"))
+    import pytest
+
+    with pytest.raises(ValueError, match="64-dim"):
+        pca_power_det(spark, str(d2))
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d2}/embeddings.parquet/*.parquet')"
+    )
+    with pytest.raises(Exception, match="64-dim"):
+        con2.execute(PCA_POWER_DET_SQL).fetchall()
+
+
 def test_dedup_substring_equals_lcs_bruteforce(spark, tmp_path):
     """On random small-alphabet corpora (repetition-heavy, so shared
     runs and repeated shingles abound), the diagonal-islands result

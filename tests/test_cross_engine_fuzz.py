@@ -138,3 +138,202 @@ def test_single_table_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
     qs, sqls = m.queries(), m.oracle_sql()
     for key in DOC_KEYS + EMB_KEYS:
         _compare(spark, key, qs[key], sqls[key], str(d), con)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table fuzz: join-heavy TPC-H/events keys on random generated
+# star-schema corpora. The r7 verdict's top evidence gap — these keys
+# were oracle-proven only on the shipped generator's distributions.
+# Deliberate edge shapes beyond random values:
+#   - a HOT customer holding ~15% of all orders (join/agg skew)
+#   - customers with ZERO orders (q13's zero bucket, outer-join null side)
+#   - ORPHAN orders (o_custkey not in customer) and orders with no
+#     lineitems (referential-integrity-free behavior must agree)
+#   - money values on a 2-decimal grid (the engines' shared cents domain)
+# ---------------------------------------------------------------------------
+
+TPCH_KEYS = [
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q_outer_join",
+    "q_null_semantics",
+    "q_asof_join",
+    "q13_cust_distribution",
+    "q_merge_upsert",
+    "q_cdc_snapshot_diff",
+    "q_survivorship",
+    "q_top_customers",
+    "q_order_priority",
+    "q10_returned_items",
+    "q12_shipmode",
+    # second wave: decorrelated / anti-join / window-over-join shapes
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q_range_join",
+    "q9_product_profit",
+    "q17_small_qty_revenue",
+    "q22_idle_customers",
+    "q21_blame_supplier",
+    "q8_market_share",
+    "q16_supplier_cnt",
+    # events-family join/window keys (skewed hot user, random arrivals)
+    "q_events_retention",
+    "q_events_sessionize",
+    "q_events_funnel",
+    "q_skew_join",
+    "q_time_to_convert",
+    "q_key_skew_profile",
+    # cross-domain: PK/FK/range checks spanning customer/orders/
+    # lineitem/documents — orphan rows make the FK counters nonzero
+    "q_dq_checks",
+]
+
+_MKT = ["MACHINERY", "HOUSEHOLD", "FURNITURE", "BUILDING", "AUTOMOBILE"]
+_PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_EVT = ["signup", "click", "error", "view", "purchase"]
+
+
+def _money(rng, lo, hi, n):
+    return np.round(rng.uniform(lo, hi, size=n), 2)
+
+
+def _write(d, name, df):
+    """Write via pyarrow so timestamps land as plain timestamp[us]
+    (no tz) — byte-compatible with the shipped testdata files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / f"{name}.parquet"))
+
+
+def _gen_tpch(rng: np.random.Generator, d) -> None:
+    n_cust, n_supp, n_part, n_ord = 60, 8, 80, 400
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(5, dtype=np.int32),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(25, dtype=np.int32),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": rng.integers(0, 5, size=25).astype(np.int32),
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+        "c_acctbal": _money(rng, -900, 9900, n_cust),
+        "c_mktsegment": rng.choice(_MKT, size=n_cust),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 25, size=n_supp).astype(np.int32),
+        "s_acctbal": _money(rng, -900, 9900, n_supp),
+    })
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [
+            f"{rng.choice(['cold', 'small', 'large', 'blue', 'green'])} "
+            f"{rng.choice(['widget', 'bolt', 'rod', 'gear'])}"
+            for _ in range(n_part)
+        ],
+        "p_brand": [f"Brand#{int(rng.integers(1, 25))}" for _ in range(n_part)],
+        "p_type": rng.choice(
+            ["ECONOMY", "SMALL", "LARGE", "STANDARD", "MEDIUM", "PROMO"], size=n_part
+        ),
+        "p_size": rng.integers(1, 51, size=n_part).astype(np.int32),
+        "p_retailprice": _money(rng, 900, 920, n_part),
+    })
+    # order ownership: hot customer 0 gets ~15% of orders; the TOP
+    # QUARTER of custkeys get none (zero bucket / outer-join nulls);
+    # ~2% of orders are orphans (custkey beyond the customer table)
+    owners = np.where(
+        rng.uniform(size=n_ord) < 0.15,
+        0,
+        rng.integers(0, (3 * n_cust) // 4, size=n_ord),
+    ).astype(np.int64)
+    orphans = rng.uniform(size=n_ord) < 0.02
+    owners[orphans] = n_cust + rng.integers(0, 5, size=int(orphans.sum()))
+    base = np.datetime64("1995-01-01")
+    odates = base + rng.integers(0, 2400, size=n_ord).astype("timedelta64[D]")
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": owners,
+        "o_orderstatus": rng.choice(["O", "F", "P"], size=n_ord, p=[0.45, 0.45, 0.1]),
+        "o_totalprice": _money(rng, 1000, 500000, n_ord),
+        "o_orderdate": pd.Series(odates.astype("datetime64[us]")),
+        "o_orderpriority": rng.choice(_PRIO, size=n_ord),
+    })
+    # lineitems: 0-7 per order (some orders empty), plus a few orphan
+    # lineitems pointing at a nonexistent order
+    counts = rng.integers(0, 8, size=n_ord)
+    l_ok = np.repeat(orders["o_orderkey"].to_numpy(), counts)
+    l_ok = np.concatenate([l_ok, np.array([n_ord + 1, n_ord + 2], dtype=np.int64)])
+    n_li = len(l_ok)
+    l_ln = np.concatenate(
+        [np.arange(1, c + 1) for c in counts if c > 0] + [np.array([1, 1])]
+    ).astype(np.int32)
+    odate_by_key = orders.set_index("o_orderkey")["o_orderdate"]
+    ship_base = odate_by_key.reindex(l_ok).to_numpy()
+    # orphan lineitems get a fixed shipdate
+    ship_base[pd.isna(ship_base)] = np.datetime64("1996-06-01", "us")
+    shipdates = ship_base + rng.integers(1, 120, size=n_li).astype("timedelta64[D]")
+    lineitem = pd.DataFrame({
+        "l_orderkey": l_ok,
+        "l_partkey": rng.integers(0, n_part, size=n_li).astype(np.int64),
+        "l_suppkey": rng.integers(0, n_supp, size=n_li).astype(np.int64),
+        "l_linenumber": l_ln,
+        "l_quantity": rng.integers(1, 51, size=n_li).astype(np.float64),
+        "l_extendedprice": _money(rng, 900, 105000, n_li),
+        "l_discount": np.round(rng.integers(0, 11, size=n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, size=n_li) / 100.0, 2),
+        "l_returnflag": rng.choice(["R", "A", "N"], size=n_li),
+        "l_linestatus": rng.choice(["O", "F"], size=n_li),
+        "l_shipdate": pd.Series(shipdates.astype("datetime64[us]")),
+    })
+    n_ev = 500
+    ev_base = np.datetime64("2024-01-01T00:00:00.000000")
+    ev_ts = ev_base + rng.integers(0, 30 * 86400 * 10**6, size=n_ev).astype(
+        "timedelta64[us]"
+    )
+    events = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.Series(ev_ts.astype("datetime64[us]")),
+        # user skew mirrors order skew: user 0 is hot
+        "user_id": np.where(
+            rng.uniform(size=n_ev) < 0.2, 0, rng.integers(0, n_cust, size=n_ev)
+        ).astype(np.int64),
+        "event_type": rng.choice(_EVT, size=n_ev),
+        "value": _money(rng, 0.01, 330, n_ev),
+        "props": [f'{{"k": {int(rng.integers(0, 100))}}}' for _ in range(n_ev)],
+    })
+    for name, df in [
+        ("region", region), ("nation", nation), ("customer", customer),
+        ("supplier", supplier), ("part", part), ("orders", orders),
+        ("lineitem", lineitem), ("events", events),
+    ]:
+        _write(d, name, df)
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_join_keys_hash_match_on_random_star_schema(spark, tmp_path, seed):
+    import __spark_entry__ as m
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path / f"tpchfuzz{seed}"
+    d.mkdir()
+    _gen_tpch(rng, d)
+    _write(d, "documents", _gen_documents(rng, 120))
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    qs, sqls = m.queries(), m.oracle_sql()
+    for key in TPCH_KEYS:
+        _compare(spark, key, qs[key], sqls[key], str(d), con)

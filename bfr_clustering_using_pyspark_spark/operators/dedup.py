@@ -504,7 +504,9 @@ def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 16, width_floor: int = 8
+) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) pair
     list via min-label propagation. Returns (doc_id, comp) for every
     node that appears in a pair; comp = min doc_id of the component.
@@ -530,7 +532,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
     # floored at 8, capped at the deployment default — real graphs
     # get the default). Safe: each round executes eagerly inside.
     spark = pairs.sparkSession
-    with scoped_shuffle_width(spark, sized_width(spark, edges.count())):
+    with scoped_shuffle_width(
+        spark, sized_width(spark, edges.count(), floor=width_floor)
+    ):
         labels = _propagate(edges, labels, max_rounds)
     return labels.orderBy("doc_id")
 

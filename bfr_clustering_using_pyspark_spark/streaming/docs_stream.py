@@ -185,7 +185,17 @@ def stream_components(
                     .join(sb, "doc_b")
                     .filter(F.round(inter / union, 4) >= threshold)
                     .select("doc_a", "doc_b")
+                    # pin the verified pairs: the CC fold below reads
+                    # them several times (symmetrize + per-round joins)
+                    # and must not re-run the bucket/verify joins
+                    .localCheckpoint(eager=True)
                 )
+                if pairs.isEmpty():
+                    # no new verified pairs -> the component labelling
+                    # is unchanged; skip the whole CC fold and label
+                    # rewrite (common for sparse batches — a batch of
+                    # all-novel docs touches no component)
+                    return
                 try:
                     prev = sp.read.parquet(lbl_path).select(
                         F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
@@ -195,8 +205,12 @@ def stream_components(
                     edges = pairs
                 # connected_components eagerly localCheckpoints its
                 # inputs, so overwriting lbl_path below never races
-                # the lazy read above
-                labels = connected_components(edges)
+                # the lazy read above. width_floor=2: the contracted
+                # per-batch fold graph is O(new pairs + touched nodes)
+                # — at gate scale a few thousand rows, where 8-wide
+                # rounds are pure task-scheduling overhead; sized_width
+                # still scales the width up with real edge volume
+                labels = connected_components(edges, width_floor=2)
                 labels.write.mode("overwrite").parquet(lbl_path)
             finally:
                 base.unpersist()
@@ -204,8 +218,11 @@ def stream_components(
         # per-batch state is tiny relative to the cluster — bound the
         # shuffle width during the drain (same reasoning as
         # events_stream._run_to_memory: partition count is a
-        # per-deployment knob, not a per-query one)
-        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+        # per-deployment knob, not a per-query one). Width 4 measured
+        # ~1 s/drain faster than 8 at sf0.1 (identical labels): the
+        # fold's many small jobs are task-scheduling-bound, not
+        # data-bound, at any gate SF
+        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 4)):
             with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
                 q = (
                     spark.readStream.schema("doc_id long, text string")

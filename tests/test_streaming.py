@@ -2,6 +2,8 @@
 aggregation (modulo watermark-held tail windows) and incremental
 summary maintenance."""
 
+import pytest
+
 from bfr_clustering_using_pyspark_spark.plans.events import q_events_windowed
 from bfr_clustering_using_pyspark_spark.streaming import QUERIES
 from tests.conftest import SF_SMALL
@@ -249,3 +251,120 @@ def test_watermark_rules_fuzz_random_batches(spark, tmp_path):
             if ws + WINDOW_S <= gmax - DELAY_S:
                 want[ws] = want.get(ws, 0) + 1
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def _drain_staged_window_agg(spark, src_dir, batches, window_s, delay_s, qname):
+    """Stage explicit per-batch timestamp lists as mtime-ordered
+    parquet files and drain them through a windowed append agg.
+    Returns {window_start_epoch: count}."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(src_dir, exist_ok=True)
+    for b, tss in enumerate(batches):
+        pdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tss)], "event_id long, epoch long"
+        ).withColumn("ts", F.timestamp_seconds("epoch"))
+        path = os.path.join(src_dir, f"batch_{b:03d}.parquet")
+        pdf.coalesce(1).write.parquet(path)
+        os.utime(path, (1000 + b, 1000 + b))
+        for part in os.listdir(path):
+            os.utime(os.path.join(path, part), (1000 + b, 1000 + b))
+    schema = spark.read.parquet(os.path.join(src_dir, "batch_000.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(src_dir, "batch_*.parquet"))
+    )
+    agg = (
+        raw.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(F.window("ts", f"{window_s} seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return {r["ws"]: r["n"] for r in spark.table(qname).collect()}
+
+
+def _replay_calibrated_rules(batches, window_s, delay_s):
+    """Pure-Python replay of the calibrated drop/emit rules."""
+    all_ts = [t for tss in batches for t in tss]
+    gmax = max(all_ts)
+    kept = []
+    for b, tss in enumerate(batches):
+        prior = [t for bb in range(max(b - 1, 0)) for t in batches[bb]]
+        thresh = (max(prior) - delay_s) if b >= 2 and prior else None
+        for t in tss:
+            wend = (t // window_s) * window_s + window_s
+            if thresh is None or wend > thresh:
+                kept.append(t)
+    want = {}
+    for t in kept:
+        ws = (t // window_s) * window_s
+        if ws + window_s <= gmax - delay_s:
+            want[ws] = want.get(ws, 0) + 1
+    return want
+
+
+@pytest.mark.parametrize(
+    "name,batches",
+    [
+        # a batch containing a SINGLE event (and a single-event final
+        # batch): the min/max/wm arithmetic has no population to hide in
+        ("single_event", [
+            [1_700_000_000 + t for t in (0, 650, 1300)],
+            [1_700_000_000 + 2000],
+            [1_700_000_000 + t for t in (2600, 3250)],
+            [1_700_000_000 + 3900],
+        ]),
+        # ALL-LATE tail: batches 2 and 3 carry only timestamps far
+        # older than the watermark committed from batches 0-1 — every
+        # row must drop, and emission is governed by the early max
+        ("all_late", [
+            [1_700_000_000 + t for t in (0, 4000, 8000)],
+            [1_700_000_000 + t for t in (8500, 9000)],
+            [1_700_000_000 + t for t in (10, 20, 30)],
+            [1_700_000_000 + t for t in (100, 200)],
+        ]),
+        # MAX-TS REGRESSION: each batch's max is LOWER than the
+        # previous batch's — the engine watermark must never regress
+        # (monotone max), and the replay's max-over-prior models that
+        ("max_regress", [
+            [1_700_000_000 + t for t in (9000, 9600)],
+            [1_700_000_000 + t for t in (7000, 7500)],
+            [1_700_000_000 + t for t in (5000, 5500)],
+            [1_700_000_000 + t for t in (3000, 3500)],
+        ]),
+        # mixed: a straggler inside an otherwise-advancing stream plus
+        # a single-row batch, exercising drop and emit together
+        ("mixed_straggler", [
+            [1_700_000_000 + t for t in (0, 600, 1200)],
+            [1_700_000_000 + 2400],
+            [1_700_000_000 + t for t in (5, 3000)],
+            [1_700_000_000 + t for t in (650, 3600)],
+        ]),
+    ],
+)
+def test_watermark_rules_degenerate_batch_shapes(spark, tmp_path, name, batches):
+    """The r7 verdict's adversarial shapes: the calibration fuzz
+    covered random batch mixes; these are the degenerate shapes the
+    calibration could miss. The pure-Python replay of the calibrated
+    rules must still reproduce the engine bit-exactly."""
+    WINDOW_S, DELAY_S = 600, 420
+    got = _drain_staged_window_agg(
+        spark, str(tmp_path / name), batches, WINDOW_S, DELAY_S, f"wmdgn_{name}"
+    )
+    want = _replay_calibrated_rules(batches, WINDOW_S, DELAY_S)
+    assert got == want, f"{name}: {got} != {want}"

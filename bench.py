@@ -49,8 +49,24 @@ def main() -> None:
     from bfr_clustering_using_pyspark_spark.plans import all_queries
     from bfr_clustering_using_pyspark_spark.session import get_spark
 
+    # no console progress bars in the recorded artifact
+    os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
     spark = get_spark("bench")
+    # Silence executor/streaming log output for the artifact: the
+    # AvailableNow drains in the extras log a benign termination stack
+    # trace (rc=0, rows delivered) through log4j at query stop, which
+    # pollutes the recorded tail without carrying information.
+    spark.sparkContext.setLogLevel("OFF")
     qs = all_queries()
+
+    def load1() -> float:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except OSError:
+            return -1.0
+
+    load_start = load1()
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -93,6 +109,11 @@ def main() -> None:
                 "extra_queries": extra_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "vs_baseline_total": round(total / baseline_total, 3),
+                # co-tenant load context: same-commit totals have been
+                # observed to swing ~1.5x with host load (SURVEY r6/r7);
+                # judge cross-round deltas against these numbers
+                "load1_start": load_start,
+                "load1_end": load1(),
             }
         )
     )

@@ -115,53 +115,23 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 7, highest priority (r6 verdict item #2): the last two
-    # oracled keys with NO external hash row, pinned FIRST this time
-    # — ann_graph_search's graph build is now SHARED with
-    # ann_nndescent_graph (one build per session), so its gate cost
-    # no longer crowds out the rest of the budget.
-    "ann_graph_search", "q_asof_grouped",
-    # ann_nndescent_graph right after: it reuses the graph the
-    # search just built (near-free) and its plan lineage changed
-    # (shared materialized build), so re-verify its hashes
-    "ann_nndescent_graph",
-    # scale-killer fix (r6 verdict item #1): final labels now pinned
-    # by eager localCheckpoint on executors instead of a driver
-    # collect — same rows, re-verify externally (same pattern applied
-    # to stream_checkpoint_recovery's sink-table read-back)
-    "stream_components", "stream_checkpoint_recovery",
-    # staged-replay family now shares one session-cached staging dir
-    # (stage once, three keys replay it) — re-verify the drains
-    "stream_late_data", "stream_update_counts",
-    # gate-cost trim (r6 verdict item #6): size-gated small-input
-    # ntile path — same bit-exact output, new plan at gate SF
-    "q_rfm_segmentation",
-    # distributed-ranking NULL-routing + single-partition-session
-    # fixes (ADVICE): callers re-verified
-    "q_mad_outliers_dist",
-    # nullable-Int32 pandas UDFs (ADVICE): NULL-safe now, same
-    # values on the null-free gate table
-    "udf_pandas_scalar",
-    # staged-batch boundary fix (coalesce(1) per slice, ADVICE):
-    # associative result unchanged, replay path changed
-    "stream_upsert_sink",
-    # PQ codebook anchor-density assert (ADVICE): plan unchanged,
-    # cheap re-check
-    "ann_pq",
-    # round-7 NEW hash-gated key: deterministic top-PC power
-    # iteration (the hash-gated face of the rows-only pca_project)
+    # round 8: graph_pagerank converted to FIXED-POINT integer
+    # iteration (oracle rewritten in lockstep — the one key whose
+    # values changed this round; partitioning-perturbation test added)
+    "graph_pagerank",
+    # pca_power_det's oracle gained a fail-fast dimension guard CTE
+    # (values unchanged on well-formed corpora) — re-verify the text
     "pca_power_det",
-    # connected_components' convergence probe changed (old_comp
-    # carried through the checkpoint) and the dedup oracles'
-    # shared CTEs are now MATERIALIZED — re-verify the callers
-    # (stream_components is already pinned above)
-    "dedup_components", "dedup_minhash_lsh",
-    # iteration shuffle width now sized to the materialized edge
-    # count (same values, new plans) — re-verify externally
-    "graph_pagerank", "graph_label_prop",
-    # round-7 NEW hash-gated key: blocking-scheme recall/precision
-    # eval against exact sampled ground truth
-    "dedup_recall_eval",
+    # stream_components' per-batch fold changed (pinned pairs,
+    # zero-pair skip, narrower fold width) and dedup_components'
+    # connected_components gained a width_floor param — same labels,
+    # new plans, re-verify externally
+    "stream_components", "dedup_components",
+    # NN-Descent index now persists to the warehouse and reloads
+    # across sessions — same edges, new materialization path
+    "ann_nndescent_graph", "ann_graph_search",
+    # graph_label_prop shares the retyped integer edge build
+    "graph_label_prop",
 )
 _CONVERTED_THIS_ROUND = ()
 

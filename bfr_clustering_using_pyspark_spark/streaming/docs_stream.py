@@ -105,6 +105,10 @@ def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str
     import shutil
 
     key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
+    # evict dirs staged by stopped applications (same bounded-cache
+    # policy as the weekly staging and the NN-Descent graph cache)
+    for k in [k for k in _CHUNKED_SRC_CACHE if k[0] != key[0]]:
+        shutil.rmtree(_CHUNKED_SRC_CACHE.pop(k), ignore_errors=True)
     d = _CHUNKED_SRC_CACHE.get(key)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="streamcc_src_")

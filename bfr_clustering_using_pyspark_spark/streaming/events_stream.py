@@ -688,6 +688,11 @@ def _staged_weekly_cached(spark: SparkSession, sf_dir: str) -> str:
     import atexit
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    # evict dirs staged by stopped applications (they hold disk until
+    # process exit; atexit still removes them, this just keeps the
+    # cache bounded in long multi-session processes)
+    for k in [k for k in _STAGED_WEEKLY_CACHE if k[0] != key[0]]:
+        shutil.rmtree(_STAGED_WEEKLY_CACHE.pop(k), ignore_errors=True)
     d = _STAGED_WEEKLY_CACHE.get(key)
     if d is None or not os.path.isdir(d):
         d = _stage_weekly_batches(spark, sf_dir)

@@ -187,6 +187,41 @@ TPCH_KEYS = [
     # cross-domain: PK/FK/range checks spanning customer/orders/
     # lineitem/documents — orphan rows make the FK counters nonzero
     "q_dq_checks",
+    # third wave: aggregation/window/warehouse shapes over the star
+    # tables — single-table but previously fuzzed on no random corpus
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "q15_top_supplier",
+    "q11_important_stock",
+    "q20_potential_promo",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_part_pivot",
+    "q_window_funcs",
+    "q_moving_avg",
+    "q_running_total",
+    "q_gap_fill",
+    "q_mv_rollup",
+    "q_scd2_history",
+    "q_rfm_segmentation",
+    "q_market_basket",
+    "q_histogram",
+    "q_salted_agg",
+    "q_zorder_layout",
+    "dedup_fuzzy_names",
+    "q_events_windowed",
+    "q_events_anomaly",
+    "q_mad_outliers",
+    "q_mad_outliers_dist",
+    "q_path_3grams",
+    "q_ks_test",
+    "q_ab_test",
+    "q_time_range_agg",
+    "q_percentiles",
+    "q_percentiles_dist",
 ]
 
 _MKT = ["MACHINERY", "HOUSEHOLD", "FURNITURE", "BUILDING", "AUTOMOBILE"]

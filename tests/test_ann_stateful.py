@@ -245,6 +245,31 @@ class TestNNDIndexPersistence:
         S._nnd_graph(spark, SF_SMALL)
         assert ("dead-app-id", "x", 1, 1) not in S._NND_GRAPH_CACHE
 
+    def test_data_edit_invalidates_stored_index(self, spark, tmp_path):
+        """Editing the source embeddings must change the artifact
+        digest (mtime_ns in the key), forcing a REBUILD instead of
+        serving a stale index."""
+        import os
+        import shutil
+
+        import bfr_clustering_using_pyspark_spark.operators.similarity as S
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        shutil.copy(f"{SF_SMALL}/embeddings.parquet", d / "embeddings.parquet")
+        S._nnd_graph(spark, str(d))
+        builds = S.NND_BUILD_COUNT
+        # same data, fresh process simulation -> no rebuild
+        S._NND_GRAPH_CACHE.clear()
+        S._nnd_graph(spark, str(d))
+        assert S.NND_BUILD_COUNT == builds
+        # touch the file (content identical, mtime new) -> digest
+        # changes -> rebuild
+        os.utime(d / "embeddings.parquet")
+        S._NND_GRAPH_CACHE.clear()
+        S._nnd_graph(spark, str(d))
+        assert S.NND_BUILD_COUNT == builds + 1
+
 
 def test_pq_recall_and_determinism(spark):
     """PQ at 8×4-bit codes (64× compression) + exact re-rank of the

@@ -93,30 +93,21 @@ FROM t GROUP BY lang, passes_quality ORDER BY lang, passes_quality
 """
 
 
-# the chunked source corpus is a pure function of (sf_dir, n_chunks):
-# stage it once per session and re-drain from the cache (the STATE
-# dirs below stay per-call — they accumulate and must start empty)
-_CHUNKED_SRC_CACHE: dict[tuple, str] = {}
-
-
 def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
-    import atexit
-    import os
-    import shutil
+    """The chunked source corpus is a pure function of
+    (documents.parquet, n_chunks): persisted once under the warehouse
+    (sources/fixtures.py — mtime/format-keyed digest) and reused by
+    every session and process. The STATE dirs used by the drain stay
+    per-call — they accumulate and must start empty."""
+    from ..sources.fixtures import ensure_fixture
 
-    key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
-    # evict dirs staged by stopped applications (same bounded-cache
-    # policy as the weekly staging and the NN-Descent graph cache)
-    for k in [k for k in _CHUNKED_SRC_CACHE if k[0] != key[0]]:
-        shutil.rmtree(_CHUNKED_SRC_CACHE.pop(k), ignore_errors=True)
-    d = _CHUNKED_SRC_CACHE.get(key)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="streamcc_src_")
+    def stage(d: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _CHUNKED_SRC_CACHE[key] = d
-    return d
+
+    return ensure_fixture(
+        spark, "streamcc_src", sf_dir, "documents.parquet", f"chunks={n_chunks}", stage
+    )
 
 
 def stream_components(

@@ -644,11 +644,11 @@ def _pin_batch_mtime(path: str, b: int) -> None:
         os.utime(os.path.join(path, part), stamp)
 
 
-def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
+def _stage_weekly_batches(spark: SparkSession, sf_dir: str, stage_dir: str) -> None:
     """Stage events into four mtime-ordered micro-batch parquet files
     (weekly splits, 4% two-batch stragglers) for deterministic
-    file-source replay. Caller owns the returned directory; ops that
-    need a subset or a two-sitting layout copy from the session cache
+    file-source replay, written into ``stage_dir``. Ops that need a
+    subset or a two-sitting layout copy from the persisted fixture
     with ``_copy_staged_batches``."""
     from ..sources.readers import ensure_utc, load_table
 
@@ -662,43 +662,37 @@ def _stage_weekly_batches(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(week)
     )
     staged = ev.withColumn("batch", batch)
-    stage_dir = tempfile.mkdtemp(prefix="late_stage_")
     for b in range(4):
         path = os.path.join(stage_dir, f"batch_{b:03d}.parquet")
         (
             staged.filter(F.col("batch") == b)
             .drop("batch")
             .coalesce(1)
-            .write.parquet(path)
+            .write.mode("overwrite")
+            .parquet(path)
         )
         _pin_batch_mtime(path, b)
-    return stage_dir
-
-
-# The staged weekly replay is a pure function of (sf_dir): three keys
-# replay it (late_data / update_counts append+update drains,
-# checkpoint_recovery's two-sitting restart). Stage ONCE per session
-# and reuse — the gate walks all three in one session, so this cuts
-# two of the three staging jobs (checkpoint_recovery file-copies its
-# two sittings from the cache instead of re-running Spark filters).
-_STAGED_WEEKLY_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _staged_weekly_cached(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
+    """The staged weekly replay is a pure function of events.parquet:
+    three keys replay it (late_data / update_counts append+update
+    drains, checkpoint_recovery's two-sitting restart). It is
+    persisted ONCE under the warehouse (sources/fixtures.py —
+    mtime/format-keyed digest) and reused by every session AND
+    process; checkpoint_recovery file-copies its two sittings from
+    the fixture instead of re-running Spark filters. The pinned
+    absolute mtimes survive on disk, so replay order is stable."""
+    from ..sources.fixtures import ensure_fixture
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    # evict dirs staged by stopped applications (they hold disk until
-    # process exit; atexit still removes them, this just keeps the
-    # cache bounded in long multi-session processes)
-    for k in [k for k in _STAGED_WEEKLY_CACHE if k[0] != key[0]]:
-        shutil.rmtree(_STAGED_WEEKLY_CACHE.pop(k), ignore_errors=True)
-    d = _STAGED_WEEKLY_CACHE.get(key)
-    if d is None or not os.path.isdir(d):
-        d = _stage_weekly_batches(spark, sf_dir)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _STAGED_WEEKLY_CACHE[key] = d
-    return d
+    return ensure_fixture(
+        spark,
+        "staged_weekly",
+        sf_dir,
+        "events.parquet",
+        "weekly4",
+        lambda d: _stage_weekly_batches(spark, sf_dir, d),
+    )
 
 
 def _copy_staged_batches(src_dir: str, dst_dir: str, batches) -> None:

@@ -85,20 +85,22 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The decode stub is hash-derived, so even the "binary" path is
-# oracle-checkable: DuckDB recomputes sha256 + the byte-sum feature.
-# Test documents are pure ASCII (verified at sf0.001/sf0.01), so
-# length(text) == byte length and unicode(char) == byte value.
+# oracle-checkable: DuckDB recomputes sha256 + the byte-sum feature
+# over the UTF-8 BYTES (octet_length + hex-pair extraction), so the
+# oracle is byte-exact on any text — ASCII or not — and the empty
+# payload sums to 0 (coalesce), matching the Python stub exactly.
 MM_DECODE_SQL = """
 WITH dec AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         length(text) AS n_bytes,
+         octet_length(encode(text)) AS n_bytes,
          sha256(text) AS dg,
-         list_sum(list_transform(generate_series(1, least(length(text), 256)),
-                                 i -> unicode(substr(text, i, 1)))) AS bsum,
-         greatest(least(length(text), 256), 1) AS bdiv
+         coalesce(list_sum(list_transform(
+             generate_series(1, least(octet_length(encode(text)), 256)),
+             i -> ('0x' || substr(hex(encode(text)), 2 * i - 1, 2))::INT)), 0) AS bsum,
+         greatest(least(octet_length(encode(text)), 256), 1) AS bdiv
   FROM documents
 )
 SELECT doc_id, media_type, n_bytes,

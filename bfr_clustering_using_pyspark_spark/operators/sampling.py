@@ -317,8 +317,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibly (rand()-based sampling can't be replayed or gated).
 
     One map-side key computation + a global top-k (TakeOrdered — no
-    full sort at scale)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    full sort at scale).
+
+    Zero-weight docs (n_chars = 0, i.e. empty text) are excluded up
+    front: Efraimidis–Spirakis requires w > 0, and a weight of zero
+    means "never sampled" — filtering is the exact semantics (and
+    avoids an ANSI divide-by-zero on real corpora, which do contain
+    empty documents)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     # 60-bit md5 → u in (0, 1]; +1 avoids u=0
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
@@ -338,6 +348,7 @@ SELECT doc_id, n_chars,
        round(-ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1.0)
                  / {float(1 << 60)}) / n_chars * 1e6, 6) AS sample_key
 FROM documents
+WHERE n_chars > 0
 ORDER BY sample_key, doc_id
 LIMIT {WS_K}
 """

@@ -972,9 +972,40 @@ def _nnd_graph_and_n(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         built.write.mode("overwrite").parquet(os.path.join(idx_dir, "graph"))
     with open(meta_path, "w") as fh:
         json.dump({"n_vectors": n, "k": NND_K, "iters": NND_ITERS}, fh)
+    _prune_nnd_store(os.path.dirname(idx_dir), keep=idx_dir)
     graph = spark.read.parquet(os.path.join(idx_dir, "graph")).localCheckpoint(eager=True)
     _NND_GRAPH_CACHE[key] = (graph, n)
     return graph, n
+
+
+# retention bound for the on-disk index store: every distinct
+# (source path, params, data version) writes its own digest dir, so
+# transient corpora (tests, one-off fuzz datasets) would otherwise
+# accumulate dead artifacts forever
+NND_STORE_MAX = 12
+
+
+def _prune_nnd_store(store_dir: str, keep: str) -> None:
+    """Drop the oldest digest dirs beyond ``NND_STORE_MAX``, never the
+    one just written. Meta-file mtime orders recency (it is written
+    last, so a dir without one is torn and prunes first)."""
+    import os
+    import shutil
+
+    def mtime(d: str) -> float:
+        try:
+            return os.stat(os.path.join(store_dir, d, "_index_meta.json")).st_mtime
+        except OSError:
+            return 0.0
+
+    try:
+        digests = sorted(os.listdir(store_dir), key=mtime, reverse=True)
+    except OSError:
+        return
+    for d in digests[NND_STORE_MAX:]:
+        full = os.path.join(store_dir, d)
+        if os.path.abspath(full) != os.path.abspath(keep):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

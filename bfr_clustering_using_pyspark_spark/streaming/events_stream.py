@@ -881,7 +881,17 @@ WITH base AS (
          END AS batch
   FROM events
 ),
-bmax AS (SELECT batch, max(ts) AS mx FROM base GROUP BY batch),
+-- ALL 4 staged batch indices, not just the non-empty ones: the file
+-- source replays an empty staged file as a real (no-data) micro-batch
+-- that still commits a watermark, so the 2-batch lag is positional
+-- over 0..3 — computing it over only row-bearing batches skips
+-- indices and under-advances the modeled watermark on degenerate
+-- streams (e.g. a 2-day corpus where weeks 1 and 3 are empty)
+bmax AS (
+  SELECT gs.b AS batch, max(base.ts) AS mx
+  FROM generate_series(0, 3) gs(b) LEFT JOIN base ON base.batch = gs.b
+  GROUP BY gs.b
+),
 th AS (
   SELECT batch,
          max(mx) OVER (ORDER BY batch
@@ -919,7 +929,13 @@ WITH base AS (
          END AS batch
   FROM events
 ),
-bmax AS (SELECT batch, max(ts) AS mx FROM base GROUP BY batch),
+-- all 4 staged batch indices (see STREAM_UPDATE_COUNTS_SQL): empty
+-- staged files still occupy a micro-batch index in the engine
+bmax AS (
+  SELECT gs.b AS batch, max(base.ts) AS mx
+  FROM generate_series(0, 3) gs(b) LEFT JOIN base ON base.batch = gs.b
+  GROUP BY gs.b
+),
 th AS (
   SELECT batch,
          max(mx) OVER (ORDER BY batch

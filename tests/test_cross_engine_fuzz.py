@@ -103,7 +103,7 @@ def _gen_embeddings(rng: np.random.Generator, n: int, d: int = 64) -> pd.DataFra
     )
 
 
-def _compare(spark, key: str, fn, sql: str, sf_dir: str, con) -> None:
+def _compare(spark, key: str, fn, sql: str, sf_dir: str, con) -> int:
     sdf = fn(spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns
@@ -115,6 +115,7 @@ def _compare(spark, key: str, fn, sql: str, sf_dir: str, con) -> None:
     sh = table_hash(scols, [[r[c] for c in scols] for r in srows])
     oh = table_hash(ocols, orows)
     assert sh == oh, f"{key}: value hash mismatch on fuzzed corpus"
+    return len(srows)
 
 
 @pytest.mark.parametrize("seed", [11, 23])
@@ -187,6 +188,56 @@ TPCH_KEYS = [
     # cross-domain: PK/FK/range checks spanning customer/orders/
     # lineitem/documents — orphan rows make the FK counters nonzero
     "q_dq_checks",
+    # fourth wave: the remaining deterministic SQL-surface keys —
+    # language/typing features (lateral, generators, higher-order,
+    # variant, try_, recursive CTE, set ops, scalar subqueries),
+    # regression/model-per-key, and the asof-grouped shape
+    "q_asof_grouped",
+    "q_complex_types",
+    "q_corr_matrix",
+    "q_date_funcs",
+    "q_events_json",
+    "q_explode_outer",
+    "q_generator_funcs",
+    "q_group_by_all",
+    "q_higher_order_funcs",
+    "q_ignore_nulls_window",
+    "q_join_strategies",
+    "q_json_schema_roundtrip",
+    "q_lateral_join",
+    "q_observed_metrics",
+    "q_range_frame",
+    "q_recursive_cte",
+    "q_regression",
+    "q_scalar_subquery",
+    "q_set_ops",
+    "q_set_ops_all",
+    "q_try_arithmetic",
+    "q_unpivot",
+    "q_variant_type",
+    "model_per_key",
+    # fourth wave: md5-deterministic sampling + sketches + curation
+    # (the fuzz corpus's EMPTY document is what exposed the
+    # q_weighted_sample zero-weight division — keep it covered)
+    "q_weighted_sample",
+    "sample_stratified",
+    "sample_train_split",
+    "seq_pack",
+    "q_kmv_distinct",
+    "q_linear_count",
+    "q_countmin_topk",
+    "q_bloom_filter_join",
+    "corpus_mix",
+    "decontaminate",
+    "corpus_curate",
+    # fourth wave: graph + component/substring dedup over the star
+    # tables' co-occurrence edges and the documents corpus
+    "dedup_components",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_label_prop",
+    "dedup_substring",
+    "dedup_recall_eval",
     # third wave: aggregation/window/warehouse shapes over the star
     # tables — single-table but previously fuzzed on no random corpus
     "q1_pricing_summary",
@@ -241,6 +292,24 @@ def _write(d, name, df):
 
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                    str(d / f"{name}.parquet"))
+
+
+def _gen_events(rng: np.random.Generator, n_cust: int, n_ev: int, span_days: int) -> pd.DataFrame:
+    ev_base = np.datetime64("2024-01-01T00:00:00.000000")
+    ev_ts = ev_base + rng.integers(0, span_days * 86400 * 10**6, size=n_ev).astype(
+        "timedelta64[us]"
+    )
+    return pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.Series(ev_ts.astype("datetime64[us]")),
+        # user skew mirrors order skew: user 0 is hot
+        "user_id": np.where(
+            rng.uniform(size=n_ev) < 0.2, 0, rng.integers(0, n_cust, size=n_ev)
+        ).astype(np.int64),
+        "event_type": rng.choice(_EVT, size=n_ev),
+        "value": _money(rng, 0.01, 330, n_ev),
+        "props": [f'{{"k": {int(rng.integers(0, 100))}}}' for _ in range(n_ev)],
+    })
 
 
 def _gen_tpch(rng: np.random.Generator, d) -> None:
@@ -328,22 +397,7 @@ def _gen_tpch(rng: np.random.Generator, d) -> None:
         "l_linestatus": rng.choice(["O", "F"], size=n_li),
         "l_shipdate": pd.Series(shipdates.astype("datetime64[us]")),
     })
-    n_ev = 500
-    ev_base = np.datetime64("2024-01-01T00:00:00.000000")
-    ev_ts = ev_base + rng.integers(0, 30 * 86400 * 10**6, size=n_ev).astype(
-        "timedelta64[us]"
-    )
-    events = pd.DataFrame({
-        "event_id": np.arange(n_ev, dtype=np.int64),
-        "ts": pd.Series(ev_ts.astype("datetime64[us]")),
-        # user skew mirrors order skew: user 0 is hot
-        "user_id": np.where(
-            rng.uniform(size=n_ev) < 0.2, 0, rng.integers(0, n_cust, size=n_ev)
-        ).astype(np.int64),
-        "event_type": rng.choice(_EVT, size=n_ev),
-        "value": _money(rng, 0.01, 330, n_ev),
-        "props": [f'{{"k": {int(rng.integers(0, 100))}}}' for _ in range(n_ev)],
-    })
+    events = _gen_events(rng, n_cust, n_ev=500, span_days=30)
     for name, df in [
         ("region", region), ("nation", nation), ("customer", customer),
         ("supplier", supplier), ("part", part), ("orders", orders),
@@ -361,6 +415,9 @@ def test_join_keys_hash_match_on_random_star_schema(spark, tmp_path, seed):
     d.mkdir()
     _gen_tpch(rng, d)
     _write(d, "documents", _gen_documents(rng, 120))
+    spark.createDataFrame(_gen_embeddings(rng, 150)).write.parquet(
+        str(d / "embeddings.parquet")
+    )
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part",
@@ -369,6 +426,159 @@ def test_join_keys_hash_match_on_random_star_schema(spark, tmp_path, seed):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
     qs, sqls = m.queries(), m.oracle_sql()
     for key in TPCH_KEYS:
         _compare(spark, key, qs[key], sqls[key], str(d), con)
+
+
+# ---------------------------------------------------------------------------
+# Fifth wave: ML / ANN / multimodal / format keys on random corpora.
+# These need embeddings alongside the star tables. All are
+# deterministic by construction (md5-seeded inits, hash-derived
+# codecs, exact mirrored assignment rules), so their oracles must
+# agree on ANY data — two seeds keeps the suite's added cost bounded
+# while still ruling out single-corpus coincidences.
+# ---------------------------------------------------------------------------
+
+ML_MM_KEYS = [
+    # k-means / BFR deterministic faces
+    "kmeans_assign",
+    "kmeans_lloyd_det",
+    "mahalanobis_assign",
+    "suffstats",
+    "cluster_profile",
+    "silhouette_eval",
+    "ch_index_eval",
+    "nmi_eval",
+    "knn_classify_eval",
+    "pca_power_det",
+    "q_drift_detect",
+    "points_source",
+    "source_custom_points",
+    # ANN ladder (bucketed assignment mirrored exactly in SQL)
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "ann_ivf_rerank",
+    "ann_ivf_partitioned",
+    "ann_pq",
+    "ann_recall_eval",
+    "ann_nndescent_graph",
+    "ann_graph_search",
+    # Arrow-batched python surfaces
+    "udf_pandas_scalar",
+    "udtf_doc_chunk",
+    # multimodal codecs (hash-derived; mm_decode's oracle byte-sums
+    # the UTF-8 encoding, which the unicode fuzz doc exercises)
+    "mm_decode",
+    "mm_pipeline",
+    "mm_pgm_roundtrip",
+    "mm_pgm_resize",
+    "mm_wav_roundtrip",
+    "mm_audio_features",
+    "mm_video_frames",
+    # format roundtrips + sinks + bucketed join
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "q_schema_evolution",
+    "sink_compact_small_files",
+    "sink_shard_manifest",
+    "q_bucketed_join",
+]
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_ml_ann_mm_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
+    import __spark_entry__ as m
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path / f"mlfuzz{seed}"
+    d.mkdir()
+    _gen_tpch(rng, d)
+    _write(d, "documents", _gen_documents(rng, 120))
+    spark.createDataFrame(_gen_embeddings(rng, 150)).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    qs, sqls = m.queries(), m.oracle_sql()
+    for key in ML_MM_KEYS:
+        _compare(spark, key, qs[key], sqls[key], str(d), con)
+
+
+# ---------------------------------------------------------------------------
+# Sixth wave: the staged-replay streaming keys on random corpora.
+# The watermark-rule oracles were EMPIRICALLY CALIBRATED on the
+# shipped generator's batch shapes — this wave is the proof they are
+# engine semantics, not distribution coincidences. Events span 2 days
+# instead of 30 so interval joins and session gaps actually fire
+# (clicks within an hour of a purchase are vanishingly rare on a
+# sparse 30-day stream).
+# ---------------------------------------------------------------------------
+
+STREAM_KEYS = [
+    "stream_events_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_sessionize_stateful",
+    "stream_quality_filter",
+    "stream_countmin",
+    "stream_update_counts",
+    "stream_late_data",
+    "stream_upsert_sink",
+    "stream_checkpoint_recovery",
+    "stream_bfr_update",
+    "stream_components",
+]
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_streaming_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
+    import __spark_entry__ as m
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path / f"streamfuzz{seed}"
+    d.mkdir()
+    _gen_tpch(rng, d)
+    _write(d, "events", _gen_events(rng, n_cust=60, n_ev=600, span_days=2))
+    _write(d, "documents", _gen_documents(rng, 120))
+    spark.createDataFrame(_gen_embeddings(rng, 150)).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    qs, sqls = m.queries(), m.oracle_sql()
+    rows = {}
+    for key in STREAM_KEYS:
+        rows[key] = _compare(spark, key, qs[key], sqls[key], str(d), con)
+    # the dense stream must actually exercise the interval join
+    assert rows["stream_stream_join"] > 0, (
+        "dense 2-day stream produced no purchase-click pairs"
+    )

@@ -132,6 +132,14 @@ _CHANGED_THIS_ROUND = (
     "ann_nndescent_graph", "ann_graph_search",
     # graph_label_prop shares the retyped integer edge build
     "graph_label_prop",
+    # round 8, second sitting — defects the cross-engine fuzz waves
+    # caught, fixed on both faces, must re-verify externally first:
+    # q_weighted_sample now excludes zero-weight (empty) docs;
+    # mm_decode's oracle byte-sums the UTF-8 encoding; the two
+    # calibrated watermark oracles enumerate all 4 staged batch
+    # indices (empty files still commit a watermark)
+    "q_weighted_sample", "mm_decode", "stream_late_data",
+    "stream_update_counts",
 )
 _CONVERTED_THIS_ROUND = ()
 

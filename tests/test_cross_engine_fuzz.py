@@ -582,3 +582,67 @@ def test_streaming_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
     assert rows["stream_stream_join"] > 0, (
         "dense 2-day stream produced no purchase-click pairs"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangles on the star fixture matches at 0 rows (the p95-ceil
+# tie-strength threshold keeps ≤2 edges among 8 suppliers — a correct
+# but TRIVIAL agreement). This corpus plants a hot supplier trio that
+# always rides the same orders: their three pairwise co-occurrence
+# counts tie exactly, all survive the quantile threshold, and the
+# two-hop triangle join must actually fire on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _gen_lineitem_hot_trio(rng: np.random.Generator) -> pd.DataFrame:
+    n_ord, n_supp = 300, 8
+    rows = []
+    for o in range(n_ord):
+        if rng.uniform() < 0.5:
+            supps = [0, 1, 2]  # the trio is all-or-nothing, so its
+            if rng.uniform() < 0.5:  # pair counts tie EXACTLY
+                supps.append(int(rng.integers(3, n_supp)))
+        else:
+            supps = list(
+                rng.choice(np.arange(3, n_supp), size=int(rng.integers(1, 4)), replace=False)
+            )
+        for ln, s in enumerate(supps, 1):
+            rows.append((o, s, ln))
+    n_li = len(rows)
+    lo, ls, ln_ = zip(*rows)
+    base = np.datetime64("1995-06-01", "us")
+    return pd.DataFrame({
+        "l_orderkey": np.array(lo, dtype=np.int64),
+        "l_partkey": rng.integers(0, 50, size=n_li).astype(np.int64),
+        "l_suppkey": np.array(ls, dtype=np.int64),
+        "l_linenumber": np.array(ln_, dtype=np.int32),
+        "l_quantity": rng.integers(1, 51, size=n_li).astype(np.float64),
+        "l_extendedprice": _money(rng, 900, 105000, n_li),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": rng.choice(["R", "A", "N"], n_li),
+        "l_linestatus": rng.choice(["O", "F"], n_li),
+        "l_shipdate": pd.Series(
+            (base + rng.integers(0, 500, n_li).astype("timedelta64[D]")).astype("datetime64[us]")
+        ),
+    })
+
+
+@pytest.mark.parametrize("seed", [3, 19, 47])
+def test_triangles_fire_and_match_on_hot_trio_corpus(spark, tmp_path, seed):
+    import __spark_entry__ as m
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path / f"trifuzz{seed}"
+    d.mkdir()
+    _write(d, "lineitem", _gen_lineitem_hot_trio(rng))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    n = _compare(
+        spark, "graph_triangles",
+        m.queries()["graph_triangles"], m.oracle_sql()["graph_triangles"],
+        str(d), con,
+    )
+    assert n >= 3, "hot-trio corpus produced no triangles"

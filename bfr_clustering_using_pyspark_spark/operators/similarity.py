@@ -988,23 +988,36 @@ NND_STORE_MAX = 12
 def _prune_nnd_store(store_dir: str, keep: str) -> None:
     """Drop the oldest digest dirs beyond ``NND_STORE_MAX``, never the
     one just written. Meta-file mtime orders recency (it is written
-    last, so a dir without one is torn and prunes first)."""
+    last, so a dir without one is torn and prunes first) — but a
+    meta-less dir younger than an hour may be a CONCURRENT build in
+    another process that simply hasn't written its meta yet, so only
+    genuinely stale torn dirs are eligible."""
     import os
     import shutil
+    import time
 
-    def mtime(d: str) -> float:
+    def meta_mtime(d: str) -> float:
         try:
             return os.stat(os.path.join(store_dir, d, "_index_meta.json")).st_mtime
         except OSError:
             return 0.0
 
+    def safe_to_prune(d: str) -> bool:
+        if meta_mtime(d) > 0.0:
+            return True
+        try:
+            age = time.time() - os.stat(os.path.join(store_dir, d)).st_mtime
+        except OSError:
+            return False
+        return age > 3600.0
+
     try:
-        digests = sorted(os.listdir(store_dir), key=mtime, reverse=True)
+        digests = sorted(os.listdir(store_dir), key=meta_mtime, reverse=True)
     except OSError:
         return
     for d in digests[NND_STORE_MAX:]:
         full = os.path.join(store_dir, d)
-        if os.path.abspath(full) != os.path.abspath(keep):
+        if os.path.abspath(full) != os.path.abspath(keep) and safe_to_prune(d):
             shutil.rmtree(full, ignore_errors=True)
 
 

@@ -1,0 +1,159 @@
+"""Empirical scale-up probe: replicate the FACT tables (lineitem /
+orders / events / documents / embeddings) K-fold with key offsets —
+dimensions stay small, like a real warehouse — and time headline
+operators at x1 / x10 / x30. The point is measured CURVATURE: an
+operator whose time grows ~linearly in rows has no hidden all-pairs
+stage, driver materialization, or width cliff; super-linear growth
+at 30x flags exactly the failure class that kills a 100 TB run.
+
+Replication is done BY SPARK (crossJoin with a small replica-index
+range + key offsets), so the probe itself exercises the distributed
+write path instead of pandas-side generation.
+
+Usage:
+    python tools/scale_probe.py [multipliers...]   # default: 1 10 30
+
+Prints one line per (multiplier, query): wall seconds + output rows,
+then a per-query linearity ratio table (t_K / (K * t_1)) — ~1.0 is
+linear, <1 is sub-linear (fixed overhead amortizing), >>1 is the
+red flag.
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+FACTS = {
+    # table -> (key columns to offset, optional perturbations)
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# headline operators spanning the main scale designs: hash-agg,
+# shuffle join, banded LSH, bucketed ANN, windowed sessionize,
+# distributed MAD, text Arrow kernel
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_salted_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_ivf",
+    "dedup_embedding",
+    "q_events_sessionize",
+    "q_mad_outliers_dist",
+]
+
+
+def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+    out = os.path.join(dst_dir, f"{table}.parquet")
+    if k == 1:
+        df.write.mode("overwrite").parquet(out)
+        return
+    keys = FACTS[table]
+    # one offset unit per key column = (max over the source) + 1, so
+    # replicas never collide; FK pairs (o_orderkey / l_orderkey) use
+    # the SAME unit because both derive from the orders keyspace
+    unit_col = "o_orderkey" if table in ("orders", "lineitem") else keys[0]
+    unit_src = "orders" if table in ("orders", "lineitem") else table
+    unit = (
+        spark.read.parquet(os.path.join(src_dir, f"{unit_src}.parquet"))
+        .agg(F.max(unit_col))
+        .collect()[0][0]
+        + 1
+    )
+    rep = spark.range(k).withColumnRenamed("id", "__rep")
+    scaled = df.crossJoin(F.broadcast(rep))
+    for c in keys:
+        scaled = scaled.withColumn(c, F.col(c) + F.col("__rep") * F.lit(int(unit)))
+    if table == "events":
+        # shift replica timestamps by k seconds so event streams stay
+        # strictly increasing-cardinality instead of perfectly stacked
+        scaled = scaled.withColumn(
+            "ts", F.col("ts") + (F.col("__rep") * F.expr("INTERVAL 1 SECOND"))
+        )
+    if table == "documents":
+        # tag replica text so near-dup groups stay bounded (a 30-fold
+        # exact copy of every doc would make every LSH bucket a
+        # 30x clique — a different workload than "30x more documents")
+        scaled = scaled.withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
+            ),
+        ).withColumn(
+            "n_chars",
+            F.when(F.col("__rep") == 0, F.col("n_chars")).otherwise(
+                F.col("n_chars") + 2 + F.length(F.col("__rep").cast("string"))
+            ),
+        )
+    scaled.drop("__rep").write.mode("overwrite").parquet(out)
+
+
+def build_scaled_dir(spark, src_dir: str, dst_dir: str, k: int) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in DIM_TABLES:
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        srcp = os.path.join(src_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            if os.path.isdir(srcp):
+                shutil.copytree(srcp, dst)
+            else:
+                shutil.copy(srcp, dst)
+    for t in FACTS:
+        _scale_table(spark, src_dir, dst_dir, t, k)
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from bfr_clustering_using_pyspark_spark.session import get_spark
+
+    import __spark_entry__ as m
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = m.queries()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    base = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        for k in mults:
+            d = os.path.join(base, f"x{k}")
+            t0 = time.time()
+            build_scaled_dir(spark, src, d, k)
+            print(f"# built x{k} corpus in {time.time() - t0:.1f}s", flush=True)
+            for q in PROBE_QUERIES:
+                t0 = time.time()
+                n = len(qs[q](spark, d).collect())
+                dt = time.time() - t0
+                results[q][k] = dt
+                print(f"x{k:<3d} {q:24s} {dt:7.2f}s  ({n} rows)", flush=True)
+        print("\n# linearity ratios t_K / (K * t_1)  (~1 linear, >>1 red flag)")
+        for q in PROBE_QUERIES:
+            t1 = results[q].get(1)
+            if not t1:
+                continue
+            ratios = "  ".join(
+                f"x{k}={results[q][k] / (k * t1):.2f}" for k in mults if k != 1
+            )
+            print(f"{q:24s} t1={t1:.2f}s  {ratios}", flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

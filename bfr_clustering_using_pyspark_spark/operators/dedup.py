@@ -212,27 +212,47 @@ FROM sigs ORDER BY doc_id
 """
 
 
-N_SIGN_BITS = 8
+
+
+def _sign_bits(n: int) -> int:
+    """Data-adaptive sign-LSH width: enough bits that the expected
+    bucket holds ~TARGET_BUCKET vectors, floored at the historical 8
+    (so every corpus up to 16384 vectors keeps the original blocking
+    bit-for-bit) and capped at 24 (embeddings have 64 coords; 24 bits
+    → 16M buckets covers any single-executor-digestible corpus).
+    Candidate pairs stay ~n·TARGET_BUCKET/2 — LINEAR in n — where a
+    fixed width degrades to n²/2^bits (measured 6× super-linear at a
+    30× scale-up before this). The oracle computes the SAME formula
+    from count(*)."""
+    import math
+
+    if n <= 0:
+        return 8
+    return min(24, max(8, math.ceil(math.log2(max(n, 1) / TARGET_BUCKET))))
+
+
+TARGET_BUCKET = 64
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35 — the testdata has
     no tighter neighbors; real near-dup corpora would gate at ~0.95).
 
-    Candidates are blocked on an 8-bit cosine-LSH sign bucket (the
-    sign pattern of the first 8 coordinates = axis-aligned random
-    hyperplanes), so bucket count is 2^bits and no ground-truth label
-    is needed — the production recipe; widen bits with log(n) and/or
-    multi-probe neighboring buckets to trade recall vs cost.
+    Candidates are blocked on a cosine-LSH sign bucket (the sign
+    pattern of the first ``_sign_bits(n)`` coordinates = axis-aligned
+    random hyperplanes). The width grows with log(n) so the expected
+    bucket size — and with it the per-vector candidate count — stays
+    CONSTANT as the corpus grows; one metadata count() sizes it.
     zip_with/aggregate, JVM-side."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    bits = _sign_bits(emb.count())
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     blk = sum(
         F.when(F.col("v").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(N_SIGN_BITS)
+        for i in range(bits)
     )
     base = emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
     a, b = base.alias("a"), base.alias("b")
@@ -253,17 +273,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# adaptive-width sign block, mirroring _sign_bits(count(*)): bits
+# beyond the computed width contribute 0, so one 24-term expression
+# serves every corpus size
 _SIGN_BLK_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+    f"(CASE WHEN {i} < bits.b AND embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(24)
 )
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH base AS (
+WITH bits AS (
+  SELECT LEAST(24, GREATEST(8,
+           CAST(ceil(log2(GREATEST(count(*), 1) / 64.0)) AS INT))) AS b
+  FROM embeddings
+), base AS (
   SELECT vec_id,
          CAST({_SIGN_BLK_SQL} AS INT) AS blk,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings, bits
 )
 SELECT * FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

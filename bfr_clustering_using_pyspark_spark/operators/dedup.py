@@ -716,21 +716,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("minsh", F.array_min("hashes"))
     )
     a = base.select("doc_id", "shingles", "minsh").alias("a")
-    b = base.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("shingles").alias("b_shingles"),
-        F.explode("hashes").alias("h"),
-    ).alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b_shingles")))
+    # candidate discovery joins ONLY (b_id, h) — exploding the hash
+    # list WITH each doc's shingle array attached would replicate the
+    # array once per shingle (O(Σ sᵢ²) bytes; measured 8 GiB at just
+    # 50k docs, over the broadcast-join hard cap). The container's
+    # shingles are re-attached afterwards, once per CANDIDATE PAIR —
+    # a set bounded by single-shingle collision frequency.
+    bh = base.select(F.col("doc_id").alias("b_id"), F.explode("hashes").alias("h"))
+    cand = a.join(
+        bh, (F.col("a.minsh") == F.col("h")) & (F.col("a.doc_id") != F.col("b_id"))
+    ).select("a.doc_id", "a.shingles", "a.minsh", "b_id")
+    b_sh = base.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_shingles")
+    )
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("b_shingles")))
     return (
-        a.join(b, (F.col("a.minsh") == F.col("h")) & (F.col("a.doc_id") != F.col("b_id")))
+        cand.join(b_sh, "b_id")
         .select(
-            F.col("a.doc_id").alias("doc_contained"),
+            F.col("doc_id").alias("doc_contained"),
             F.col("b_id").alias("doc_container"),
             (
-                F.round(inter / F.size(F.col("a.shingles")) * 10000.0).cast("long") / 10000.0
+                F.round(inter / F.size(F.col("shingles")) * 10000.0).cast("long") / 10000.0
             ).alias("containment"),
-            F.size(F.col("a.shingles")).alias("n_sh_a"),
+            F.size(F.col("shingles")).alias("n_sh_a"),
             F.size(F.col("b_shingles")).alias("n_sh_b"),
         )
         .filter(F.col("containment") >= CONTAIN_T)

@@ -146,6 +146,10 @@ _CHANGED_THIS_ROUND = (
     # pinned oracle domain (values unchanged at gate SF, but the
     # plans changed — re-verify externally first)
     "dedup_embedding", "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned",
+    # round 8, fourth sitting — dedup_containment's candidate
+    # discovery no longer replicates shingle arrays through the
+    # explode (same pairs, new join shape — re-verify externally)
+    "dedup_containment",
 )
 _CONVERTED_THIS_ROUND = ()
 

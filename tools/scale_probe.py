@@ -52,6 +52,9 @@ PROBE_QUERIES = [
     "q_events_sessionize",
     "q_mad_outliers_dist",
 ]
+# targeted runs: SPARK_GRAFT_PROBE_QUERIES=dedup_containment,text_tokens
+if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):
+    PROBE_QUERIES = os.environ["SPARK_GRAFT_PROBE_QUERIES"].split(",")
 
 
 def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:

@@ -532,8 +532,25 @@ def dedup_components(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -
     return connected_components(pairs)
 
 
+# Below this many PAIR rows, connected components runs as a driver
+# union-find: one bounded collect + one createDataFrame instead of
+# 6-10 scheduled shuffle jobs (sym-union, label init, 2 jobs per
+# propagation round). Same documented small-input-gate pattern as
+# q_rfm_segmentation's SMALL_TOTAL: the distributed propagation is
+# ALWAYS the path for real corpora; the gate only short-circuits
+# graphs that provably fit in a few MB of driver memory (the edge
+# count is known before the branch — counted or caller-supplied).
+CC_SMALL_PAIRS = 100_000
+
+
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 16, width_floor: int = 8
+    pairs: DataFrame,
+    max_rounds: int = 16,
+    width_floor: int = 8,
+    sort: bool = True,
+    edge_count: int | None = None,
+    pinned: bool = False,
+    small_gate: int = CC_SMALL_PAIRS,
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) pair
     list via min-label propagation. Returns (doc_id, comp) for every
@@ -546,25 +563,79 @@ def connected_components(
     (labels appears twice in the next plan), so without lineage
     truncation Catalyst analysis goes exponential — persist() caches
     data but not the plan. On a real cluster with fault-tolerance
-    requirements, set a checkpoint dir and swap in ``checkpoint()``."""
+    requirements, set a checkpoint dir and swap in ``checkpoint()``.
+
+    ``pinned=True`` promises the caller already materialized
+    ``pairs`` (localCheckpoint/parquet): the symmetrize union is then
+    left lazy (a narrow recompute over pinned rows per round) instead
+    of spending a checkpoint job on it, and the label init folds into
+    round 1's checkpoint. Two fewer jobs — the streaming fold calls
+    this once per micro-batch, where scheduling dominates."""
+    spark = pairs.sparkSession
+    # materialize the pair list ONCE (callers with pinned=True or a
+    # known edge_count already did); everything below — the count,
+    # the driver gate's collect, the symmetrize union each round —
+    # reads the pinned rows instead of re-running the upstream LSH
+    if edge_count is None and not pinned:
+        pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = edge_count if edge_count is not None else pairs.count()
+    if n_pairs <= small_gate:
+        return _cc_driver(spark, pairs, sort)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     # every propagation round shuffles O(edges) rows: size the round
     # width to the materialized edge count (~1M rows/partition,
     # floored at 8, capped at the deployment default — real graphs
     # get the default). Safe: each round executes eagerly inside.
-    spark = pairs.sparkSession
     with scoped_shuffle_width(
-        spark, sized_width(spark, edges.count(), floor=width_floor)
+        spark, sized_width(spark, 2 * n_pairs, floor=width_floor)
     ):
         labels = _propagate(edges, labels, max_rounds)
-    return labels.orderBy("doc_id")
+    # sort=False for intermediate folds (e.g. the per-batch streaming
+    # CC fold, whose labels land in parquet state) — the range
+    # exchange + sampling job behind orderBy is pure waste there
+    return labels.orderBy("doc_id") if sort else labels
+
+
+def _cc_driver(spark: SparkSession, pairs: DataFrame, sort: bool) -> DataFrame:
+    """Union-find on the driver for pair lists under the small gate —
+    the same output contract as distributed propagation (comp = min
+    doc_id per component, one row per node appearing in a pair), but
+    one bounded collect + one createDataFrame instead of 6-10
+    scheduled shuffle jobs. The collect is bounded by construction:
+    the caller branches here only when the counted pair list is
+    ≤ ``small_gate`` rows (a few MB)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+    id_t = pairs.schema.fields[0].dataType.simpleString()
+    out = spark.createDataFrame(rows, f"doc_id {id_t}, comp {id_t}")
+    return out.orderBy("doc_id") if sort else out
 
 
 def _propagate(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:

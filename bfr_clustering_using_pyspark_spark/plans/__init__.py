@@ -122,10 +122,11 @@ _CHANGED_THIS_ROUND = (
     # pca_power_det's oracle gained a fail-fast dimension guard CTE
     # (values unchanged on well-formed corpora) — re-verify the text
     "pca_power_det",
-    # stream_components' per-batch fold changed (pinned pairs,
-    # zero-pair skip, narrower fold width) and dedup_components'
-    # connected_components gained a width_floor param — same labels,
-    # new plans, re-verify externally
+    # stream_components' per-batch fold is now TWO-TIER (driver
+    # union-find under documented bounds; distributed incremental
+    # contract-CC-remap beyond them) and connected_components gained
+    # a small-edge driver gate — same labels, new plans, re-verify
+    # externally
     "stream_components", "dedup_components",
     # NN-Descent index now persists to the warehouse and reloads
     # across sessions — same edges, new materialization path

@@ -15,13 +15,16 @@ chunk loop), and every micro-batch
    accumulated store (new×new ∪ new×old — never old×old, so each
    pair is discovered exactly once, when its later member arrives),
 4. exact-Jaccard-verifies candidates, and
-5. folds the verified pairs into the running component labelling by
-   re-running min-label propagation over (new pairs ∪ label edges)
-   — the label table acts as a contracted graph (one doc_id→comp
-   edge per node), so the per-batch CC input is O(new pairs + nodes
-   in components), not O(all pairs ever seen).
+5. folds the verified pairs into the running component labelling —
+   a driver union-find while the per-batch delta and touched-node
+   set stay under documented bounds, escalating once to a
+   distributed incremental fold (contract the delta through the
+   previous labelling, CC only the touched graph, one-join remap)
+   beyond them; either way the per-batch fold cost is O(delta),
+   never a propagation over every node ever seen.
 
-State is parquet-append (signatures, shingles) + overwrite (labels);
+State is parquet-append (signatures, shingles) + versioned label
+snapshots once escalated;
 on a production cluster those become Delta/Iceberg tables with MERGE
 and the stream runs continuously — per-batch work is bounded by
 batch size × band-collision rate, independent of history size except
@@ -41,10 +44,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..functions.tuning import scoped_shuffle_width
 from ..operators.dedup import (
+    CC_SMALL_PAIRS,
     _minhash_kernel,
     _minhash_params,
     _shingles_expr,
@@ -110,8 +113,24 @@ def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str
     )
 
 
+def _uf_find(parent: dict, x):
+    """Union-find root lookup with path compression (driver-side
+    component state for deltas under the small gate)."""
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:
+        parent[x], x = root, parent[x]
+    return root
+
+
 def stream_components(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.7, n_chunks: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    n_chunks: int = 2,
+    driver_gate: int = CC_SMALL_PAIRS,
+    node_bound: int = 1_000_000,
 ) -> DataFrame:
     """Drain a chunked copy of ``documents`` through the incremental
     component maintainer and return the final (doc_id, comp) table.
@@ -120,7 +139,24 @@ def stream_components(
     ``maxFilesPerTrigger=1`` so the drain genuinely exercises
     multi-batch incrementality (a single-file source would collapse
     to one batch). Oracle: same transitive-closure SQL as
-    ``dedup_components``."""
+    ``dedup_components``.
+
+    Two-tier label maintenance (same documented small-gate doctrine
+    as ``connected_components``'s driver gate / q_rfm's SMALL_TOTAL):
+
+    - while every batch's verified-pair delta is ≤ ``driver_gate``
+      rows AND the touched-node set is ≤ ``node_bound``, components
+      live in a driver union-find — folding a delta is one bounded
+      collect (microseconds of CPU) instead of 6-10 scheduled
+      shuffle jobs per micro-batch;
+    - the moment either bound is crossed, the state is flushed to a
+      parquet snapshot ONCE and every later batch takes the
+      distributed incremental fold: contract the new pairs through
+      the previous labelling, CC only the touched graph, remap the
+      label table with one hash join — per-batch cost O(delta) + a
+      linear join, never a propagation over all history. That path
+      is what runs at 100 TB; the driver tier only short-circuits
+      deltas that provably fit in a few MB."""
     a_p, b_p = _minhash_params()
     src = _chunked_docs_cached(spark, sf_dir, n_chunks)
 
@@ -128,11 +164,55 @@ def stream_components(
         sig_path = f"{tmp}/state/sigs"
         sh_path = f"{tmp}/state/shingles"
         lbl_path = f"{tmp}/state/labels"
+        # cross-batch label state (foreachBatch runs on the driver,
+        # so closure state is visible across batches of this drain):
+        # "uf" = union-find parent map while under the bounds, None
+        # after escalation; "dir" = newest parquet snapshot dir once
+        # flushed (exactly one of the two carries the labelling)
+        lbl_state: dict = {"dir": None, "uf": {}}
+
+        def _flush_uf(sp: SparkSession, batch_id: int) -> None:
+            """One-time escalation: persist the driver union-find as
+            a parquet label snapshot (comp = component min id) and
+            hand ownership to the distributed fold."""
+            parent = lbl_state["uf"]
+            comp_min: dict = {}
+            for v in parent:
+                r = _uf_find(parent, v)
+                if r not in comp_min or v < comp_min[r]:
+                    comp_min[r] = v
+            rows = [(v, comp_min[_uf_find(parent, v)]) for v in sorted(parent)]
+            out_dir = f"{lbl_path}/b{batch_id:05d}_flush"
+            sp.createDataFrame(rows, "doc_id long, comp long").write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            lbl_state["dir"] = out_dir
+            lbl_state["uf"] = None
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            import os
+            import time as _time
+
+            _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+            _t0 = _time.time()
+
+            def _mark(phase: str) -> None:
+                nonlocal _t0
+                if _prof:
+                    t = _time.time()
+                    print(f"[streamcc b{batch_id}] {phase}: {t - _t0:.2f}s", flush=True)
+                    _t0 = t
+
             sp = batch_df.sparkSession
+            # one chunk file = one input split — spread the batch
+            # across the cores before the shingle build and Python
+            # minhash kernel, exactly like the batch LSH path
+            # (dedup.py dedup_minhash_lsh); the fold's narrow scoped
+            # width does not apply to an explicit repartition(n)
+            n_part = max(sp.sparkContext.defaultParallelism, 8)
             base = (
-                batch_df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+                batch_df.repartition(n_part, "doc_id")
+                .select("doc_id", _tokens(F.col("text")).alias("toks"))
                 .filter(F.size("toks") >= 3)
                 .select("doc_id", _shingles_expr().alias("shingles"))
                 .persist()
@@ -153,7 +233,9 @@ def stream_components(
                 # batch_id (task failure after a partial write) replays
                 # idempotently instead of dying on path-already-exists
                 bands.write.mode("overwrite").parquet(f"{sig_path}/b{batch_id:05d}")
+                _mark("minhash+sig_write")
                 base.write.mode("overwrite").parquet(f"{sh_path}/b{batch_id:05d}")
+                _mark("shingle_write")
                 new_bands = sp.read.parquet(f"{sig_path}/b{batch_id:05d}")
                 all_bands = sp.read.parquet(f"{sig_path}/b*")
                 cand = (
@@ -185,28 +267,115 @@ def stream_components(
                     # and must not re-run the bucket/verify joins
                     .localCheckpoint(eager=True)
                 )
-                if pairs.isEmpty():
+                n_new = pairs.count()
+                _mark("bucket+verify")
+                if n_new == 0:
                     # no new verified pairs -> the component labelling
-                    # is unchanged; skip the whole CC fold and label
-                    # rewrite (common for sparse batches — a batch of
-                    # all-novel docs touches no component)
+                    # is unchanged; skip the whole fold (common for
+                    # sparse batches — a batch of all-novel docs
+                    # touches no component)
                     return
-                try:
-                    prev = sp.read.parquet(lbl_path).select(
-                        F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+                if lbl_state["uf"] is not None and n_new <= driver_gate:
+                    # driver tier: fold the bounded delta into the
+                    # union-find — collect is ≤ driver_gate rows by
+                    # the count above; re-unioning on a foreachBatch
+                    # retry is a no-op, so replay is idempotent
+                    parent = lbl_state["uf"]
+                    for r in pairs.collect():
+                        a, b = r[0], r[1]
+                        parent.setdefault(a, a)
+                        parent.setdefault(b, b)
+                        ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+                        if ra != rb:
+                            parent[ra] = rb
+                    if len(parent) > node_bound:
+                        # soft bound: crossed by at most one batch's
+                        # worth of nodes before the flush lands
+                        _flush_uf(sp, batch_id)
+                    _mark("uf_fold")
+                    return
+                if lbl_state["uf"] is not None:
+                    # this delta exceeds the driver gate — escalate:
+                    # flush accumulated state once (if any), then
+                    # fold THIS batch distributed like all later ones
+                    if lbl_state["uf"]:
+                        _flush_uf(sp, batch_id)
+                    else:
+                        lbl_state["uf"] = None
+                # width_floor=2: the contracted per-batch fold graph
+                # is O(new pairs + touched components) — at gate scale
+                # a few thousand rows, where 8-wide rounds are pure
+                # task-scheduling overhead; sized_width still scales
+                # the width up with real edge volume
+                if lbl_state["dir"] is None:
+                    labels = connected_components(pairs, width_floor=2, sort=False, pinned=True)
+                else:
+                    # TRUE incremental fold: contract the new pairs
+                    # through the previous labelling (comp ids are the
+                    # component's min doc_id, so contracted nodes are
+                    # reps ∪ brand-new doc_ids and min-label CC over
+                    # them preserves the min-id convention), run CC
+                    # ONLY on that touched graph, then remap the label
+                    # table with ONE hash join. Per-batch cost is
+                    # O(new pairs + touched comps) + a linear remap —
+                    # never a multi-round propagation over every node
+                    # ever seen, which is what makes the maintainer
+                    # sublinear in history size at 100 TB.
+                    prev = sp.read.parquet(lbl_state["dir"])
+                    pa = prev.select(F.col("doc_id").alias("doc_a"), F.col("comp").alias("ca"))
+                    pb = prev.select(F.col("doc_id").alias("doc_b"), F.col("comp").alias("cb"))
+                    contracted = (
+                        pairs.join(pa, "doc_a", "left")
+                        .join(pb, "doc_b", "left")
+                        .select(
+                            F.coalesce("ca", F.col("doc_a")).alias("doc_a"),
+                            F.coalesce("cb", F.col("doc_b")).alias("doc_b"),
+                        )
+                        .filter(F.col("doc_a") != F.col("doc_b"))
+                        .distinct()
+                        # materialize ONCE: the count below gates the
+                        # empty case, CC reuses the pinned rows, and
+                        # edge_count spares CC its own sizing count
+                        .localCheckpoint(eager=True)
                     )
-                    edges = pairs.union(prev)
-                except AnalysisException:
-                    edges = pairs
-                # connected_components eagerly localCheckpoints its
-                # inputs, so overwriting lbl_path below never races
-                # the lazy read above. width_floor=2: the contracted
-                # per-batch fold graph is O(new pairs + touched nodes)
-                # — at gate scale a few thousand rows, where 8-wide
-                # rounds are pure task-scheduling overhead; sized_width
-                # still scales the width up with real edge volume
-                labels = connected_components(edges, width_floor=2)
-                labels.write.mode("overwrite").parquet(lbl_path)
+                    n_contracted = contracted.count()
+                    if n_contracted == 0:
+                        # every new pair lies inside an existing
+                        # component — labelling unchanged. On the
+                        # first run this cannot fire (every pair has
+                        # ≥1 member absent from prev, which survives
+                        # contraction); it exists for foreachBatch
+                        # RETRIES after the label snapshot landed,
+                        # making the replayed batch a no-op
+                        return
+                    remap = connected_components(
+                        contracted,
+                        width_floor=2,
+                        sort=False,
+                        edge_count=n_contracted,
+                        pinned=True,
+                    )
+                    rm = remap.select(F.col("doc_id").alias("old"), F.col("comp").alias("new"))
+                    upd_prev = prev.join(rm, prev.comp == rm.old, "left").select(
+                        "doc_id", F.coalesce("new", "comp").alias("comp")
+                    )
+                    # contracted nodes are exactly {reps of touched
+                    # comps} ∪ {new doc_ids}, so remap rows whose key
+                    # is NOT an existing comp id ARE the new nodes —
+                    # no separate pairs→nodes distinct/anti-join pass
+                    new_lbl = rm.join(
+                        prev.select(F.col("comp").alias("old")).distinct(), "old", "left_anti"
+                    ).select(F.col("old").alias("doc_id"), F.col("new").alias("comp"))
+                    labels = upd_prev.union(new_lbl)
+                # versioned snapshot per batch: the plan reads the
+                # PREVIOUS snapshot dir and writes a NEW one, so there
+                # is no read-path self-overwrite to pin around (and a
+                # foreachBatch retry just rewrites its own subdir);
+                # the closure var flips only after a successful write
+                out_dir = f"{lbl_path}/b{batch_id:05d}"
+                labels.write.mode("overwrite").parquet(out_dir)
+                lbl_state["dir"] = out_dir
+                _mark("cc_fold+label_write")
             finally:
                 base.unpersist()
 
@@ -231,10 +400,22 @@ def stream_components(
                 )
                 q.awaitTermination()
 
-        try:
-            final = spark.read.parquet(lbl_path)
-        except AnalysisException:
+        if lbl_state["uf"] is not None:
+            # the whole corpus stayed under the driver bounds: emit
+            # the union-find labelling directly (bounded rows)
+            parent = lbl_state["uf"]
+            comp_min: dict = {}
+            for v in parent:
+                r = _uf_find(parent, v)
+                if r not in comp_min or v < comp_min[r]:
+                    comp_min[r] = v
+            rows = [(v, comp_min[_uf_find(parent, v)]) for v in sorted(parent)]
+            return spark.createDataFrame(rows, "doc_id long, comp long").orderBy(
+                "doc_id"
+            )
+        if lbl_state["dir"] is None:
             return spark.createDataFrame([], "doc_id long, comp long")
+        final = spark.read.parquet(lbl_state["dir"])
         # the state dir dies with the context manager — pin the final
         # labels on EXECUTORS (eager localCheckpoint), never the
         # driver: the label table is O(n_docs) and a driver collect

@@ -38,6 +38,31 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert connected_components(pairs).count() == 0
 
+    @pytest.mark.parametrize("seed", [3, 11, 29])
+    def test_driver_gate_equals_distributed(self, spark, seed):
+        """The small-edge driver union-find must produce EXACTLY the
+        distributed propagation's labelling (same rows, same min-id
+        comps) on random graphs: chains, hubs, and sparse noise in
+        one corpus. small_gate=0 forces the distributed path on the
+        same input."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n = 200
+        a = rng.integers(0, n, 150)
+        b = (a + rng.integers(1, 10, 150)) % n
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": a.astype("int64"), "doc_b": b.astype("int64")})
+        ).filter("doc_a != doc_b")
+        fast = _comp_map(connected_components(pairs))
+        # union-find is exact at any depth; give propagation enough
+        # rounds for whatever diameter the random graph drew (the
+        # default 16-round cap is the documented shallow-graph bound
+        # -- deep graphs are connected_components_star's territory)
+        slow = _comp_map(connected_components(pairs, small_gate=0, max_rounds=250))
+        assert fast == slow
+        assert fast  # non-degenerate
+
 
 @pytest.fixture()
 def tiny_sf(tmp_path, spark):

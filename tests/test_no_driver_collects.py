@@ -33,10 +33,10 @@ WHITELIST = {
     "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),
     "plans/tpch_ext.py": (1, "per-returnflag counts (3 rows) for rank medians"),
     "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),
-    "operators/dedup.py": (1, "1-row agg (corpus-level scalars)"),
+    "operators/dedup.py": (2, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path)"),
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
     "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
-    "streaming/docs_stream.py": (1, "CMS partial cells per batch (<= d*w counters)"),
+    "streaming/docs_stream.py": (2, "CMS partial cells per batch (<= d*w counters); stream_components driver-tier fold: <=driver_gate pair rows per batch (counted before the collect; distributed incremental fold beyond the bounds)"),
     "streaming/events_stream.py": (1, "8-bucket partial aggregates per batch"),
 }
 

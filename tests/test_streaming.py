@@ -368,3 +368,58 @@ def test_watermark_rules_degenerate_batch_shapes(spark, tmp_path, name, batches)
     )
     want = _replay_calibrated_rules(batches, WINDOW_S, DELAY_S)
     assert got == want, f"{name}: {got} != {want}"
+
+
+def test_stream_components_cross_batch_merge(spark, tmp_path):
+    """Deterministically exercise the incremental fold's REMAP branch:
+    10 identical A-docs and 10 identical B-docs spread across 4 chunk
+    files (round-robin repartition caps a chunk at 8 of the 30 rows,
+    so each dup group MUST span >=2 micro-batches). Every batch after
+    the first that carries an A- or B-doc contracts its new pairs
+    through the previous labelling and remaps — the final labels must
+    still be the min-doc_id of each group, with singletons unlabeled."""
+    from bfr_clustering_using_pyspark_spark.streaming.docs_stream import (
+        stream_components,
+    )
+
+    a_text = "alpha beaver cedar delta ember falcon garnet harbor iris jasper kelp"
+    b_text = "boron copper dingo elm fjord granite hollow indigo jute krill lotus"
+    rows = (
+        [(i, a_text) for i in range(10)]
+        + [(10 + i, b_text) for i in range(10)]
+        + [
+            (20 + i, f"unique{i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+            for i in range(10)
+        ]
+    )
+    d = tmp_path / "mergecorpus"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    want = {(i, 0) for i in range(10)} | {(10 + i, 10) for i in range(10)}
+    # default path: driver union-find tier
+    got = {
+        (r["doc_id"], r["comp"])
+        for r in stream_components(spark, str(d), n_chunks=4).collect()
+    }
+    assert got == want
+    # distributed incremental fold (driver_gate=0 escalates on the
+    # first non-empty delta): contraction + touched-graph CC +
+    # one-join remap must converge to the same labelling
+    got_dist = {
+        (r["doc_id"], r["comp"])
+        for r in stream_components(
+            spark, str(d), n_chunks=4, driver_gate=0
+        ).collect()
+    }
+    assert got_dist == want
+    # mid-stream escalation: the node bound trips after the first
+    # batches land in the union-find, forcing a flush + handoff
+    got_esc = {
+        (r["doc_id"], r["comp"])
+        for r in stream_components(
+            spark, str(d), n_chunks=4, node_bound=3
+        ).collect()
+    }
+    assert got_esc == want

@@ -423,3 +423,44 @@ def test_stream_components_cross_batch_merge(spark, tmp_path):
         ).collect()
     }
     assert got_esc == want
+
+
+def test_stream_components_fold_paths_random_corpus(spark, tmp_path):
+    """Random-corpus belt-and-suspenders for the two-tier fold: on a
+    generated corpus with duplicate groups of mixed size, the driver
+    union-find tier (default), the always-distributed fold
+    (driver_gate=0), and a mid-stream escalation (tiny node_bound)
+    must all equal the batch dedup_components labelling — which is
+    itself oracle-proven against DuckDB's recursive CTE."""
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.dedup import dedup_components
+    from bfr_clustering_using_pyspark_spark.streaming.docs_stream import (
+        stream_components,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(120)]
+    rows = []
+    doc_id = 0
+    for g in range(12):  # 12 groups of 2-5 exact/near duplicates
+        base = " ".join(rng.choice(vocab, 25))
+        for _ in range(int(rng.integers(2, 6))):
+            rows.append((doc_id, base))
+            doc_id += 1
+    for _ in range(40):  # singles
+        rows.append((doc_id, " ".join(rng.choice(vocab, 25))))
+        doc_id += 1
+    d = tmp_path / "foldfuzz"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    want = {(r["doc_id"], r["comp"]) for r in dedup_components(spark, str(d)).collect()}
+    assert want  # duplicate groups exist by construction
+    for kwargs in ({}, {"driver_gate": 0}, {"node_bound": 5}):
+        got = {
+            (r["doc_id"], r["comp"])
+            for r in stream_components(spark, str(d), n_chunks=3, **kwargs).collect()
+        }
+        assert got == want, f"fold path {kwargs} diverged"

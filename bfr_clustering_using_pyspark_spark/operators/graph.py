@@ -86,9 +86,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         ranks = nodes.select("node", F.lit(r0).alias("rank_q"))
+        # rank/contrib frames are O(nodes); when that side is small
+        # enough to broadcast (counted above — a customer/supplier
+        # graph has nodes << edges), each iteration becomes a
+        # map-side join + one partial-aggregated shuffle of O(edges)
+        # contributions instead of re-shuffling the pinned transition
+        # table every round. Beyond the gate (billions of nodes) both
+        # joins fall back to hash-partitioned — the default scale
+        # path; the integer math is identical either way.
+        bcast_nodes = n_nodes <= 5_000_000
+        maybe_b = F.broadcast if bcast_nodes else (lambda df: df)
         for _ in range(N_ITER):
             contrib = (
-                trans.join(ranks, trans.src == ranks.node)
+                trans.join(maybe_b(ranks), trans.src == ranks.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("p_q") * F.col("rank_q")).alias("inflow_q2"))
             )
@@ -97,7 +107,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # inflow first (÷P_SCALE) so the ×DAMP_NUM product stays well
             # inside int64.
             ranks = (
-                nodes.join(contrib, "node", "left")
+                nodes.join(maybe_b(contrib), "node", "left")
                 .select(
                     "node",
                     (
@@ -292,10 +302,16 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn_w = W.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
     # iteration width sized to the materialized edge count — same
     # reasoning and bounds as graph_pagerank above
-    with scoped_shuffle_width(spark, sized_width(spark, edges.count())):
+    n_edges = edges.count()
+    # label table is O(nodes) ≤ O(edges): under the same gate as
+    # graph_pagerank, broadcast it so each round is a map-side join
+    # + one partial-aggregated shuffle instead of re-shuffling the
+    # pinned edge table; beyond the gate both sides hash-partition
+    maybe_b = F.broadcast if n_edges <= 5_000_000 else (lambda df: df)
+    with scoped_shuffle_width(spark, sized_width(spark, n_edges)):
         for _ in range(LP_ITER):
             labels = (
-                edges.join(labels, edges.src == labels.node)
+                edges.join(maybe_b(labels), edges.src == labels.node)
                 .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.sum("w").alias("wt"))
                 .withColumn("rn", F.row_number().over(rn_w))

@@ -572,11 +572,14 @@ def connected_components(
     round 1's checkpoint. Two fewer jobs — the streaming fold calls
     this once per micro-batch, where scheduling dominates."""
     spark = pairs.sparkSession
-    # materialize the pair list ONCE (callers with pinned=True or a
-    # known edge_count already did); everything below — the count,
-    # the driver gate's collect, the symmetrize union each round —
-    # reads the pinned rows instead of re-running the upstream LSH
-    if edge_count is None and not pinned:
+    # materialize the pair list ONCE (callers passing pinned=True
+    # already did); everything below — the count, the driver gate's
+    # collect, the symmetrize union each round — reads the pinned
+    # rows instead of re-running the upstream LSH. edge_count only
+    # ever skips the COUNT job, never the pin: a counted-but-unpinned
+    # caller would otherwise re-execute its upstream plan twice per
+    # propagation round through the lazy symmetrize union.
+    if not pinned:
         pairs = pairs.localCheckpoint(eager=True)
     n_pairs = edge_count if edge_count is not None else pairs.count()
     if n_pairs <= small_gate:
@@ -602,6 +605,39 @@ def connected_components(
     return labels.orderBy("doc_id") if sort else labels
 
 
+def uf_find(parent: dict, x):
+    """Union-find root lookup with path compression (shared by the
+    driver CC gate here and the streaming fold's driver tier)."""
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:
+        parent[x], x = root, parent[x]
+    return root
+
+
+def uf_union(parent: dict, a, b) -> None:
+    """Insert both endpoints and merge their components (idempotent —
+    re-unioning the same pair is a no-op, which makes replay safe)."""
+    parent.setdefault(a, a)
+    parent.setdefault(b, b)
+    ra, rb = uf_find(parent, a), uf_find(parent, b)
+    if ra != rb:
+        parent[ra] = rb
+
+
+def uf_labels(parent: dict) -> list[tuple]:
+    """(node, comp) rows from a union-find state, comp = component
+    min id, sorted by node — the single labeling convention every
+    driver-tier consumer emits."""
+    comp_min: dict = {}
+    for v in parent:
+        r = uf_find(parent, v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return [(v, comp_min[uf_find(parent, v)]) for v in sorted(parent)]
+
+
 def _cc_driver(spark: SparkSession, pairs: DataFrame, sort: bool) -> DataFrame:
     """Union-find on the driver for pair lists under the small gate —
     the same output contract as distributed propagation (comp = min
@@ -611,28 +647,9 @@ def _cc_driver(spark: SparkSession, pairs: DataFrame, sort: bool) -> DataFrame:
     the caller branches here only when the counted pair list is
     ≤ ``small_gate`` rows (a few MB)."""
     parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
     for r in pairs.collect():
-        a, b = r[0], r[1]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    comp_min: dict = {}
-    for v in parent:
-        r = find(v)
-        if r not in comp_min or v < comp_min[r]:
-            comp_min[r] = v
-    rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+        uf_union(parent, r[0], r[1])
+    rows = uf_labels(parent)
     id_t = pairs.schema.fields[0].dataType.simpleString()
     out = spark.createDataFrame(rows, f"doc_id {id_t}, comp {id_t}")
     return out.orderBy("doc_id") if sort else out

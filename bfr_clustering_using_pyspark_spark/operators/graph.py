@@ -35,6 +35,10 @@ _SUPP_OFFSET = 1_000_000  # supplier node ids = s_suppkey + offset
 # the per-product and per-sum headroom is n-independent.
 R_SCALE = 10**12
 P_SCALE = 10**6
+# broadcast the O(nodes) side of graph-iteration joins below this
+# node count (a 1M-row (node, long) frame is tens of MB serialized
+# — safe on a default driver); hash-partitioned joins beyond it
+GRAPH_BCAST_NODES = 1_000_000
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,11 +95,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # graph has nodes << edges), each iteration becomes a
         # map-side join + one partial-aggregated shuffle of O(edges)
         # contributions instead of re-shuffling the pinned transition
-        # table every round. Beyond the gate (billions of nodes) both
-        # joins fall back to hash-partitioned — the default scale
-        # path; the integer math is identical either way.
-        bcast_nodes = n_nodes <= 5_000_000
-        maybe_b = F.broadcast if bcast_nodes else (lambda df: df)
+        # table every round. Beyond the gate both joins fall back to
+        # hash-partitioned — the default scale path; the integer math
+        # is identical either way. Gate sized for the broadcast's
+        # DRIVER cost: 1M (node, rank) rows ≈ tens of MB serialized,
+        # well inside a default driver heap.
+        maybe_b = F.broadcast if n_nodes <= GRAPH_BCAST_NODES else (lambda df: df)
         for _ in range(N_ITER):
             contrib = (
                 trans.join(maybe_b(ranks), trans.src == ranks.node)
@@ -303,11 +308,15 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration width sized to the materialized edge count — same
     # reasoning and bounds as graph_pagerank above
     n_edges = edges.count()
-    # label table is O(nodes) ≤ O(edges): under the same gate as
-    # graph_pagerank, broadcast it so each round is a map-side join
-    # + one partial-aggregated shuffle instead of re-shuffling the
-    # pinned edge table; beyond the gate both sides hash-partition
-    maybe_b = F.broadcast if n_edges <= 5_000_000 else (lambda df: df)
+    # the label table is O(nodes): count it once and apply the SAME
+    # node-count broadcast gate as graph_pagerank (gating on edges
+    # would over-broadcast sparse graphs — a 5M-edge graph can have
+    # ~10M nodes); each gated round is then a map-side join + one
+    # partial-aggregated shuffle instead of re-shuffling the pinned
+    # edge table
+    labels = labels.localCheckpoint(eager=True)
+    n_nodes = labels.count()
+    maybe_b = F.broadcast if n_nodes <= GRAPH_BCAST_NODES else (lambda df: df)
     with scoped_shuffle_width(spark, sized_width(spark, n_edges)):
         for _ in range(LP_ITER):
             labels = (

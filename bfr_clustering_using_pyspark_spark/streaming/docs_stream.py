@@ -40,6 +40,8 @@ rows-only.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +55,8 @@ from ..operators.dedup import (
     _shingles_expr,
     _tokens,
     connected_components,
+    uf_labels,
+    uf_union,
 )
 from ..sources.readers import load_table
 
@@ -113,17 +117,6 @@ def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str
     )
 
 
-def _uf_find(parent: dict, x):
-    """Union-find root lookup with path compression (driver-side
-    component state for deltas under the small gate)."""
-    root = x
-    while parent[root] != root:
-        root = parent[root]
-    while parent[x] != root:
-        parent[x], x = root, parent[x]
-    return root
-
-
 def stream_components(
     spark: SparkSession,
     sf_dir: str,
@@ -175,13 +168,7 @@ def stream_components(
             """One-time escalation: persist the driver union-find as
             a parquet label snapshot (comp = component min id) and
             hand ownership to the distributed fold."""
-            parent = lbl_state["uf"]
-            comp_min: dict = {}
-            for v in parent:
-                r = _uf_find(parent, v)
-                if r not in comp_min or v < comp_min[r]:
-                    comp_min[r] = v
-            rows = [(v, comp_min[_uf_find(parent, v)]) for v in sorted(parent)]
+            rows = uf_labels(lbl_state["uf"])
             out_dir = f"{lbl_path}/b{batch_id:05d}_flush"
             sp.createDataFrame(rows, "doc_id long, comp long").write.mode(
                 "overwrite"
@@ -190,7 +177,6 @@ def stream_components(
             lbl_state["uf"] = None
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
-            import os
             import time as _time
 
             _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
@@ -282,12 +268,7 @@ def stream_components(
                     # retry is a no-op, so replay is idempotent
                     parent = lbl_state["uf"]
                     for r in pairs.collect():
-                        a, b = r[0], r[1]
-                        parent.setdefault(a, a)
-                        parent.setdefault(b, b)
-                        ra, rb = _uf_find(parent, a), _uf_find(parent, b)
-                        if ra != rb:
-                            parent[ra] = rb
+                        uf_union(parent, r[0], r[1])
                     if len(parent) > node_bound:
                         # soft bound: crossed by at most one batch's
                         # worth of nodes before the flush lands
@@ -308,7 +289,9 @@ def stream_components(
                 # task-scheduling overhead; sized_width still scales
                 # the width up with real edge volume
                 if lbl_state["dir"] is None:
-                    labels = connected_components(pairs, width_floor=2, sort=False, pinned=True)
+                    labels = connected_components(
+                        pairs, width_floor=2, sort=False, edge_count=n_new, pinned=True
+                    )
                 else:
                     # TRUE incremental fold: contract the new pairs
                     # through the previous labelling (comp ids are the
@@ -372,9 +355,19 @@ def stream_components(
                 # is no read-path self-overwrite to pin around (and a
                 # foreachBatch retry just rewrites its own subdir);
                 # the closure var flips only after a successful write
+                prev_dir = lbl_state["dir"]
                 out_dir = f"{lbl_path}/b{batch_id:05d}"
                 labels.write.mode("overwrite").parquet(out_dir)
                 lbl_state["dir"] = out_dir
+                # prune snapshots older than the one just superseded:
+                # a retry of the NEXT batch only ever needs out_dir,
+                # so keeping (current, previous) bounds label storage
+                # at 2 copies on a continuous stream instead of
+                # O(batches) full-table snapshots
+                for stale in sorted(os.listdir(lbl_path)):
+                    full = f"{lbl_path}/{stale}"
+                    if full not in (out_dir, prev_dir):
+                        shutil.rmtree(full, ignore_errors=True)
                 _mark("cc_fold+label_write")
             finally:
                 base.unpersist()
@@ -403,13 +396,7 @@ def stream_components(
         if lbl_state["uf"] is not None:
             # the whole corpus stayed under the driver bounds: emit
             # the union-find labelling directly (bounded rows)
-            parent = lbl_state["uf"]
-            comp_min: dict = {}
-            for v in parent:
-                r = _uf_find(parent, v)
-                if r not in comp_min or v < comp_min[r]:
-                    comp_min[r] = v
-            rows = [(v, comp_min[_uf_find(parent, v)]) for v in sorted(parent)]
+            rows = uf_labels(lbl_state["uf"])
             return spark.createDataFrame(rows, "doc_id long, comp long").orderBy(
                 "doc_id"
             )

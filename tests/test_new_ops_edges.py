@@ -62,6 +62,18 @@ class TestConnectedComponents:
         slow = _comp_map(connected_components(pairs, small_gate=0, max_rounds=250))
         assert fast == slow
         assert fast  # non-degenerate
+        # production shape: caller-pinned input, lazy symmetrize
+        # union feeding the distributed propagation (the streaming
+        # fold's escalated path above the driver gate)
+        pinned = _comp_map(
+            connected_components(
+                pairs.localCheckpoint(eager=True),
+                small_gate=0,
+                max_rounds=250,
+                pinned=True,
+            )
+        )
+        assert pinned == slow
 
 
 @pytest.fixture()

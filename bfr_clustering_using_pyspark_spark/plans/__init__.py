@@ -65,21 +65,21 @@ _COST_S = {
     "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 2.2,
     "stream_countmin": 2.5, "q_asof_grouped": 2.7,
     "stream_sessionize_stateful": 2.7, "corpus_mix": 2.8,
-    "graph_pagerank": 5.0, "kmeans_fit": 2.8, "intermediate_stats": 3.1,
+    "graph_pagerank": 9.0, "kmeans_fit": 2.8, "intermediate_stats": 3.1,
     "embedding_quantize": 3.5, "stream_stream_join": 3.7,
-    "dedup_ngram_jaccard": 3.8, "bfr_fit": 3.9, "dedup_containment": 3.9,
-    "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 5.4,
-    "text_pii_scrub": 5.8, "dedup_components": 5.0, "dedup_recall_eval": 5.0,
-    "stream_components": 11.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
+    "dedup_ngram_jaccard": 5.0, "bfr_fit": 3.9, "dedup_containment": 6.0,
+    "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 7.0,
+    "text_pii_scrub": 5.8, "dedup_components": 7.0, "dedup_recall_eval": 5.0,
+    "stream_components": 15.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
     "ann_ivf_partitioned": 2.6,
     "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,
-    "q_bucketed_join": 2.4, "stream_late_data": 2.5,
+    "q_bucketed_join": 2.4, "stream_late_data": 5.0,
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 7.9, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
-    "stream_update_counts": 2.2, "source_custom_points": 2.0,
-    "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 2.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
+    "stream_update_counts": 4.0, "source_custom_points": 2.0,
+    "stream_checkpoint_recovery": 6.0, "udtf_doc_chunk": 1.5, "graph_label_prop": 4.0, "ch_index_eval": 1.0, "q_null_semantics": 0.6,
     "q_percentiles_dist": 6.0, "q_percentiles_approx": 1.0,
     # ann_nndescent_graph: REAL standalone cost (fresh testdata →
     # first touch of the shared index pays the full NN-Descent build;

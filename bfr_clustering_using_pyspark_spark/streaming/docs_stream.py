@@ -363,7 +363,10 @@ def stream_components(
                 # a retry of the NEXT batch only ever needs out_dir,
                 # so keeping (current, previous) bounds label storage
                 # at 2 copies on a continuous stream instead of
-                # O(batches) full-table snapshots
+                # O(batches) full-table snapshots. os/shutil is right
+                # for this operator's tempdir state root; the
+                # Delta/Iceberg production swap (module docstring)
+                # would VACUUM instead
                 for stale in sorted(os.listdir(lbl_path)):
                     full = f"{lbl_path}/{stale}"
                     if full not in (out_dir, prev_dir):

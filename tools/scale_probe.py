@@ -51,6 +51,11 @@ PROBE_QUERIES = [
     "dedup_embedding",
     "q_events_sessionize",
     "q_mad_outliers_dist",
+    # iterative/stateful families (added r8): the two-tier streaming
+    # component maintainer and the graph iteration ops
+    "stream_components",
+    "dedup_components",
+    "graph_pagerank",
 ]
 # targeted runs: SPARK_GRAFT_PROBE_QUERIES=dedup_containment,text_tokens
 if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):

@@ -454,15 +454,26 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.expr("substring(c_name, 1, greatest(length(c_name) - 3, 1))").alias("blk"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    # the build side broadcasts (customer names are small), so the
+    # JOIN's parallelism is the probe side's partition count — a
+    # single-file dim table would otherwise run every per-pair
+    # levenshtein in ONE task. Spread the probe side across the
+    # cluster before the expensive-per-row join output.
+    a = cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey").alias("a")
+    b = cust.alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey"))
     )
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # thresholded levenshtein (Spark 3.5+): banded DP that early-exits
+    # and returns -1 once the distance exceeds 3 — exact distances for
+    # every pair that survives, ~2-3x fewer DP cells for the blocked
+    # pairs that don't. The oracle computes the full distance and
+    # filters <= 3: identical surviving (pair, distance) sets.
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 3)
     # compact histogram output: pair count + example pair per distance
     return (
         pairs.select(dist.alias("lev_dist"), F.col("a.c_custkey").alias("ka"), F.col("b.c_custkey").alias("kb"))
-        .filter(F.col("lev_dist") <= 3)
+        .filter(F.col("lev_dist") >= 0)
         .groupBy("lev_dist")
         .agg(
             F.count("*").alias("n_pairs"),

@@ -32,6 +32,16 @@ def _tokset_key(col):
     return F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens(col))), " "))
 
 
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Probe-side spread before an expensive-per-row broadcast join:
+    under BroadcastHashJoin, stage parallelism equals the PROBE
+    side's partition count — and a single-file table scan is ONE
+    partition, serializing every per-pair levenshtein/array_intersect
+    on one core. One cheap shuffle of the probe rows buys full
+    cluster width for the join output work."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + canonical dedup: per doc, whether it is a duplicate
     (a doc with smaller id shares the key) under (a) raw text hash,
@@ -91,7 +101,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency of a single shingle value, independent of corpus size —
     no O(n²) blow-up within a length bucket at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the SCAN (single parquet file = one partition), so the
+    # shingle/min-hash build itself parallelizes on both join sides,
+    # not just the per-pair work after the exchange
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"), F.col("n_chars"))
         .filter(F.size("toks") >= 3)
@@ -108,6 +121,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # PIN the built table before self-joining: without it Catalyst
+    # pushes the join keys' isnotnull predicates BELOW the exchange
+    # and re-derives the whole regexp->shingle->md5 pipeline per
+    # predicate per row on the unspread scan side (measured 3x the
+    # build cost on one core); the checkpoint materializes the build
+    # exactly once, at full width
+    base = base.localCheckpoint(eager=True)
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(
@@ -244,7 +264,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket size — and with it the per-vector candidate count — stays
     CONSTANT as the corpus grows; one metadata count() sizes it.
     zip_with/aggregate, JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -255,6 +275,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(bits)
     )
     base = emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
+    # PIN the built table before self-joining: without it Catalyst
+    # pushes the join keys' isnotnull predicates BELOW the exchange
+    # and re-derives the whole regexp->shingle->md5 pipeline per
+    # predicate per row on the unspread scan side (measured 3x the
+    # build cost on one core); the checkpoint materializes the build
+    # exactly once, at full width
+    base = base.localCheckpoint(eager=True)
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -459,7 +486,7 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file dim table would otherwise run every per-pair
     # levenshtein in ONE task. Spread the probe side across the
     # cluster before the expensive-per-row join output.
-    a = cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey").alias("a")
+    a = _spread(cust, "c_custkey").alias("a")
     b = cust.alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey"))
@@ -801,7 +828,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency of one shingle value, independent of corpus size. The
     oracle replays the identical blocking, so the gate hash pins the
     exact candidate protocol, probabilistic recall and all."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the SCAN (single parquet file = one partition) so the
+    # shingle/hash build parallelizes on every derived side
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
@@ -814,6 +843,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("minsh", F.array_min("hashes"))
     )
+    # PIN the built table before self-joining: without it Catalyst
+    # pushes the join keys' isnotnull predicates BELOW the exchange
+    # and re-derives the whole regexp->shingle->md5 pipeline per
+    # predicate per row on the unspread scan side (measured 3x the
+    # build cost on one core); the checkpoint materializes the build
+    # exactly once, at full width
+    base = base.localCheckpoint(eager=True)
     a = base.select("doc_id", "shingles", "minsh").alias("a")
     # candidate discovery joins ONLY (b_id, h) — exploding the hash
     # list WITH each doc's shingle array attached would replicate the

@@ -151,6 +151,12 @@ _CHANGED_THIS_ROUND = (
     # discovery no longer replicates shingle arrays through the
     # explode (same pairs, new join shape — re-verify externally)
     "dedup_containment",
+    # round 8, fourth sitting — the dedup self-join family's built
+    # tables are now spread + pinned before joining (kills the
+    # pushed-down isnotnull recompute of the shingle pipeline and
+    # the single-task probe stage) and fuzzy-names uses thresholded
+    # levenshtein on a spread probe side — same values, new plans
+    "dedup_ngram_jaccard", "dedup_fuzzy_names",
 )
 _CONVERTED_THIS_ROUND = ()
 

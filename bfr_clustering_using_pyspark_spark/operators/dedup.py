@@ -34,13 +34,17 @@ def _tokset_key(col):
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Probe-side spread before an expensive-per-row broadcast join:
-    under BroadcastHashJoin, stage parallelism equals the PROBE
-    side's partition count — and a single-file table scan is ONE
-    partition, serializing every per-pair levenshtein/array_intersect
-    on one core. One cheap shuffle of the probe rows buys full
-    cluster width for the join output work."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Spread an under-partitioned scan before expensive-per-row
+    work: under BroadcastHashJoin, stage parallelism equals the
+    PROBE side's partition count — and a single-file table scan is
+    ONE partition, serializing every per-pair levenshtein /
+    array_intersect on one core. Conditional so a well-partitioned
+    scan (any real corpus — many files) skips the extra shuffle:
+    the guard only fires when the layout under-parallelizes."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(par, 8):
+        return df
+    return df.repartition(par, key)
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + canonical dedup: per doc, whether it is a duplicate

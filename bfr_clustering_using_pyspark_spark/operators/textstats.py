@@ -448,7 +448,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers (regex in the common RE2/Java subset), emitting per-doc
     match counts and the md5 of the scrubbed text. All JVM-side
     regexp_count/regexp_replace — scales as the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import _spread
+
+    # the regex chain is the most expensive per-row text kernel in
+    # the repo; a single-file scan would run it all on one core
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 5 == 0, F.lit(" contact alice.smith@example.com now"))

@@ -69,7 +69,7 @@ _COST_S = {
     "embedding_quantize": 3.5, "stream_stream_join": 3.7,
     "dedup_ngram_jaccard": 5.0, "bfr_fit": 3.9, "dedup_containment": 6.0,
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 7.0,
-    "text_pii_scrub": 5.8, "dedup_components": 7.0, "dedup_recall_eval": 5.0,
+    "text_pii_scrub": 1.5, "dedup_components": 7.0, "dedup_recall_eval": 5.0,
     "stream_components": 15.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
@@ -156,7 +156,7 @@ _CHANGED_THIS_ROUND = (
     # pushed-down isnotnull recompute of the shingle pipeline and
     # the single-task probe stage) and fuzzy-names uses thresholded
     # levenshtein on a spread probe side — same values, new plans
-    "dedup_ngram_jaccard", "dedup_fuzzy_names",
+    "dedup_ngram_jaccard", "dedup_fuzzy_names", "text_pii_scrub",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -216,6 +216,18 @@ def main() -> None:
         )
         codegen = int(m.group(1)) if m else 0
         n_gw = count_global_windows(plan)
+        # INFORMATIONAL (never fails the audit): a Filter node whose
+        # condition evaluates a heavy string/array kernel is the
+        # pushed-down-recompute smell found in r8 — Catalyst pushing
+        # a derived join key's isnotnull below an exchange and
+        # re-deriving the whole regexp->shingle->md5 pipeline per
+        # predicate per row. Predicates should test materialized
+        # columns; a hit here usually means the built table wants an
+        # eager localCheckpoint before its self-join.
+        heavy_filters = 0
+        for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
+            if re.search(r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\(", fm.group(1)):
+                heavy_filters += 1
         probs = []
         if want_push and not pushed:
             probs.append("no pushed filters")
@@ -228,9 +240,10 @@ def main() -> None:
         if name in MIN_CODEGEN and codegen < 1:
             probs.append("no whole-stage codegen subtree")
         status = "OK " if not probs else "BAD"
+        warn = f" WARN:{heavy_filters}-heavy-expr-filter(s)" if heavy_filters else ""
         print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
-              f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw} "
-              f"{'; '.join(probs)}")
+              f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw}"
+              f"{warn} {'; '.join(probs)}")
         if probs:
             failures.append(name)
             if only:

@@ -98,7 +98,14 @@ def _bucket_col(
         + F.when(bucket_expr.cast("double") > c, F.lit(1)).otherwise(F.lit(0)),
     )
     null_bucket = F.lit(len(cuts) if nulls == "last" else 0)
-    return F.when(bucket_expr.isNull(), null_bucket).otherwise(fold)
+    # coalesce with a literal marks the column PROVABLY NON-NULL, so
+    # when the bucket id becomes a window-partition/join key Catalyst
+    # folds the inferred isnotnull(_bkt) to true instead of pushing a
+    # Filter that RE-EVALUATES this whole fold per row below the
+    # exchange (the r8 pushed-down-recompute defect; the fallback arm
+    # never fires — the isNull branch already covers the only way the
+    # fold could be null)
+    return F.coalesce(F.when(bucket_expr.isNull(), null_bucket).otherwise(fold), null_bucket)
 
 
 def grouped_rank(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dedup import _tokens
+from .dedup import _spread, _tokens
 
 SAMPLE_PCT = 20  # deterministic 20% sample
 TRAIN_PCT, VAL_PCT = 80, 10  # 80/10/10 split
@@ -128,10 +128,19 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) and broadcasts; here the hint is left to AQE because the
     synthetic benchmark grows with SF. Output: contaminated doc_id +
     how many distinct benchmark shingles it shares."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= DECON_N
     )
+    # PIN the tokenized table before deriving both split branches:
+    # the size(toks) filter is a genuine semantic predicate, but
+    # pushed to the scan it re-evaluates the regexp tokenizer in the
+    # Filter AND again in the Project, on each of the two branches —
+    # 4 tokenizer passes over the corpus. The checkpoint runs it
+    # once, full width, and both branches read the materialized toks.
+    toks = toks.localCheckpoint(eager=True)
     sh = toks.select("doc_id", F.explode(_ngram_shingles(DECON_N)).alias("sh"))
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % 97 != 0)

@@ -18,6 +18,14 @@ from ..sources.readers import load_table
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
+# Brute-force query-set bound: the exact-truth baseline is O(q·n) by
+# construction, but with q = n/QUERY_MOD the total is O(n²/50) — at
+# corpus scale the broadcast side itself grows unboundedly. Capping
+# membership to the FIXED id set {0, 50, ..., (Q_MAX-1)·50} keeps q
+# constant at any corpus size (pure row predicate, no sort needed to
+# decide membership). Every gate corpus has vec_id < QUERY_MOD·Q_MAX,
+# so the bound is invisible there — hashes unchanged.
+BRUTEFORCE_Q_MAX = 200
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,10 +37,15 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id %
-    50 == 0). Query side broadcast → data side scans once, no
+    50 == 0, capped to the fixed BRUTEFORCE_Q_MAX-member id set so
+    the broadcast side is O(1) in corpus size — see the constant's
+    note). Query side broadcast → data side scans once, no
     shuffle until the tiny per-query top-k window."""
     base = _base(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = base.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * BRUTEFORCE_Q_MAX)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
     dot = F.aggregate(
@@ -57,7 +70,8 @@ WITH base AS MATERIALIZED (
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ), queries AS (
-  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM base WHERE vec_id % {QUERY_MOD} = 0
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM base
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * BRUTEFORCE_Q_MAX}
 ), scored AS (
   SELECT q.q_id, b.vec_id,
          round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
@@ -333,7 +347,15 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer: sqrt(n) lists beyond
     # the pinned oracle-replay domain (see IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    listed = base.withColumn("list_id", ranked[0]["j"])
+    listed = base.withColumn(
+        # coalesce marks the derived join key PROVABLY NON-NULL so
+        # Catalyst folds the inferred isnotnull(list_id) to true
+        # instead of pushing a Filter that re-evaluates the whole
+        # O(lists*d) centroid fold per row below the join (measured
+        # as the r8 pushed-down-recompute defect; -1 never fires --
+        # embeddings are non-null -- and never matches a probe list)
+        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
+    )
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -382,7 +404,15 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer: sqrt(n) lists beyond
     # the pinned oracle-replay domain (see IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    listed = base.withColumn("list_id", ranked[0]["j"])
+    listed = base.withColumn(
+        # coalesce marks the derived join key PROVABLY NON-NULL so
+        # Catalyst folds the inferred isnotnull(list_id) to true
+        # instead of pushing a Filter that re-evaluates the whole
+        # O(lists*d) centroid fold per row below the join (measured
+        # as the r8 pushed-down-recompute defect; -1 never fires --
+        # embeddings are non-null -- and never matches a probe list)
+        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
+    )
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -447,7 +477,15 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer: sqrt(n) lists beyond
     # the pinned oracle-replay domain (see IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    assigned = base.withColumn("list_id", ranked[0]["j"])
+    assigned = base.withColumn(
+        # coalesce marks the derived join key PROVABLY NON-NULL so
+        # Catalyst folds the inferred isnotnull(list_id) to true
+        # instead of pushing a Filter that re-evaluates the whole
+        # O(lists*d) centroid fold per row below the join (measured
+        # as the r8 pushed-down-recompute defect; -1 never fires --
+        # embeddings are non-null -- and never matches a probe list)
+        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
+    )
     out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
     try:
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)

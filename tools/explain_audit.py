@@ -49,7 +49,10 @@ AUDIT = {
     "q22_idle_customers": (True, True, 3),
     "sample_stratified": (False, False, 2),
     "sample_train_split": (False, False, 2),
-    "decontaminate": (True, True, 5),
+    # r9: tokenized base is pinned (localCheckpoint) before the
+    # bench/corpus split, so the visible plan starts at the
+    # checkpoint RDD — no parquet scan to push into
+    "decontaminate": (False, True, 5),
     "q21_blame_supplier": (False, True, 4),  # one fact shuffle + agg + dim join + sort
     "q_events_anomaly": (True, False, 2),  # one user_id shuffle + final sort
     "seq_pack": (False, False, 2),  # one shard shuffle + final sort

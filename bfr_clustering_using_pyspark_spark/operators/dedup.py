@@ -280,11 +280,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
     # PIN the built table before self-joining: without it Catalyst
-    # pushes the join keys' isnotnull predicates BELOW the exchange
-    # and re-derives the whole regexp->shingle->md5 pipeline per
-    # predicate per row on the unspread scan side (measured 3x the
-    # build cost on one core); the checkpoint materializes the build
-    # exactly once, at full width
+    # pushes the join key's isnotnull predicate BELOW the exchange
+    # and re-evaluates this operator's build expressions — the
+    # double-cast transform, the norm aggregate, and the bits-term
+    # sign-block sum — per predicate per row on the unspread scan
+    # side; the checkpoint materializes the build exactly once, at
+    # full width
     base = base.localCheckpoint(eager=True)
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
@@ -692,7 +693,12 @@ def _cc_driver(spark: SparkSession, pairs: DataFrame, sort: bool) -> DataFrame:
     for r in pairs.collect():
         uf_union(parent, r[0], r[1])
     rows = uf_labels(parent)
-    id_t = pairs.schema.fields[0].dataType.simpleString()
+    # output ids can come from EITHER pair column, so the schema uses
+    # the WIDER of the two types — matching the distributed path,
+    # whose node-list union coerces (e.g. int ∪ bigint → bigint)
+    rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    t_a, t_b = (f.dataType.simpleString() for f in pairs.schema.fields[:2])
+    id_t = max((t_a, t_b), key=lambda t: rank.get(t, 99))
     out = spark.createDataFrame(rows, f"doc_id {id_t}, comp {id_t}")
     return out.orderBy("doc_id") if sort else out
 

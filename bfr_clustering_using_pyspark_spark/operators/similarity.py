@@ -535,11 +535,20 @@ def _ivf_partitioned_oracle_sql() -> str:
         "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
         for j in range(N_IVF_LISTS)
     )
+    # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
+    # list count adapts (~sqrt(n)) while this static SQL stays pinned
+    # at N_IVF_LISTS centroids — running the gate there would produce
+    # a hash mismatch indistinguishable from a real defect, so the
+    # oracle REFUSES loudly instead
     return f"""
-WITH base AS MATERIALIZED (
+WITH guard AS (
+  SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
+    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine uses an adaptive list count here; re-pin the oracle centroids for this n before gating')
+  ELSE 1 END AS ok FROM embeddings
+), base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE (SELECT ok FROM guard) = 1
 ), cent(j, c) AS (VALUES {rows}),
 dists AS (
   SELECT vec_id, v, nrm, j,
@@ -579,11 +588,20 @@ def _ivf_rerank_oracle_sql() -> str:
         "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
         for j in range(N_IVF_LISTS)
     )
+    # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
+    # list count adapts (~sqrt(n)) while this static SQL stays pinned
+    # at N_IVF_LISTS centroids — running the gate there would produce
+    # a hash mismatch indistinguishable from a real defect, so the
+    # oracle REFUSES loudly instead
     return f"""
-WITH base AS MATERIALIZED (
+WITH guard AS (
+  SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
+    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine uses an adaptive list count here; re-pin the oracle centroids for this n before gating')
+  ELSE 1 END AS ok FROM embeddings
+), base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE (SELECT ok FROM guard) = 1
 ), cent(j, c) AS (VALUES {rows}),
 dists AS (
   SELECT vec_id, v, nrm, j,
@@ -1052,39 +1070,15 @@ NND_STORE_MAX = 12
 
 
 def _prune_nnd_store(store_dir: str, keep: str) -> None:
-    """Drop the oldest digest dirs beyond ``NND_STORE_MAX``, never the
-    one just written. Meta-file mtime orders recency (it is written
-    last, so a dir without one is torn and prunes first) — but a
-    meta-less dir younger than an hour may be a CONCURRENT build in
-    another process that simply hasn't written its meta yet, so only
-    genuinely stale torn dirs are eligible."""
-    import os
-    import shutil
-    import time
+    """Bounded retention via the shared warehouse-store pruner
+    (sources/fixtures.py): dirs only (stray plain files neither
+    occupy slots nor get rmtree'd), oldest-meta-first, and an hour's
+    grace window protecting both in-flight concurrent builds
+    (meta-less young dirs) and concurrent readers mid-scan of a
+    just-published dir."""
+    from ..sources.fixtures import prune_store
 
-    def meta_mtime(d: str) -> float:
-        try:
-            return os.stat(os.path.join(store_dir, d, "_index_meta.json")).st_mtime
-        except OSError:
-            return 0.0
-
-    def safe_to_prune(d: str) -> bool:
-        if meta_mtime(d) > 0.0:
-            return True
-        try:
-            age = time.time() - os.stat(os.path.join(store_dir, d)).st_mtime
-        except OSError:
-            return False
-        return age > 3600.0
-
-    try:
-        digests = sorted(os.listdir(store_dir), key=meta_mtime, reverse=True)
-    except OSError:
-        return
-    for d in digests[NND_STORE_MAX:]:
-        full = os.path.join(store_dir, d)
-        if os.path.abspath(full) != os.path.abspath(keep) and safe_to_prune(d):
-            shutil.rmtree(full, ignore_errors=True)
+    prune_store(store_dir, keep=keep, meta_name="_index_meta.json", max_keep=NND_STORE_MAX)
 
 
 def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,9 +8,21 @@ the Spark warehouse and reused by every later session/process — the
 same artifact pattern as the NN-Descent index
 (operators/similarity.py): digest keyed by source path, params, the
 source file's mtime_ns (data edits invalidate), and a format version
-(staging-code changes invalidate).  A meta marker is written LAST so
-a torn write is indistinguishable from a miss; writers use overwrite
-mode so re-staging after a tear is idempotent.
+(staging-code changes invalidate).
+
+Durability protocol (shared with the NND index store via
+``prune_store``):
+
+- staging happens in a sibling temp dir, promoted by ONE atomic
+  ``os.rename`` — a concurrent second stager loses the rename and
+  discards its temp dir, so the published fixture is never a torn
+  mix of two writers;
+- the meta marker is written LAST (inside the temp dir), so an
+  interrupted stage leaves no marker and reads as a miss;
+- every (corpus, params, mtime) mints a new digest dir, so the store
+  is pruned to a bounded dir count, oldest-meta first, with a grace
+  window protecting both in-flight stages (meta-less young dirs) and
+  concurrent readers still scanning a just-published dir.
 """
 
 from __future__ import annotations
@@ -18,11 +30,67 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import time
 from typing import Callable
 
 from pyspark.sql import SparkSession
 
 FIXTURE_FORMAT = 1
+
+# retention bound per fixture kind: transient corpora (tests, one-off
+# fuzz datasets) would otherwise accumulate dead digest dirs forever
+FIXTURE_STORE_MAX = 12
+
+# dirs younger than this are never pruned: a meta-less young dir may
+# be a concurrent stage that hasn't promoted yet, and a meta'd young
+# dir may have a concurrent READER mid-scan (its lazy plan resolves
+# files after our listdir)
+PRUNE_GRACE_SEC = 3600.0
+
+
+def prune_store(
+    store_dir: str, keep: str, meta_name: str, max_keep: int = FIXTURE_STORE_MAX
+) -> None:
+    """Drop the oldest digest DIRS beyond ``max_keep``, never the one
+    just written. Meta-file mtime orders recency (it is written last,
+    so a dir without one is torn and sorts first-to-prune). Nothing
+    younger than ``PRUNE_GRACE_SEC`` is touched — see the module
+    docstring — and plain files are skipped entirely so a stray lock
+    or OS metadata file neither occupies a retention slot nor gets
+    rmtree'd."""
+
+    def meta_mtime(d: str) -> float:
+        try:
+            return os.stat(os.path.join(store_dir, d, meta_name)).st_mtime
+        except OSError:
+            return 0.0
+
+    def age_sec(d: str) -> float:
+        m = meta_mtime(d)
+        if m > 0.0:
+            return time.time() - m
+        try:
+            return time.time() - os.stat(os.path.join(store_dir, d)).st_mtime
+        except OSError:
+            return -1.0  # vanished under us — treat as too young
+
+    try:
+        digests = sorted(
+            (
+                d
+                for d in os.listdir(store_dir)
+                if os.path.isdir(os.path.join(store_dir, d))
+            ),
+            key=meta_mtime,
+            reverse=True,
+        )
+    except OSError:
+        return
+    for d in digests[max_keep:]:
+        full = os.path.join(store_dir, d)
+        if os.path.abspath(full) != os.path.abspath(keep) and age_sec(d) > PRUNE_GRACE_SEC:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _warehouse_root(spark: SparkSession) -> str:
@@ -51,13 +119,40 @@ def ensure_fixture(
     stage: Callable[[str], None],
 ) -> str:
     """Return the fixture directory for (kind, sf_dir, params),
-    invoking ``stage(dir)`` to build it only when absent/stale."""
+    invoking ``stage(dir)`` to build it only when absent/stale.
+    Staging is atomic: build in a temp sibling, write the meta marker
+    there, then one ``os.rename`` publishes the whole dir — a
+    concurrent second stager loses the rename (non-empty target) and
+    discards its temp copy."""
     d = fixture_dir(spark, kind, sf_dir, src_file, params)
     marker = os.path.join(d, "_fixture_meta.json")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
-    stage(d)
-    with open(marker, "w") as fh:
-        json.dump({"kind": kind, "params": params}, fh)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = f"{d}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftover of OUR pid
+    os.makedirs(tmp)
+    try:
+        stage(tmp)
+        with open(os.path.join(tmp, "_fixture_meta.json"), "w") as fh:
+            json.dump({"kind": kind, "params": params}, fh)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            if not os.path.exists(marker):
+                # target exists but is torn (a crashed writer under
+                # the old non-atomic protocol): clear it and retry
+                # once; if the retry ALSO finds it occupied, a
+                # concurrent stager just promoted a complete copy
+                shutil.rmtree(d, ignore_errors=True)
+                try:
+                    os.rename(tmp, d)
+                except OSError:
+                    if not os.path.exists(marker):
+                        raise
+            # else: a concurrent stager promoted first; its copy is
+            # complete (rename is atomic) — serve that one
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    prune_store(os.path.dirname(d), keep=d, meta_name="_fixture_meta.json")
     return d

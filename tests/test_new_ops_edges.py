@@ -369,3 +369,43 @@ class TestAnnSharedGraphAndPqAssert:
                 S._pq_anchor_units(spark, "/root/testdata/sf0.001")
         finally:
             S.PQ_ANCHOR_HI = old_hi
+
+
+class TestCcDriverTypes:
+    def test_mixed_width_pair_columns_widen(self, spark):
+        """_cc_driver's output schema must use the WIDER of the two
+        pair-column types: comp values sourced from doc_b ids would
+        otherwise be created under doc_a's narrower type, diverging
+        from the distributed path's union coercion."""
+        from bfr_clustering_using_pyspark_spark.operators.dedup import _cc_driver
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a int, doc_b bigint"
+        )
+        out = _cc_driver(spark, pairs, sort=True)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+        assert {r["doc_id"]: r["comp"] for r in out.collect()} == {1: 1, 2: 1, 3: 1}
+
+
+def test_ivf_oracle_guard_fails_fast_beyond_pinned_domain():
+    """Above IVF_SMALL_N the Spark IVF face adapts its list count but
+    the static SQL oracle stays pinned at N_IVF_LISTS — the oracle
+    must REFUSE loudly there instead of hash-mismatching."""
+    import duckdb
+
+    from bfr_clustering_using_pyspark_spark.operators.similarity import (
+        ANN_IVF_SQL,
+        IVF_SMALL_N,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT i AS vec_id,"
+        f" list_transform(range(64), x -> 0.1 + x * 0.001) AS embedding"
+        f" FROM range({IVF_SMALL_N + 1}) t(i)"
+    )
+    with pytest.raises(duckdb.Error, match="pinned IVF oracle domain"):
+        con.execute(ANN_IVF_SQL).fetchall()

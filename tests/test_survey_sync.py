@@ -50,3 +50,36 @@ def test_oracle_coverage_ratio():
 
     qs, os_ = m.queries(), m.oracle_sql()
     assert len(os_) / len(qs) >= 0.7
+
+
+def survey_oracle_cells() -> dict[str, str]:
+    """key -> the §2 row's oracle/status column (last cell)."""
+    text = SURVEY.read_text()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    cells = {}
+    for line in sec2.splitlines():
+        m = re.match(r"\| `([a-z0-9_]+)` \|(.*)\|\s*$", line)
+        if m:
+            cells[m.group(1)] = m.group(2).rsplit("|", 1)[-1].strip()
+    return cells
+
+
+def test_oracle_column_matches_registry():
+    """The §2 oracle column is part of the coverage contract: a cell
+    may claim rows-only IFF the key has no oracle_sql() entry. Keys
+    that graduate to hash-gated must have their cell updated (this
+    drifted in r4-r8 for five keys)."""
+    import __spark_entry__ as m
+
+    qs, osql = set(m.queries()), set(m.oracle_sql())
+    cells = survey_oracle_cells()
+    non_query_keys = {"points_source", "bfr_cli"}
+    bad = []
+    for key, cell in cells.items():
+        if key in non_query_keys or key not in qs:
+            continue
+        claims_rows_only = "rows-only" in cell
+        is_rows_only = key not in osql
+        if claims_rows_only != is_rows_only:
+            bad.append(f"{key}: cell={cell!r} oracled={key in osql}")
+    assert not bad, "SURVEY §2 oracle-column drift:\n" + "\n".join(bad)

@@ -1320,6 +1320,14 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view", "click")
     ).select("user_id", "ts", "event_id", "event_type")
+    # EXPLICIT fixed-width repartition on the group key: the grouped
+    # pandas stage's cost is per-GROUP Python/Arrow overhead, not
+    # bytes, so AQE's size-based coalescing is wrong here — on a
+    # small corpus it collapses the post-shuffle stage to ONE task
+    # and serializes every group (measured 9.7s -> 2.1s at sf0.1).
+    # A user-specified partition count is exempt from coalescing, and
+    # the groupBy below reuses this exchange (same hash distribution)
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
 
     # one shuffle on user_id; merge_asof runs on each user's slice
     def asof(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -56,7 +56,16 @@ PROBE_QUERIES = [
     "stream_components",
     "dedup_components",
     "graph_pagerank",
+    # r9: distributed exact rank (the other grouped_rank user is
+    # q_mad_outliers_dist above) and index-backed graph search (query
+    # cost should stay near-flat once the NND build amortizes)
+    "q_percentiles_dist",
+    "ann_graph_search",
 ]
+# probed r9 via SPARK_GRAFT_PROBE_QUERIES (kept off the default
+# tier-0 list for cost): stream_late_data / stream_update_counts /
+# stream_checkpoint_recovery x10 ratios 0.05 / 0.09 / 0.09;
+# ann_nndescent_graph 0.18; q_asof_grouped via skew_probe_asof.py
 # targeted runs: SPARK_GRAFT_PROBE_QUERIES=dedup_containment,text_tokens
 if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):
     PROBE_QUERIES = os.environ["SPARK_GRAFT_PROBE_QUERIES"].split(",")

@@ -42,6 +42,39 @@ EXTRAS = [
 ]
 
 
+LOAD_GATE = 1.5  # accept the record only below this 1-min loadavg
+LOAD_WAIT_SEC = 30  # between retries
+LOAD_MAX_WAITS = 10  # give up after ~5 min and record with a note
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _wait_for_quiet_host() -> tuple[float, int]:
+    """BENCH_r08 was recorded at load1 4.1 on a box where local[32]
+    wants every core — per-query times inflated ~1.5x on
+    byte-identical plans. Wait (bounded) for a quiet window so the
+    official artifact measures the ENGINE, not the co-tenant; if none
+    opens, record anyway — load1_start and load_waited_sec in the
+    JSON carry the context."""
+    waits = 0
+    while _load1() > LOAD_GATE and waits < LOAD_MAX_WAITS:
+        print(
+            f"# load1={_load1():.2f} > {LOAD_GATE}; waiting {LOAD_WAIT_SEC}s"
+            f" ({waits + 1}/{LOAD_MAX_WAITS})",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(LOAD_WAIT_SEC)
+        waits += 1
+    return _load1(), waits * LOAD_WAIT_SEC
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -59,14 +92,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("OFF")
     qs = all_queries()
 
-    def load1() -> float:
-        try:
-            with open("/proc/loadavg") as fh:
-                return float(fh.read().split()[0])
-        except OSError:
-            return -1.0
-
-    load_start = load1()
+    load_start, load_waited = _wait_for_quiet_host()
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -113,7 +139,11 @@ def main() -> None:
                 # observed to swing ~1.5x with host load (SURVEY r6/r7);
                 # judge cross-round deltas against these numbers
                 "load1_start": load_start,
-                "load1_end": load1(),
+                "load1_end": _load1(),
+                # seconds spent waiting for a quiet host before the
+                # run (LOAD_GATE); >0 with load1_start still above
+                # the gate means no clean window existed
+                "load_waited_sec": load_waited,
             }
         )
     )

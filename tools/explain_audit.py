@@ -56,6 +56,9 @@ AUDIT = {
     "q21_blame_supplier": (False, True, 4),  # one fact shuffle + agg + dim join + sort
     "q_events_anomaly": (True, False, 2),  # one user_id shuffle + final sort
     "seq_pack": (False, False, 2),  # one shard shuffle + final sort
+    # r9: explicit-width grouped-pandas stage + final sort
+    "q_asof_grouped": (True, False, 2),
+    "model_per_key": (True, False, 2),
     "text_unigram_logprob": (False, True, 5),  # dict build + broadcast scalar + score
     "q_countmin_topk": (False, True, 5),
     "q_bloom_filter_join": (True, True, 3),
@@ -116,6 +119,14 @@ AUDIT = {
 GLOBAL_WINDOW_OK = {
     "q_gap_fill": "calendar spine (days in range, not rows)",
     "q_ks_test": "rounded-cents value grid (bounded domain)",
+}
+
+# grouped-pandas keys where AQE collapsing the stage to one task is
+# harmless: the group count is catalog-bounded, so one task IS the
+# right width (see the narrow_pandas check below)
+GROUPED_PANDAS_NARROW_OK = {
+    "model_per_key": "5 market segments",
+    "seq_pack": "shard count, fixed by contract",
 }
 
 # The TPC-H family must have non-vacuous whole-stage codegen: these
@@ -231,6 +242,20 @@ def main() -> None:
         for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
             if re.search(r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\(", fm.group(1)):
                 heavy_filters += 1
+        # INFORMATIONAL: a grouped-pandas stage (FlatMapGroupsInPandas)
+        # fed by an ENSURE_REQUIREMENTS exchange is subject to AQE
+        # size-based coalescing, which prices the stage by BYTES while
+        # its real cost is per-GROUP Python/Arrow overhead — on a
+        # small corpus AQE collapses it to one task and serializes
+        # every group (r9: q_asof_grouped 9.7s -> 1.5s after an
+        # explicit REPARTITION_BY_NUM). Keys whose group count is
+        # catalog-bounded (a handful of groups — one task is FINE) are
+        # whitelisted below.
+        narrow_pandas = (
+            "FlatMapGroupsInPandas" in plan
+            and "REPARTITION_BY_NUM" not in plan
+            and name not in GROUPED_PANDAS_NARROW_OK
+        )
         probs = []
         if want_push and not pushed:
             probs.append("no pushed filters")
@@ -244,6 +269,8 @@ def main() -> None:
             probs.append("no whole-stage codegen subtree")
         status = "OK " if not probs else "BAD"
         warn = f" WARN:{heavy_filters}-heavy-expr-filter(s)" if heavy_filters else ""
+        if narrow_pandas:
+            warn += " WARN:grouped-pandas-stage-coalescible"
         print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
               f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw}"
               f"{warn} {'; '.join(probs)}")

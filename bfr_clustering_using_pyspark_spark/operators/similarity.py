@@ -18,14 +18,15 @@ from ..sources.readers import load_table
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
-# Brute-force query-set bound: the exact-truth baseline is O(q·n) by
-# construction, but with q = n/QUERY_MOD the total is O(n²/50) — at
-# corpus scale the broadcast side itself grows unboundedly. Capping
-# membership to the FIXED id set {0, 50, ..., (Q_MAX-1)·50} keeps q
-# constant at any corpus size (pure row predicate, no sort needed to
-# decide membership). Every gate corpus has vec_id < QUERY_MOD·Q_MAX,
-# so the bound is invisible there — hashes unchanged.
-BRUTEFORCE_Q_MAX = 200
+# ANN query-set bound, family-wide: with q = n/QUERY_MOD the query
+# side grows with the corpus (for brute force that is O(n²/50) total
+# work; for the bucketed/listed paths it is an unboundedly growing
+# BROADCAST side). Capping membership to the FIXED id set
+# {0, 50, ..., (Q_MAX-1)·50} keeps q constant at any corpus size
+# (pure row predicate, no sort needed to decide membership). Every
+# gate corpus has vec_id < QUERY_MOD·ANN_Q_MAX, so the bound is
+# invisible there — hashes unchanged.
+ANN_Q_MAX = 200
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,14 +38,14 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id %
-    50 == 0, capped to the fixed BRUTEFORCE_Q_MAX-member id set so
+    50 == 0, capped to the fixed ANN_Q_MAX-member id set so
     the broadcast side is O(1) in corpus size — see the constant's
     note). Query side broadcast → data side scans once, no
     shuffle until the tiny per-query top-k window."""
     base = _base(spark, sf_dir)
     queries = base.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
-        & (F.col("vec_id") < QUERY_MOD * BRUTEFORCE_Q_MAX)
+        & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
     ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
@@ -71,7 +72,7 @@ WITH base AS MATERIALIZED (
   FROM embeddings
 ), queries AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM base
-  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * BRUTEFORCE_Q_MAX}
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX}
 ), scored AS (
   SELECT q.q_id, b.vec_id,
          round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
@@ -124,7 +125,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     d = len(base.select("v").first()[0])
     bucketed = base.withColumn("bucket", _bucket_expr("v", d))
-    queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = bucketed.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -167,7 +170,7 @@ WITH base AS MATERIALIZED (
   SELECT vec_id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM base
 ), queries AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, bucket AS q_bucket
-  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX}
 ), scored AS (
   SELECT q.q_id, b.vec_id,
          round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
@@ -198,7 +201,9 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(N_PLANES)]
     )
     queries = (
-        bucketed.filter(F.col("vec_id") % QUERY_MOD == 0)
+        bucketed.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    )
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("q_v"),
@@ -246,7 +251,7 @@ WITH base AS MATERIALIZED (
 ), queries AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm,
          unnest({probe_list}) AS q_bucket
-  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX}
 ), scored AS (
   SELECT DISTINCT q.q_id, b.vec_id,
          round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
@@ -266,26 +271,31 @@ N_IVF_LISTS = 16
 N_PROBE = 4
 # Oracle-replay domain for the IVF family: up to this many vectors
 # the list count is PINNED at N_IVF_LISTS, which is what the static
-# SQL oracles replay (every gate/fuzz corpus is far below it).
-# Beyond it the list count grows ~sqrt(n) — the standard IVF sizing —
-# so per-list size, and with it per-query probe cost, grows only as
-# sqrt(n) instead of linearly (a fixed 16-list layout measured ~1.8x
-# super-linear at a 30x scale-up: every probe scanned n/16 vectors).
+# SQL oracles replay (every gate/fuzz corpus is far below it; beyond
+# it they fail fast — see the guard CTE). Beyond it the list count
+# adapts to the workload model below (a fixed 16-list layout measured
+# ~1.8x super-linear at a 30x scale-up: every probe scanned n/16
+# vectors).
 IVF_SMALL_N = 16384
 
 
 def _n_ivf_lists(n: int) -> int:
-    """Balance the two O(n)-per-list-count costs: quantization is
-    n·lists centroid distances (the map-side assignment scores every
-    centroid), probing is (n/QUERY_MOD)·N_PROBE·(n/lists) candidate
-    scores. Total is minimized at lists* = sqrt(n·N_PROBE/QUERY_MOD)
-    — pure sqrt(n) overshoots by scoring too many centroids per row
-    (measured 5x slower than this at a 10x scale-up)."""
+    """Balance the two per-list-count costs for THIS op's workload:
+    quantization is n·lists centroid distances (the map-side
+    assignment scores every centroid), probing is q·N_PROBE·(n/lists)
+    candidate scores with q = min(n/QUERY_MOD, ANN_Q_MAX) queries.
+    Total is minimized at lists* = sqrt(q·N_PROBE) — with the bounded
+    query set this is CONSTANT (32) above the cap, which keeps total
+    cost LINEAR in n: quantize n·32 + probe 200·4·(n/32), balanced.
+    A deployment with a different query volume resizes by the same
+    formula. (Pure sqrt(n) lists overshoots by scoring too many
+    centroids per row — measured 5x slower at a 10x scale-up.)"""
     import math
 
     if n <= IVF_SMALL_N:
         return N_IVF_LISTS
-    return 1 << math.ceil(math.log2(math.sqrt(n * N_PROBE / QUERY_MOD)))
+    q = min(n // QUERY_MOD, ANN_Q_MAX)
+    return 1 << math.ceil(math.log2(math.sqrt(q * N_PROBE)))
 
 
 def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
@@ -344,8 +354,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     better but is seed-dependent; swap it in where replayability
     isn't required.)"""
     base = _base(spark, sf_dir)
-    # one metadata count sizes the quantizer: sqrt(n) lists beyond
-    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    # one metadata count sizes the quantizer beyond the pinned
+    # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     listed = base.withColumn(
         # coalesce marks the derived join key PROVABLY NON-NULL so
@@ -356,7 +366,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # embeddings are non-null -- and never matches a probe list)
         "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
     )
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = base.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -401,8 +413,8 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-dimension cosine. At 100 TB the expensive distance runs on
     O(q·6k) rows instead of O(q·n·nprobe/nlists)."""
     base = _base(spark, sf_dir)
-    # one metadata count sizes the quantizer: sqrt(n) lists beyond
-    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    # one metadata count sizes the quantizer beyond the pinned
+    # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     listed = base.withColumn(
         # coalesce marks the derived join key PROVABLY NON-NULL so
@@ -413,7 +425,9 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # embeddings are non-null -- and never matches a probe list)
         "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
     )
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = base.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -474,8 +488,8 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = _base(spark, sf_dir)
-    # one metadata count sizes the quantizer: sqrt(n) lists beyond
-    # the pinned oracle-replay domain (see IVF_SMALL_N)
+    # one metadata count sizes the quantizer beyond the pinned
+    # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
     assigned = base.withColumn(
         # coalesce marks the derived join key PROVABLY NON-NULL so
@@ -491,7 +505,9 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
 
         queries = (
-            base.filter(F.col("vec_id") % QUERY_MOD == 0)
+            base.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    )
             .select(
                 F.col("vec_id").alias("q_id"),
                 F.col("v").alias("q_v"),
@@ -560,7 +576,7 @@ dists AS (
   SELECT vec_id, v, nrm, j AS list_id FROM dists WHERE rk = 1
 ), qprobe AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, j AS probe_list
-  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND rk <= {N_PROBE}
+  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX} AND rk <= {N_PROBE}
 ), scored AS (
   SELECT q.q_id, a.vec_id,
          round(list_sum(list_transform(list_zip(a.v, q.q_v), p -> p[1] * p[2])) / (a.nrm * q.q_nrm), 4) AS cosine
@@ -612,7 +628,7 @@ dists AS (
   SELECT vec_id, v, nrm, j AS list_id FROM dists WHERE rk = 1
 ), qprobe AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, j AS probe_list
-  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND rk <= {N_PROBE}
+  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX} AND rk <= {N_PROBE}
 ), cand AS (
   SELECT q.q_id, a.vec_id, a.v, a.nrm, q.q_v, q.q_nrm,
          round(list_sum(list_transform(

@@ -9,6 +9,7 @@ empty and 1-token texts, exact duplicates, high-overlap near-dups,
 punctuation/unicode noise.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -19,6 +20,14 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from check_correctness import table_hash  # noqa: E402
+
+
+def _seeds(default: list[int]) -> list[int]:
+    """Per-wave seed list; SPARK_GRAFT_FUZZ_SEEDS=101,102 replaces
+    every wave's seeds for one-off fresh-seed evidence sweeps without
+    touching the committed regression pins."""
+    env = os.environ.get("SPARK_GRAFT_FUZZ_SEEDS")
+    return [int(x) for x in env.split(",")] if env else default
 
 # deterministic keys only: probabilistic-recall blockers
 # (dedup_minhash_lsh's banded collisions, dedup_containment's 1-perm
@@ -118,7 +127,7 @@ def _compare(spark, key: str, fn, sql: str, sf_dir: str, con) -> int:
     return len(srows)
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", _seeds([11, 23]))
 def test_single_table_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
     import __spark_entry__ as m
 
@@ -406,7 +415,7 @@ def _gen_tpch(rng: np.random.Generator, d) -> None:
         _write(d, name, df)
 
 
-@pytest.mark.parametrize("seed", [5, 17, 41])
+@pytest.mark.parametrize("seed", _seeds([5, 17, 41]))
 def test_join_keys_hash_match_on_random_star_schema(spark, tmp_path, seed):
     import __spark_entry__ as m
 
@@ -491,7 +500,7 @@ ML_MM_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [7, 29])
+@pytest.mark.parametrize("seed", _seeds([7, 29]))
 def test_ml_ann_mm_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
     import __spark_entry__ as m
 
@@ -549,7 +558,7 @@ STREAM_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [13, 37])
+@pytest.mark.parametrize("seed", _seeds([13, 37]))
 def test_streaming_keys_hash_match_on_random_corpora(spark, tmp_path, seed):
     import __spark_entry__ as m
 
@@ -628,7 +637,7 @@ def _gen_lineitem_hot_trio(rng: np.random.Generator) -> pd.DataFrame:
     })
 
 
-@pytest.mark.parametrize("seed", [3, 19, 47])
+@pytest.mark.parametrize("seed", _seeds([3, 19, 47]))
 def test_triangles_fire_and_match_on_hot_trio_corpus(spark, tmp_path, seed):
     import __spark_entry__ as m
 

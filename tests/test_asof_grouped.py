@@ -17,3 +17,24 @@ def test_asof_grouped_matches_window_formulation(spark):
         n, w = window.get(r["user_id"], (0, 0))
         window[r["user_id"]] = (n + 1, w + (1 if r["quote_event_id"] is not None else 0))
     assert grouped == window
+
+
+def test_grouped_pandas_stage_width_is_explicit(spark):
+    """The grouped-map stage's cost is per-GROUP Python overhead, not
+    bytes — AQE's size-based coalescing must not collapse it to one
+    task (measured 9.7s -> 1.5s at sf0.1). The explicit repartition
+    must survive as the ONE hash exchange feeding the pandas stage
+    (REPARTITION_BY_NUM is exempt from coalescing), not add a second
+    shuffle."""
+    df = q_asof_grouped(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    # exactly one hash exchange (the explicit one, reused by the
+    # groupBy) + the final sort's range exchange
+    import re
+
+    kinds = re.findall(r"Arguments: (\w+)partitioning", plan)
+    assert kinds.count("hash") == 1, plan

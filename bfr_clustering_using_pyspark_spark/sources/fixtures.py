@@ -16,7 +16,10 @@ Durability protocol (shared with the NND index store via
 - staging happens in a sibling temp dir, promoted by ONE atomic
   ``os.rename`` — a concurrent second stager loses the rename and
   discards its temp dir, so the published fixture is never a torn
-  mix of two writers;
+  mix of two writers (recovering an old-protocol torn target uses an
+  atomic move-aside, never an in-place rmtree, so a concurrently
+  published complete copy survives — worst case it is briefly moved
+  aside and back);
 - the meta marker is written LAST (inside the temp dir), so an
   interrupted stage leaves no marker and reads as a miss;
 - every (corpus, params, mtime) mints a new digest dir, so the store
@@ -75,22 +78,32 @@ def prune_store(
         except OSError:
             return -1.0  # vanished under us — treat as too young
 
+    def is_staging(d: str) -> bool:
+        # another process's in-flight staging / recovery dir: its
+        # top-level mtime can go stale while Spark writes land in
+        # SUBdirectories, so the 1-hour grace is not protection
+        # enough — never count it against retention, and only sweep
+        # it as a crash leftover after a day
+        return ".tmp-" in d or ".aside-" in d
+
     try:
-        digests = sorted(
-            (
-                d
-                for d in os.listdir(store_dir)
-                if os.path.isdir(os.path.join(store_dir, d))
-            ),
-            key=meta_mtime,
-            reverse=True,
-        )
+        entries = [
+            d
+            for d in os.listdir(store_dir)
+            if os.path.isdir(os.path.join(store_dir, d))
+        ]
     except OSError:
         return
+    digests = sorted(
+        (d for d in entries if not is_staging(d)), key=meta_mtime, reverse=True
+    )
     for d in digests[max_keep:]:
         full = os.path.join(store_dir, d)
         if os.path.abspath(full) != os.path.abspath(keep) and age_sec(d) > PRUNE_GRACE_SEC:
             shutil.rmtree(full, ignore_errors=True)
+    for d in entries:
+        if is_staging(d) and age_sec(d) > 24 * 3600.0:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
 
 
 def _warehouse_root(spark: SparkSession) -> str:
@@ -140,16 +153,37 @@ def ensure_fixture(
             os.rename(tmp, d)
         except OSError:
             if not os.path.exists(marker):
-                # target exists but is torn (a crashed writer under
-                # the old non-atomic protocol): clear it and retry
-                # once; if the retry ALSO finds it occupied, a
-                # concurrent stager just promoted a complete copy
-                shutil.rmtree(d, ignore_errors=True)
+                # Target exists but looked torn (a crashed writer
+                # under the old non-atomic protocol). NEVER rmtree it
+                # in place — the marker check races a concurrent
+                # publisher, and destroying a just-published complete
+                # fixture would fail a reader already mid-scan.
+                # Instead MOVE it aside atomically, then decide:
+                aside = f"{d}.aside-{os.getpid()}"
                 try:
-                    os.rename(tmp, d)
+                    os.rename(d, aside)
                 except OSError:
-                    if not os.path.exists(marker):
-                        raise
+                    aside = None  # d vanished/replaced under us
+                if aside and os.path.exists(
+                    os.path.join(aside, "_fixture_meta.json")
+                ):
+                    # we raced a publisher and moved its COMPLETE
+                    # copy aside: put it back if the slot is still
+                    # free, else the slot was re-published (identical
+                    # content — pure function of inputs) and ours is
+                    # redundant either way
+                    try:
+                        os.rename(aside, d)
+                    except OSError:
+                        shutil.rmtree(aside, ignore_errors=True)
+                else:
+                    if aside:
+                        shutil.rmtree(aside, ignore_errors=True)
+                    try:
+                        os.rename(tmp, d)
+                    except OSError:
+                        if not os.path.exists(marker):
+                            raise
             # else: a concurrent stager promoted first; its copy is
             # complete (rename is atomic) — serve that one
     finally:

@@ -74,6 +74,10 @@ def test_oracle_column_matches_registry():
     qs, osql = set(m.queries()), set(m.oracle_sql())
     cells = survey_oracle_cells()
     non_query_keys = {"points_source", "bfr_cli"}
+    # a registry key with NO §2 row at all is the same drift class —
+    # don't let it bypass the cell comparison below
+    missing_rows = qs - set(cells)
+    assert not missing_rows, f"queries() keys without a §2 row: {sorted(missing_rows)}"
     bad = []
     for key, cell in cells.items():
         if key in non_query_keys or key not in qs:

@@ -118,20 +118,27 @@ def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
             ),
         ).drop("__rot")
     if table == "documents":
-        # tag replica text so near-dup groups stay bounded (a 30-fold
-        # exact copy of every doc would make every LSH bucket a
-        # 30x clique — a different workload than "30x more documents")
+        # Mutate every 8th TOKEN of replica text so near-dup groups
+        # stay bounded. A suffix tag is NOT enough: appending never
+        # breaks an existing shingle, so the replica stays a
+        # near-superset of its source (J ≈ 0.93, containment ≈ 1.0)
+        # and every replica family forms a true dup CLIQUE — the
+        # ANSWER grows ~K² (measured: containment 499 → 482k pairs at
+        # x10), which probes answer density, not corpus growth.
+        # Changing one token in eight breaks ~3 shingles per change
+        # (spacing > shingle width), pushing replica-vs-source
+        # J ≈ 0.43 and containment ≈ 0.6 — both below their
+        # thresholds, so the dup graph stays sparse as K grows.
         scaled = scaled.withColumn(
             "text",
             F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), (t, i) ->"
+                    " CASE WHEN i % 8 = pmod(__rep, 8)"
+                    " THEN concat(t, 'q', CAST(__rep AS STRING)) ELSE t END))"
+                )
             ),
-        ).withColumn(
-            "n_chars",
-            F.when(F.col("__rep") == 0, F.col("n_chars")).otherwise(
-                F.col("n_chars") + 2 + F.length(F.col("__rep").cast("string"))
-            ),
-        )
+        ).withColumn("n_chars", F.length("text").cast("long"))
     scaled.drop("__rep").write.mode("overwrite").parquet(out)
 
 

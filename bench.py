@@ -43,6 +43,10 @@ EXTRAS = [
 
 
 LOAD_GATE = 1.5  # accept the record only below this 1-min loadavg
+LOAD5_GATE = 3.0  # ...and this 5-min loadavg (a momentary dip in
+# load1 while load5 is high means the co-tenant merely paused —
+# observed: gate passed at load1 1.09 / load5 5.91 and the record
+# came out 1.85x on byte-identical plans)
 LOAD_WAIT_SEC = 30  # between retries
 LOAD_MAX_WAITS = 10  # give up after ~5 min and record with a note
 
@@ -55,6 +59,14 @@ def _load1() -> float:
         return -1.0
 
 
+def _load5() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[1])
+    except OSError:
+        return -1.0
+
+
 def _wait_for_quiet_host() -> tuple[float, int]:
     """BENCH_r08 was recorded at load1 4.1 on a box where local[32]
     wants every core — per-query times inflated ~1.5x on
@@ -63,9 +75,10 @@ def _wait_for_quiet_host() -> tuple[float, int]:
     opens, record anyway — load1_start and load_waited_sec in the
     JSON carry the context."""
     waits = 0
-    while _load1() > LOAD_GATE and waits < LOAD_MAX_WAITS:
+    while (_load1() > LOAD_GATE or _load5() > LOAD5_GATE) and waits < LOAD_MAX_WAITS:
         print(
-            f"# load1={_load1():.2f} > {LOAD_GATE}; waiting {LOAD_WAIT_SEC}s"
+            f"# load1={_load1():.2f}/load5={_load5():.2f} over gate"
+            f" ({LOAD_GATE}/{LOAD5_GATE}); waiting {LOAD_WAIT_SEC}s"
             f" ({waits + 1}/{LOAD_MAX_WAITS})",
             file=sys.stderr,
             flush=True,

@@ -53,6 +53,11 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_flag_expr(F.col("text")).alias("q"),
         F.md5(F.array_join(_tokens(F.col("text")), " ")).alias("k_canon"),
     ).withColumn("n_toks", F.size("toks"))
+    # PIN the tokenized/flagged base: five lineage branches consume it
+    # (dedup window, bench + corpus shingle splits, the funnel counts,
+    # the final anti-join) and each would re-run the tokenizer +
+    # quality regexps + canonical md5 from the scan
+    base = base.localCheckpoint(eager=True)
     # dedup among quality survivors: smallest passing doc_id per key
     keep_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(W.partitionBy("k_canon"))
     flagged = base.withColumn("survives_dedup", F.col("q") & (F.col("doc_id") == keep_id))
@@ -78,7 +83,12 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("survives_dedup").cast("long")).alias("n2"),
     )
     finals = final.agg(F.count("*").alias("n3"), n_chunks.alias("n4"))
-    row = counts.crossJoin(F.broadcast(finals))
+    # PIN the 1-row funnel totals: the 4-stage union below selects
+    # from this frame four times, and without the pin each select
+    # RE-EXECUTES the whole funnel lineage (observed: 4 copies of the
+    # decontamination filters in one plan) — the cheapest possible
+    # checkpoint, one row
+    row = counts.crossJoin(F.broadcast(finals)).localCheckpoint(eager=True)
     stages = [
         ("1_quality", "n0", "n1"),
         ("2_dedup", "n1", "n2"),

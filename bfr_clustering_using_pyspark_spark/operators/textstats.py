@@ -385,6 +385,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )
+    # PIN the tokenized base: the trigram branch and the exploded
+    # top-token branch both consume it, and each re-runs the regexp
+    # tokenizer in its pushed Filter AND its Project from the scan
+    base = base.localCheckpoint(eager=True)
     tg = F.expr(
         "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
     )
@@ -607,6 +611,13 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is map-only over the documents scan (explode is
     linear per doc, no shuffle until the final sort) — at 100 TB it
     runs at parquet-scan speed like the rest of this module."""
+    return _doc_chunks(spark, sf_dir).orderBy("doc_id", "chunk_start")
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_chunk``'s build without the presentation sort — the
+    shared face for composers (``chunk_boilerplate``) that aggregate
+    the chunks and would otherwise pay a useless sort exchange."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
@@ -614,15 +625,11 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
     chunk = F.slice("toks", F.col("s") + 1, CHUNK_TOKENS)
-    return (
-        base.select("doc_id", "toks", F.explode(starts).alias("s"))
-        .select(
-            "doc_id",
-            F.col("s").cast("long").alias("chunk_start"),
-            F.size(chunk).alias("n_chunk_tokens"),
-            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-        )
-        .orderBy("doc_id", "chunk_start")
+    return base.select("doc_id", "toks", F.explode(starts).alias("s")).select(
+        "doc_id",
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
 
 
@@ -701,7 +708,12 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail), so the join back is broadcast-able at any corpus size.
     Integer-only outputs; the fraction uses the scale-0 fixed-point
     shape (int/int ratios have engine-divergent round(x, 4) ties)."""
-    chunks = doc_chunk(spark, sf_dir)
+    # PIN the chunk build (unsorted face): it feeds BOTH the df
+    # aggregation and the join-back, and Catalyst additionally pushes
+    # the join key's isnotnull below, re-deriving the tokenize →
+    # slice → md5 pipeline per predicate per row. The checkpoint
+    # materializes chunks once, full width.
+    chunks = _doc_chunks(spark, sf_dir).localCheckpoint(eager=True)
     df = chunks.groupBy("chunk_hash").agg(F.countDistinct("doc_id").alias("df"))
     boiler = df.filter(F.col("df") >= BOILER_MIN_DOCS).select(
         "chunk_hash", F.lit(1).alias("is_boiler")

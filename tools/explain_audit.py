@@ -59,6 +59,17 @@ AUDIT = {
     # r9: explicit-width grouped-pandas stage + final sort
     "q_asof_grouped": (True, False, 2),
     "model_per_key": (True, False, 2),
+    # r9: the registry-wide heavy-filter sweep's remaining keys, now
+    # under per-round watch (their filters are whitelisted benign)
+    "dedup_minhash_lsh": (False, False, 6),
+    "doc_chunk": (False, False, 1),
+    "q_ab_test": (False, False, 4),
+    "text_bigrams": (False, False, 1),
+    "text_clean_pipeline": (True, False, 3),
+    "text_winnow_fingerprint": (False, False, 1),
+    "corpus_curate": (False, False, 2),  # 1-row funnel pinned; union of 4 selects
+    "chunk_boilerplate": (False, True, 4),
+    "text_repetition": (False, True, 3),
     "text_unigram_logprob": (False, True, 5),  # dict build + broadcast scalar + score
     "q_countmin_topk": (False, True, 5),
     "q_bloom_filter_join": (True, True, 3),
@@ -127,6 +138,22 @@ GLOBAL_WINDOW_OK = {
 GROUPED_PANDAS_NARROW_OK = {
     "model_per_key": "5 market segments",
     "seq_pack": "shard count, fixed by contract",
+}
+
+# keys whose Filter legitimately evaluates a heavy kernel: a GENUINE
+# single-branch semantic predicate evaluated once per row in one scan
+# pass (the tokenizer runs in Filter + Project of the SAME pass — a
+# bounded 2x, not the per-branch/per-predicate multiplication the
+# warn exists for), or a predicate that IS the operator's semantics.
+# Audited r9 registry-wide sweep: every other heavy-filter site was
+# eliminated (coalesce non-nullability or an eager pin).
+HEAVY_FILTER_OK = {
+    "dedup_minhash_lsh": "size(toks)>=3 gate; build persisted, one pass",
+    "doc_chunk": "size(toks)>0 gate, single branch",
+    "text_bigrams": "size(toks)>=2 gate, single branch",
+    "text_clean_pipeline": "the quality predicate IS the operator",
+    "text_winnow_fingerprint": "min-length gate, single branch",
+    "q_ab_test": "md5 arm-assignment predicate IS the A/B split",
 }
 
 # The TPC-H family must have non-vacuous whole-stage codegen: these
@@ -239,9 +266,14 @@ def main() -> None:
         # columns; a hit here usually means the built table wants an
         # eager localCheckpoint before its self-join.
         heavy_filters = 0
-        for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
-            if re.search(r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\(", fm.group(1)):
-                heavy_filters += 1
+        if name not in HEAVY_FILTER_OK:
+            for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
+                if re.search(
+                    r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\("
+                    r"|md5\(|sha2\(|levenshtein\(|array_intersect\(|array_sort\(",
+                    fm.group(1),
+                ):
+                    heavy_filters += 1
         # INFORMATIONAL: a grouped-pandas stage (FlatMapGroupsInPandas)
         # fed by an ENSURE_REQUIREMENTS exchange is subject to AQE
         # size-based coalescing, which prices the stage by BYTES while

@@ -62,7 +62,14 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 == 0, capped to the fixed ANN_Q_MAX-member id set so
     the broadcast side is O(1) in corpus size — see the constant's
     note). Query side broadcast → data side scans once, no
-    shuffle until the tiny per-query top-k window."""
+    shuffle until the tiny per-query top-k window.
+
+    Returned-row contract: the query set is EXACTLY the fixed ids
+    {0, 50, ..., (ANN_Q_MAX-1)*50}. On a corpus with vec_id >=
+    QUERY_MOD*ANN_Q_MAX (10000) the higher multiples of 50 are
+    corpus-only — they are searched, never queried. The SQL oracle
+    carries the identical two-term predicate, so gating stays valid
+    at ANY corpus size; the cap changes the contract, not parity."""
     base = _base(spark, sf_dir)
     queries = _bounded_query_filter(base).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
@@ -139,7 +146,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k: sign-bucket every vector
     (md5-derived planes, JVM-side fold), then search only within the
     query's bucket. Approximate: recall < 1 by construction; the
-    oracle replays the identical plane family in SQL."""
+    oracle replays the identical plane family in SQL.
+
+    Returned-row contract: same fixed query-id cap as
+    ``ann_bruteforce`` — ids above QUERY_MOD*ANN_Q_MAX are
+    corpus-only, never queries, in BOTH engines (parity holds at any
+    corpus size)."""
     base = _base(spark, sf_dir)
     d = len(base.select("v").first()[0])
     bucketed = base.withColumn("bucket", _bucket_expr("v", d))
@@ -209,7 +221,12 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard recall lift that costs probes, not index size.
     Candidates ≈ 9·n/2^bits per query, still bounded. The query side
     explodes into its probe list and broadcasts; the data side never
-    reshuffles."""
+    reshuffles.
+
+    Returned-row contract: same fixed query-id cap as
+    ``ann_bruteforce`` — ids above QUERY_MOD*ANN_Q_MAX are
+    corpus-only, never queries, in BOTH engines (parity holds at any
+    corpus size)."""
     base = _base(spark, sf_dir)
     d = len(base.select("v").first()[0])
     bucketed = base.withColumn("bucket", _bucket_expr("v", d))
@@ -537,14 +554,16 @@ def _ivf_partitioned_oracle_sql() -> str:
         for j in range(N_IVF_LISTS)
     )
     # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
-    # list count adapts (~sqrt(n)) while this static SQL stays pinned
-    # at N_IVF_LISTS centroids — running the gate there would produce
-    # a hash mismatch indistinguishable from a real defect, so the
-    # oracle REFUSES loudly instead
+    # list count becomes the constant
+    # 1<<ceil(log2(sqrt(ANN_Q_MAX*N_PROBE))) = 32 (see _n_ivf_lists)
+    # while this static SQL stays pinned at N_IVF_LISTS centroids —
+    # running the gate there would produce a hash mismatch
+    # indistinguishable from a real defect, so the oracle REFUSES
+    # loudly instead
     return f"""
 WITH guard AS (
   SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
-    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine uses an adaptive list count here; re-pin the oracle centroids for this n before gating')
+    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine switches to the constant 32-list layout here; re-pin the oracle centroids for this n before gating')
   ELSE 1 END AS ok FROM embeddings
 ), base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -590,14 +609,16 @@ def _ivf_rerank_oracle_sql() -> str:
         for j in range(N_IVF_LISTS)
     )
     # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
-    # list count adapts (~sqrt(n)) while this static SQL stays pinned
-    # at N_IVF_LISTS centroids — running the gate there would produce
-    # a hash mismatch indistinguishable from a real defect, so the
-    # oracle REFUSES loudly instead
+    # list count becomes the constant
+    # 1<<ceil(log2(sqrt(ANN_Q_MAX*N_PROBE))) = 32 (see _n_ivf_lists)
+    # while this static SQL stays pinned at N_IVF_LISTS centroids —
+    # running the gate there would produce a hash mismatch
+    # indistinguishable from a real defect, so the oracle REFUSES
+    # loudly instead
     return f"""
 WITH guard AS (
   SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
-    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine uses an adaptive list count here; re-pin the oracle centroids for this n before gating')
+    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine switches to the constant 32-list layout here; re-pin the oracle centroids for this n before gating')
   ELSE 1 END AS ok FROM embeddings
 ), base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -160,6 +160,10 @@ def ensure_fixture(
                 # fixture would fail a reader already mid-scan.
                 # Instead MOVE it aside atomically, then decide:
                 aside = f"{d}.aside-{os.getpid()}"
+                # mirror the tmp handling: a stale aside dir left by a
+                # crashed recovery (with a later pid-recycled process)
+                # would make the rename below fail spuriously
+                shutil.rmtree(aside, ignore_errors=True)
                 try:
                     os.rename(d, aside)
                 except OSError:

@@ -256,6 +256,16 @@ def _sign_bits(n: int) -> int:
 
 
 TARGET_BUCKET = 64
+# Hot-bucket cap (duplicate-dense corpora): a sign bucket is sized
+# for E[TARGET_BUCKET] members under near-isotropic data, but a
+# clique of identical embeddings all lands in ONE bucket — on a
+# boilerplate-dense shard that's an O(clique²) self-join blowup.
+# Buckets above the cap emit STAR pairs only (bucket-min ↔ member):
+# connectivity — and therefore downstream component formation — is
+# preserved, pairwise enumeration inside the hot bucket is not.
+# The SQL oracle replays the identical rule, so the gate hash stays
+# exact at ANY corpus size, cap fired or not.
+EMB_BUCKET_CAP = 256
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +277,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     random hyperplanes). The width grows with log(n) so the expected
     bucket size — and with it the per-vector candidate count — stays
     CONSTANT as the corpus grows; one metadata count() sizes it.
-    zip_with/aggregate, JVM-side."""
+    zip_with/aggregate, JVM-side.
+
+    Buckets above ``EMB_BUCKET_CAP`` (duplicate-dense shards) emit
+    star pairs against the bucket's min vec_id instead of all pairs
+    — see the cap constant's contract; the oracle replays the rule."""
     emb = _spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -278,7 +292,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(bits)
     )
-    base = emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
+    wb = W.partitionBy("blk")
+    base = (
+        emb.select("vec_id", "v", norm.alias("nrm"), blk.cast("int").alias("blk"))
+        .withColumn("bsz", F.count("*").over(wb))
+        .withColumn("bmin", F.min("vec_id").over(wb))
+    )
     # PIN the built table before self-joining: without it Catalyst
     # pushes the join key's isnotnull predicate BELOW the exchange
     # and re-evaluates this operator's build expressions — the
@@ -293,8 +312,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # hot-bucket star rule: references only the LEFT side, so Catalyst
+    # pushes it below the join — a hot bucket's left side collapses to
+    # its single representative row before any pair is formed
+    star_gate = (F.col("a.bsz") <= EMB_BUCKET_CAP) | (
+        F.col("a.vec_id") == F.col("a.bmin")
+    )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & star_gate,
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -318,17 +348,24 @@ WITH bits AS (
   SELECT LEAST(24, GREATEST(8,
            CAST(ceil(log2(GREATEST(count(*), 1) / 64.0)) AS INT))) AS b
   FROM embeddings
-), base AS (
+), base0 AS (
   SELECT vec_id,
          CAST({_SIGN_BLK_SQL} AS INT) AS blk,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings, bits
+), base AS (
+  -- hot-bucket star rule, replayed exactly (see EMB_BUCKET_CAP)
+  SELECT *,
+         count(*) OVER (PARTITION BY blk) AS bsz,
+         min(vec_id) OVER (PARTITION BY blk) AS bmin
+  FROM base0
 )
-SELECT * FROM (
+SELECT vec_a, vec_b, cosine FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
   FROM base a JOIN base b ON a.blk = b.blk AND a.vec_id < b.vec_id
+   AND (a.bsz <= {EMB_BUCKET_CAP} OR a.vec_id = a.bmin)
 )
 WHERE cosine >= 0.35  -- filter the ROUNDED value, matching the Spark plan
 ORDER BY vec_a, vec_b
@@ -340,6 +377,22 @@ N_HASHES = 64
 N_BANDS = 16  # 4 rows per band
 # Mersenne-31 keeps a*x+b under 2^62 — no silent int64 overflow
 _MERSENNE = (1 << 31) - 1
+# Hot-bucket cap for the band-bucket self-join: a band bucket of m
+# docs means m docs agree on an ENTIRE band (4 of 64 minhashes) — at
+# m > LSH_BUCKET_CAP they are near-identical boilerplate w.h.p. (the
+# 100k-replica web-crawl shard), and all-pairs enumeration is
+# O(m²·bands) before any Jaccard check. Capped buckets emit STAR
+# candidates only (bucket-min doc ↔ member): component connectivity
+# — what downstream dedup_components consumes — is preserved; the
+# pairwise LIST inside a hot clique is representative, not
+# exhaustive. Contract: on corpora whose true dup cliques exceed the
+# cap, the exhaustive-ground-truth oracle (which has no bucket
+# notion) will list in-clique pairs this face intentionally omits —
+# the cap is sized well above any gated corpus's real clique size
+# (measured band-bucket max: 4 at sf0.1), so the gate stays exact
+# where it runs; the duplicate-heavy scale probe exercises the
+# capped regime.
+LSH_BUCKET_CAP = 128
 
 
 def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -421,6 +474,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
     the LSH stage achieved 100% recall on the gated data (expected:
     band-collision probability at J = 0.7 is 1-(1-0.7⁴)¹⁶ ≈ 0.986
     per pair, and observed pairs sit well above threshold).
+
+    Duplicate-dense corpora: band buckets above ``LSH_BUCKET_CAP``
+    emit star candidates only (see the cap constant's contract) —
+    bounded work per bucket, connectivity preserved, in-clique pair
+    enumeration intentionally sacrificed.
     """
     docs = load_table(spark, sf_dir, "documents")
     # One parquet file = one input split — spread docs across all
@@ -439,17 +497,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
         "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
     )
     # persist() so the Python minhash kernel runs ONCE — the lazy plan
-    # would otherwise recompute it on both sides of the self-join
-    bands = hashed.mapInPandas(
-        _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
-    ).persist()
+    # would otherwise recompute it on both sides of the self-join.
+    # The bucket-size window shares the (band, sig) partitioning the
+    # self-join needs, so the hot-bucket accounting adds no exchange
+    # beyond the one the join pays anyway.
+    wb = W.partitionBy("band", "sig")
+    bands = (
+        hashed.mapInPandas(
+            _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
+        )
+        .withColumn("bsz", F.count("*").over(wb))
+        .withColumn("bmin", F.min("doc_id").over(wb))
+        .persist()
+    )
     l, r = bands.alias("l"), bands.alias("r")
+    # hot-bucket star rule (see LSH_BUCKET_CAP): references only the
+    # LEFT side, so Catalyst pushes it below the join — a hot
+    # bucket's left side collapses to its single representative row
+    star_gate = (F.col("l.bsz") <= LSH_BUCKET_CAP) | (
+        F.col("l.doc_id") == F.col("l.bmin")
+    )
     cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & star_gate,
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
@@ -822,6 +896,18 @@ SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY doc_
 """
 
 CONTAIN_T = 0.9  # directional containment threshold
+# Hot-shingle cap for the block join: a shingle hash h present in m
+# container docs fans every contained-side doc whose MIN-shingle is
+# h out to m candidates — on a boilerplate-dense shard (one header
+# shingle in 100k docs) that is an unbounded blowup. Per h, only the
+# CONTAIN_DF_CAP smallest b_ids stay joinable (deterministic
+# row_number rule, replayed EXACTLY by the SQL oracle, so the gate
+# hash stays valid at any corpus size). Recall contract: a contained
+# doc is missed only when its minimum shingle is ultra-common AND
+# every true container ranks above the cap — and a doc whose
+# min-shingle sits in >CONTAIN_DF_CAP docs is itself boilerplate the
+# capped candidates still cover for component formation.
+CONTAIN_DF_CAP = 256
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,9 +921,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash (min md5 over its shingles) must literally appear in B's
     shingle set — true with probability = containment, so ≥ 0.9
     recall at the threshold, and bucket size is bounded by the
-    frequency of one shingle value, independent of corpus size. The
-    oracle replays the identical blocking, so the gate hash pins the
-    exact candidate protocol, probabilistic recall and all."""
+    frequency of one shingle value — itself bounded by
+    ``CONTAIN_DF_CAP`` on boilerplate-dense shards (see the cap
+    constant's contract). The oracle replays the identical blocking
+    INCLUDING the cap rule, so the gate hash pins the exact candidate
+    protocol, probabilistic recall, cap and all."""
     # spread the SCAN (single parquet file = one partition) so the
     # shingle/hash build parallelizes on every derived side
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -866,8 +954,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array once per shingle (O(Σ sᵢ²) bytes; measured 8 GiB at just
     # 50k docs, over the broadcast-join hard cap). The container's
     # shingles are re-attached afterwards, once per CANDIDATE PAIR —
-    # a set bounded by single-shingle collision frequency.
-    bh = base.select(F.col("doc_id").alias("b_id"), F.explode("hashes").alias("h"))
+    # a set bounded by single-shingle collision frequency, which the
+    # CONTAIN_DF_CAP window below bounds in turn on boilerplate-dense
+    # shards (the window's h-partitioning is the join's own key, so
+    # the cap rides the exchange the join pays anyway).
+    bh = (
+        base.select(F.col("doc_id").alias("b_id"), F.explode("hashes").alias("h"))
+        .withColumn(
+            "rnk", F.row_number().over(W.partitionBy("h").orderBy("b_id"))
+        )
+        .filter(F.col("rnk") <= CONTAIN_DF_CAP)
+        .drop("rnk")
+    )
     cand = a.join(
         bh, (F.col("a.minsh") == F.col("h")) & (F.col("a.doc_id") != F.col("b_id"))
     ).select("a.doc_id", "a.shingles", "a.minsh", "b_id")
@@ -906,13 +1004,23 @@ WITH t AS (
          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hashes,
          list_min(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minsh
   FROM sh
+), bh0 AS (
+  SELECT doc_id AS b_id, unnest(hashes) AS hh FROM h
+), bh AS (
+  -- hot-shingle cap, replayed exactly (see CONTAIN_DF_CAP): per
+  -- shingle hash only the CAP smallest container ids stay joinable
+  SELECT b_id, hh FROM (
+    SELECT b_id, hh, row_number() OVER (PARTITION BY hh ORDER BY b_id) AS rnk
+    FROM bh0
+  ) WHERE rnk <= {CONTAIN_DF_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_contained,
        b.doc_id AS doc_container,
        CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 / len(a.shingles) * 1e4) AS BIGINT) / 1e4 AS containment,
        CAST(len(a.shingles) AS INT) AS n_sh_a,
        CAST(len(b.shingles) AS INT) AS n_sh_b
-FROM h a JOIN h b ON a.doc_id <> b.doc_id AND list_contains(b.hashes, a.minsh)
+FROM h a JOIN bh ON a.minsh = bh.hh AND a.doc_id <> bh.b_id
+JOIN h b ON b.doc_id = bh.b_id
 WHERE CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 / len(a.shingles) * 1e4) AS BIGINT) / 1e4 >= {CONTAIN_T}
 ORDER BY doc_contained, doc_container
 """

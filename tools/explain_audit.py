@@ -61,7 +61,10 @@ AUDIT = {
     "model_per_key": (True, False, 2),
     # r9: the registry-wide heavy-filter sweep's remaining keys, now
     # under per-round watch (their filters are whitelisted benign)
-    "dedup_minhash_lsh": (False, False, 6),
+    # r10: +2 textual — the hot-bucket window's (band,sig) exchange
+    # lives INSIDE the persisted bands cache and prints once per join
+    # side; it executes once, at cache build
+    "dedup_minhash_lsh": (False, False, 8),
     "doc_chunk": (False, False, 1),
     "q_ab_test": (False, False, 4),
     "text_bigrams": (False, False, 1),
@@ -224,95 +227,126 @@ def count_global_windows(plan: str) -> int:
     return n
 
 
-def main() -> None:
+def run_audit(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: set[str] | None = None,
+    verbose: bool = True,
+) -> tuple[list[str], list[str]]:
+    """Audit physical plans. Walks the ENTIRE registry by default:
+    keys with an AUDIT entry get their per-key exchange/pushdown/
+    broadcast/codegen budgets; EVERY key gets the universal checks —
+    heavy-kernel-in-Filter (the pushed-down-recompute defect class),
+    grouped-pandas stage width, unpartitioned n-sized windows.
+    Returns (failures, warns); a clean HEAD has both empty."""
     from bfr_clustering_using_pyspark_spark.plans import all_queries
-    from bfr_clustering_using_pyspark_spark.session import get_spark
 
-    spark = get_spark("explain_audit")
     # AQE wraps plans in AdaptiveSparkPlan, which reports "Found 0
     # WholeStageCodegen subtrees" before execution — disable it here
     # so the codegen count is the real static-plan number. (The
     # exchange/pushdown/broadcast checks read the same static plan
     # AQE would start from, so they are unaffected.)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = all_queries()
-    only = set(sys.argv[1:])
-    sf_dir = "/root/testdata/sf0.01"
-    failures = []
-    for name, (want_push, want_bcast, max_exch) in AUDIT.items():
-        if only and name not in only:
-            continue
-        df = qs[name](spark, sf_dir)
-        qe = df._jdf.queryExecution()
-        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
-        plan = qe.explainString(mode.fromString("formatted"))
-        pushed = "PushedFilters: [" in plan and re.search(r"PushedFilters: \[[^\]]+\]", plan)
-        bcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-        # count only real shuffles ("Exchange (n)" tree nodes), not
-        # BroadcastExchange
-        n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
-        m = re.search(
-            r"Found (\d+) WholeStageCodegen subtrees",
-            qe.explainString(mode.fromString("codegen")),
-        )
-        codegen = int(m.group(1)) if m else 0
-        n_gw = count_global_windows(plan)
-        # INFORMATIONAL (never fails the audit): a Filter node whose
-        # condition evaluates a heavy string/array kernel is the
-        # pushed-down-recompute smell found in r8 — Catalyst pushing
-        # a derived join key's isnotnull below an exchange and
-        # re-deriving the whole regexp->shingle->md5 pipeline per
-        # predicate per row. Predicates should test materialized
-        # columns; a hit here usually means the built table wants an
-        # eager localCheckpoint before its self-join.
-        heavy_filters = 0
-        if name not in HEAVY_FILTER_OK:
-            for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
-                if re.search(
-                    r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\("
-                    r"|md5\(|sha2\(|levenshtein\(|array_intersect\(|array_sort\(",
-                    fm.group(1),
-                ):
-                    heavy_filters += 1
-        # INFORMATIONAL: a grouped-pandas stage (FlatMapGroupsInPandas)
-        # fed by an ENSURE_REQUIREMENTS exchange is subject to AQE
-        # size-based coalescing, which prices the stage by BYTES while
-        # its real cost is per-GROUP Python/Arrow overhead — on a
-        # small corpus AQE collapses it to one task and serializes
-        # every group (r9: q_asof_grouped 9.7s -> 1.5s after an
-        # explicit REPARTITION_BY_NUM). Keys whose group count is
-        # catalog-bounded (a handful of groups — one task is FINE) are
-        # whitelisted below.
-        narrow_pandas = (
-            "FlatMapGroupsInPandas" in plan
-            and "REPARTITION_BY_NUM" not in plan
-            and name not in GROUPED_PANDAS_NARROW_OK
-        )
-        probs = []
-        if want_push and not pushed:
-            probs.append("no pushed filters")
-        if want_bcast and not bcast:
-            probs.append("no broadcast join")
-        if n_exch > max_exch:
-            probs.append(f"{n_exch} exchanges (max {max_exch})")
-        if n_gw and name not in GLOBAL_WINDOW_OK:
-            probs.append(f"{n_gw} unpartitioned window(s) over an n-sized frame")
-        if name in MIN_CODEGEN and codegen < 1:
-            probs.append("no whole-stage codegen subtree")
-        status = "OK " if not probs else "BAD"
-        warn = f" WARN:{heavy_filters}-heavy-expr-filter(s)" if heavy_filters else ""
-        if narrow_pandas:
-            warn += " WARN:grouped-pandas-stage-coalescible"
-        print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
-              f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw}"
-              f"{warn} {'; '.join(probs)}")
-        if probs:
-            failures.append(name)
-            if only:
-                print(plan)
-    print("\nfailures:", failures or "none")
+    failures: list[str] = []
+    warned: list[str] = []
+    try:
+        for name in qs:
+            if only and name not in only:
+                continue
+            spec = AUDIT.get(name)
+            want_push, want_bcast, max_exch = spec if spec else (False, False, None)
+            df = qs[name](spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            plan = qe.explainString(mode.fromString("formatted"))
+            pushed = "PushedFilters: [" in plan and re.search(r"PushedFilters: \[[^\]]+\]", plan)
+            bcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+            # count only real shuffles ("Exchange (n)" tree nodes), not
+            # BroadcastExchange
+            n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+            m = re.search(
+                r"Found (\d+) WholeStageCodegen subtrees",
+                qe.explainString(mode.fromString("codegen")),
+            )
+            codegen = int(m.group(1)) if m else 0
+            n_gw = count_global_windows(plan)
+            # Universal check (runs on EVERY registry plan, r10): a
+            # Filter node whose condition evaluates a heavy string/
+            # array kernel is the pushed-down-recompute smell found in
+            # r8 — Catalyst pushing a derived join key's isnotnull
+            # below an exchange and re-deriving the whole
+            # regexp->shingle->md5 pipeline per predicate per row.
+            # Predicates should test materialized columns; a hit here
+            # usually means the built table wants an eager
+            # localCheckpoint before its self-join.
+            heavy_filters = 0
+            if name not in HEAVY_FILTER_OK:
+                for fm in re.finditer(r"\(\d+\) Filter[^\n]*\nInput[^\n]*\nCondition : ([^\n]+)", plan):
+                    if re.search(
+                        r"regexp_extract_all|xxhash64|array_min\(transform|aggregate\("
+                        r"|md5\(|sha2\(|levenshtein\(|array_intersect\(|array_sort\(",
+                        fm.group(1),
+                    ):
+                        heavy_filters += 1
+            # Universal check: a grouped-pandas stage
+            # (FlatMapGroupsInPandas) fed by an ENSURE_REQUIREMENTS
+            # exchange is subject to AQE size-based coalescing, which
+            # prices the stage by BYTES while its real cost is
+            # per-GROUP Python/Arrow overhead — on a small corpus AQE
+            # collapses it to one task and serializes every group
+            # (r9: q_asof_grouped 9.7s -> 1.5s after an explicit
+            # REPARTITION_BY_NUM). Keys whose group count is
+            # catalog-bounded (a handful of groups — one task is FINE)
+            # are whitelisted.
+            narrow_pandas = (
+                "FlatMapGroupsInPandas" in plan
+                and "REPARTITION_BY_NUM" not in plan
+                and name not in GROUPED_PANDAS_NARROW_OK
+            )
+            probs = []
+            if want_push and not pushed:
+                probs.append("no pushed filters")
+            if want_bcast and not bcast:
+                probs.append("no broadcast join")
+            if max_exch is not None and n_exch > max_exch:
+                probs.append(f"{n_exch} exchanges (max {max_exch})")
+            if n_gw and name not in GLOBAL_WINDOW_OK:
+                probs.append(f"{n_gw} unpartitioned window(s) over an n-sized frame")
+            if name in MIN_CODEGEN and codegen < 1:
+                probs.append("no whole-stage codegen subtree")
+            status = "OK " if not probs else "BAD"
+            warn = f" WARN:{heavy_filters}-heavy-expr-filter(s)" if heavy_filters else ""
+            if narrow_pandas:
+                warn += " WARN:grouped-pandas-stage-coalescible"
+            if verbose:
+                print(f"{status} {name}: exchanges={n_exch} codegen_spans={codegen} "
+                      f"pushed={bool(pushed)} broadcast={bcast} global_windows={n_gw}"
+                      f"{warn} {'; '.join(probs)}", flush=True)
+            if heavy_filters or narrow_pandas:
+                warned.append(name)
+            if probs:
+                failures.append(name)
+                if verbose and only:
+                    print(plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    if verbose:
+        print("\nfailures:", failures or "none")
+        print("warns:", warned or "none")
+    return failures, warned
+
+
+def main() -> None:
+    from bfr_clustering_using_pyspark_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    failures, warned = run_audit(spark, only=set(sys.argv[1:]) or None)
     spark.stop()
-    if failures:
+    # warns are gate failures too: every known-benign heavy filter or
+    # narrow pandas stage must be whitelisted with a justification
+    if failures or warned:
         sys.exit(1)
 
 

@@ -70,13 +70,33 @@ PROBE_QUERIES = [
 if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):
     PROBE_QUERIES = os.environ["SPARK_GRAFT_PROBE_QUERIES"].split(",")
 
+# Duplicate-heavy probe shape (SPARK_GRAFT_PROBE_DUPHEAVY=1): every
+# CLIQUE_MOD-th base doc/vector additionally spawns CLIQUE_PER_K * k
+# UNMUTATED replicas — exact-copy cliques whose size grows with the
+# multiplier (x10 -> 200-clique, x30 -> 600-clique with the defaults)
+# and crosses the hot-bucket caps (LSH_BUCKET_CAP 128 /
+# CONTAIN_DF_CAP 256 / EMB_BUCKET_CAP 256). This is the corpus shape
+# the standard replica mutation deliberately avoids (mutation keeps
+# the dup graph sparse so the x-ratios measure corpus growth); here
+# the point is the opposite — proving the capped band-bucket joins
+# stay bounded when a shard IS boilerplate.
+DUPHEAVY = os.environ.get("SPARK_GRAFT_PROBE_DUPHEAVY") == "1"
+CLIQUE_MOD = 200
+CLIQUE_PER_K = 20
+# r10 measured rows (src sf0.01, x1/x10/x30 cliques of 20/200/600):
+#   dedup_minhash_lsh   t1=9.05s x10=0.04 x30=0.02  (star at >=x10)
+#   dedup_containment   t1=2.58s x10=0.15 x30=0.32  (cap at x30)
+#   dedup_embedding     t1=1.65s x10=0.26 x30=0.11  (61k all-pairs
+#                       rows at x10's 200-clique -> 4.5k star at x30)
+#   dedup_components    t1=3.81s x10=0.07 x30=0.05  (one comp/clique)
+
 
 def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
     out = os.path.join(dst_dir, f"{table}.parquet")
-    if k == 1:
+    if k == 1 and not (DUPHEAVY and table in ("documents", "embeddings")):
         df.write.mode("overwrite").parquet(out)
         return
     keys = FACTS[table]
@@ -91,8 +111,11 @@ def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
         .collect()[0][0]
         + 1
     )
-    rep = spark.range(k).withColumnRenamed("id", "__rep")
-    scaled = df.crossJoin(F.broadcast(rep))
+    if k == 1:
+        scaled = df.withColumn("__rep", F.lit(0))
+    else:
+        rep = spark.range(k).withColumnRenamed("id", "__rep")
+        scaled = df.crossJoin(F.broadcast(rep))
     for c in keys:
         scaled = scaled.withColumn(c, F.col(c) + F.col("__rep") * F.lit(int(unit)))
     if table == "events":
@@ -139,7 +162,21 @@ def _scale_table(spark, src_dir: str, dst_dir: str, table: str, k: int) -> None:
                 )
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
-    scaled.drop("__rep").write.mode("overwrite").parquet(out)
+    scaled = scaled.drop("__rep")
+    if DUPHEAVY and table in ("documents", "embeddings"):
+        # exact-copy cliques from the ORIGINAL rows (no mutation, no
+        # rotation): ids live in the offset range [k, k + 10*k*...)
+        # above the replicas' [0, k), so nothing collides
+        key = keys[0]
+        seeds = df.filter(F.col(key) % CLIQUE_MOD == 0)
+        reps = spark.range(CLIQUE_PER_K * k).withColumnRenamed("id", "__crep")
+        clique = (
+            seeds.crossJoin(F.broadcast(reps))
+            .withColumn(key, F.col(key) + (F.col("__crep") + F.lit(k)) * F.lit(int(unit)))
+            .drop("__crep")
+        )
+        scaled = scaled.unionByName(clique)
+    scaled.write.mode("overwrite").parquet(out)
 
 
 def build_scaled_dir(spark, src_dir: str, dst_dir: str, k: int) -> None:

@@ -461,10 +461,65 @@ def _minhash_kernel(a: np.ndarray, b: np.ndarray):
     return fn
 
 
+# bump when the SIGNATURE BUILD changes (shingler, hash family,
+# banding, the bsz/bmin bucket accounting): the on-disk digest must
+# invalidate artifacts produced by older build code
+MINHASH_STORE_FORMAT = 1
+
+# incremented by the staging callback only — lets tests assert that a
+# warehouse hit re-runs NO kernel (same contract as NND_BUILD_COUNT)
+MINHASH_BUILD_COUNT = 0
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFrame:
+    """The banded signature store (doc_id, band, sig, bsz, bmin) as a
+    WAREHOUSE ARTIFACT — a pure function of (documents.parquet,
+    N_HASHES, N_BANDS), persisted once under the mtime/format-keyed
+    fixture digest (sources/fixtures.py) and RELOADED by every later
+    session and process: the tokenizer/shingler/NumPy kernel never
+    re-runs for an unchanged corpus. This is how a production dedup
+    deployment treats its signature table (built by the ingest job,
+    read by everyone else); ``stream_components`` maintains the same
+    store incrementally on the streaming path."""
+
+    def stage(d: str) -> None:
+        global MINHASH_BUILD_COUNT
+        MINHASH_BUILD_COUNT += 1
+        a_p, b_p = _minhash_params()
+        hashed = base.select(
+            "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
+        )
+        # the bucket-size window doubles as the store's physical
+        # layout pass: signatures land grouped by (band, sig)
+        wb = W.partitionBy("band", "sig")
+        (
+            hashed.mapInPandas(
+                _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
+            )
+            .withColumn("bsz", F.count("*").over(wb))
+            .withColumn("bmin", F.min("doc_id").over(wb))
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    from ..sources.fixtures import ensure_fixture
+
+    path = ensure_fixture(
+        spark,
+        "minhash_sigs",
+        sf_dir,
+        "documents.parquet",
+        f"h={N_HASHES},b={N_BANDS},v{MINHASH_STORE_FORMAT}",
+        stage,
+    )
+    return spark.read.parquet(path)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4): the web-scale near-dup path.
 
-    shingle → minhash signature (Arrow pandas kernel) → band explode →
+    shingle → minhash signature (Arrow pandas kernel; persisted as a
+    warehouse artifact — see ``_minhash_bands``) → band explode →
     bucket self-join (shuffle keyed on (band, sig) — candidates only
     where bands collide) → exact Jaccard verification on candidates →
     pairs with J ≥ threshold.
@@ -491,25 +546,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.7) 
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", _shingles_expr().alias("shingles"))
-    ).persist()  # reused: minhash input + both sides of the verify join
-    a_p, b_p = _minhash_params()
-    hashed = base.select(
-        "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_hashes")
-    )
-    # persist() so the Python minhash kernel runs ONCE — the lazy plan
-    # would otherwise recompute it on both sides of the self-join.
-    # The bucket-size window shares the (band, sig) partitioning the
-    # self-join needs, so the hot-bucket accounting adds no exchange
-    # beyond the one the join pays anyway.
-    wb = W.partitionBy("band", "sig")
-    bands = (
-        hashed.mapInPandas(
-            _minhash_kernel(a_p, b_p), schema="doc_id long, band int, sig long"
-        )
-        .withColumn("bsz", F.count("*").over(wb))
-        .withColumn("bmin", F.min("doc_id").over(wb))
-        .persist()
-    )
+    ).persist()  # reused: signature staging + both sides of the verify join
+    bands = _minhash_bands(spark, sf_dir, base)
     l, r = bands.alias("l"), bands.alias("r")
     # hot-bucket star rule (see LSH_BUCKET_CAP): references only the
     # LEFT side, so Catalyst pushes it below the join — a hot

@@ -188,6 +188,74 @@ GRAPH_PAGERANK_SQL = _pagerank_sql()
 TRI_Q = 0.95  # keep the top-5% strongest co-occurrence ties
 
 
+def _triangles_per_node(edges: DataFrame, orientation: str = "degree") -> DataFrame:
+    """Per-node triangle participation over an undirected (a, b)
+    edge list (a < b, deduped). Enumeration is the oriented two-hop
+    join; each triangle is counted exactly once under ANY acyclic
+    orientation, so the RESULT is orientation-invariant (pinned by
+    tests/test_graph.py's hub equivalence) while the JOIN POPULATION
+    is not:
+
+    - ``degree``: orient every edge low-degree → high-degree (ties by
+      id) — the standard wedge bound. Out-degree is O(sqrt(m)) for
+      every node including hubs, so the wedge join emits
+      O(m^1.5) rows worst-case instead of O(m·max_degree).
+    - ``id``: the textbook a<b orientation (the pre-r10 path, kept
+      for the equivalence test) — a low-id hub pivots all its wedges:
+      a hub in 30% of orders makes the join output quadratic in its
+      degree.
+    """
+    degree = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    if orientation == "id":
+        oe = edges.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("b").alias("okey")
+        )
+    else:
+        # total order (degree, id): strict, hence acyclic; carried as
+        # one sortable struct column so the wedge inequality below is
+        # a single comparison
+        da = degree.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+        db = degree.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+        ranked = edges.join(da, "a").join(db, "b")
+        fwd = (F.col("dega") < F.col("degb")) | (
+            (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+        )
+        oe = ranked.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(
+                fwd, F.struct(F.col("degb").alias("d"), F.col("b").alias("n"))
+            ).otherwise(
+                F.struct(F.col("dega").alias("d"), F.col("a").alias("n"))
+            ).alias("okey"),
+        )
+    o1, o2, o3 = oe.alias("o1"), oe.alias("o2"), oe.alias("o3")
+    # wedge (src, v, w) with ord(v) < ord(w), closed by the oriented
+    # edge v→w — the closing edge's direction is FORCED by the same
+    # total order, so one equi-join probes it
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.okey") < F.col("o2.okey")),
+        )
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.dst")) & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(F.col("o1.src").alias("x"), F.col("o1.dst").alias("y"), F.col("o2.dst").alias("z"))
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return per_node.join(degree, "node").select("node", "degree", "n_tri")
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the supplier co-occurrence graph (edge =
     two suppliers serving the same order at least p95-many times —
@@ -200,11 +268,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of lines), so pairs come from an in-row combination
     explode over collect_set — NOT a lineitem self-join, whose
     output would be quadratic in lines-per-order before the dedup.
-    Triangle enumeration is the classic ordered-edge (a<b) two-hop
-    join: each triangle counted once, two hash-shuffles of the
-    (thresholded, sparse) edge list. At real scale the standard skew
-    upgrade is degree-ordering instead of id-ordering; id-ordering
-    keeps the oracle replay exact here."""
+    Triangle enumeration is the DEGREE-ORDERED two-hop join
+    (``_triangles_per_node``): hubs never pivot their own wedges, so
+    the join output is bounded O(m^1.5) even on a one-supplier-in-
+    30%-of-orders graph. The result is provably orientation-invariant
+    — the id-ordered SQL oracle replays it exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_suppkey")).alias("ss")
@@ -223,27 +291,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.crossJoin(F.broadcast(thr))
         .filter(F.col("c") >= F.col("t"))
         .select("a", "b")
-        .localCheckpoint(eager=True)  # reused 4× (3-way self-join + degrees)
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
-    )
-    per_node = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
-    )
-    degree = (
-        edges.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)  # reused 5× (degrees + orient + 3-way self-join)
     )
     return (
-        per_node.join(degree, "node")
-        .select("node", "degree", "n_tri")
+        _triangles_per_node(edges)
         .orderBy(F.desc("n_tri"), "node")
         .limit(20)
     )

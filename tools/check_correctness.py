@@ -12,6 +12,7 @@ Usage: python tools/check_correctness.py [sf_dir] [only_key ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -59,7 +60,11 @@ def main():
     con = duckdb.connect()
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a Spark-written table is a DIRECTORY of part files (the
+        # scaled sf1 corpus); the driver's testdata is a single file
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -61,10 +61,10 @@ AUDIT = {
     "model_per_key": (True, False, 2),
     # r9: the registry-wide heavy-filter sweep's remaining keys, now
     # under per-round watch (their filters are whitelisted benign)
-    # r10: +2 textual — the hot-bucket window's (band,sig) exchange
-    # lives INSIDE the persisted bands cache and prints once per join
-    # side; it executes once, at cache build
-    "dedup_minhash_lsh": (False, False, 8),
+    # r10: the signature build (kernel + hot-bucket window) moved into
+    # the warehouse artifact store — the per-query plan scans the
+    # stored signatures
+    "dedup_minhash_lsh": (True, True, 4),
     "doc_chunk": (False, False, 1),
     "q_ab_test": (False, False, 4),
     "text_bigrams": (False, False, 1),
@@ -133,6 +133,11 @@ AUDIT = {
 GLOBAL_WINDOW_OK = {
     "q_gap_fill": "calendar spine (days in range, not rows)",
     "q_ks_test": "rounded-cents value grid (bounded domain)",
+    # caught by the r10 full-registry walk, adjudicated benign: the
+    # window's input is the groupBy(source) frame — one row per
+    # SOURCE (catalog-sized), not per document (documented in the
+    # operator's docstring)
+    "corpus_mix": "global normalizer over the per-source grouped frame",
 }
 
 # grouped-pandas keys where AQE collapsing the stage to one task is

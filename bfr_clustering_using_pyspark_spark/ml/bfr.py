@@ -435,7 +435,90 @@ class BFR:
 
     # ---------- main entry ----------
 
-    def fit(self, points: DataFrame, run_dir: str | None = None) -> DataFrame:
+    # ---------- mid-stream checkpoint / resume ----------
+    #
+    # The reference Runner has no restartability: a crash at chunk 24
+    # of 500 restarts the whole fit. At 100 TB that is the difference
+    # between a re-queued task and a lost day, so every round ends by
+    # checkpointing the COMPLETE mutable state (O(k·d) summaries +
+    # the rs_max-bounded retained set + the bounded driver-side
+    # assignment tail) to ``{run_dir}/state.json`` — written AFTER
+    # the round's distributed assignment write, atomically
+    # (tmp + os.replace). Per-round assignments go to their own
+    # subdirectory with overwrite semantics, so re-running an
+    # interrupted round is idempotent: resume(chunk r) produces
+    # bit-identical output whether or not the crash happened mid-
+    # write. All randomness is freshly seeded per call (cfg.seed), so
+    # a resumed fit is deterministic.
+
+    def _ckpt_write(self, run_dir: str, next_round: int, tail: list[pd.DataFrame]) -> None:
+        import json
+        import os
+
+        def _summ(s: "Summaries | None"):
+            if s is None:
+                return None
+            return {
+                "counts": s.counts.tolist(),
+                "sums": s.sums.tolist(),
+                "sqsums": s.sqsums.tolist(),
+            }
+
+        payload = {
+            "next_round": next_round,
+            "ds": _summ(self.ds),
+            "cs": _summ(self.cs),
+            "cs_members": [[int(x) for x in m] for m in self.cs_members],
+            "rs_ids": [int(x) for x in self.rs_ids],
+            "rs_pts": [list(map(float, p)) for p in self.rs_pts],
+            "n_discard_points": int(self._n_discard_points),
+            "round_stats": [vars(r) for r in self.round_stats],
+            "tail": [
+                {"id": df["id"].astype("int64").tolist(),
+                 "cluster": df["cluster"].astype("int64").tolist()}
+                for df in tail
+            ],
+        }
+        tmp = os.path.join(run_dir, f"state.json.tmp-{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(run_dir, "state.json"))
+
+    def _ckpt_load(self, run_dir: str) -> tuple[int, list[pd.DataFrame]] | None:
+        import json
+        import os
+
+        path = os.path.join(run_dir, "state.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            payload = json.load(fh)
+
+        def _summ(obj):
+            if obj is None:
+                return None
+            return Summaries(
+                np.asarray(obj["counts"], dtype=np.int64),
+                np.asarray(obj["sums"], dtype=np.float64),
+                np.asarray(obj["sqsums"], dtype=np.float64),
+            )
+
+        self.ds = _summ(payload["ds"])
+        self.cs = _summ(payload["cs"])
+        self.cs_members = [list(m) for m in payload["cs_members"]]
+        self.rs_ids = list(payload["rs_ids"])
+        self.rs_pts = [np.asarray(p, dtype=np.float64) for p in payload["rs_pts"]]
+        self._n_discard_points = int(payload["n_discard_points"])
+        self.round_stats = [RoundStats(**r) for r in payload["round_stats"]]
+        tail = [
+            pd.DataFrame({"id": t["id"], "cluster": t["cluster"]})
+            for t in payload["tail"]
+        ]
+        return int(payload["next_round"]), tail
+
+    # ---------- main entry ----------
+
+    def fit(self, points: DataFrame, run_dir: str | None = None, resume: bool = False) -> DataFrame:
         """Cluster (id: long, features: array<double>) → (id, cluster).
 
         Chunks by contiguous id ranges (the distributed analogue of
@@ -452,18 +535,24 @@ class BFR:
             )
             for i in range(cfg.n_chunks)
         ]
-        return self.fit_stream(chunks, run_dir=run_dir, approx_chunk_n=n_total / cfg.n_chunks)
+        return self.fit_stream(
+            chunks, run_dir=run_dir, approx_chunk_n=n_total / cfg.n_chunks, resume=resume
+        )
 
     def fit_stream(
         self,
         chunks: list[DataFrame],
         run_dir: str | None = None,
         approx_chunk_n: float | None = None,
+        resume: bool = False,
     ) -> DataFrame:
         """Run BFR over an explicit sequence of point-chunk
         DataFrames — the exact shape of the reference's sorted
         chunk-file loop (``Runner.run``, bfr.py:431-451), one round
-        per chunk."""
+        per chunk. With ``resume=True`` and a ``state.json`` present
+        in ``run_dir``, completed rounds are skipped and the fit
+        continues from the first unfinished chunk (see the
+        checkpoint/resume contract above)."""
         cfg = self.cfg
         spark = chunks[0].sparkSession
         run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
@@ -472,7 +561,14 @@ class BFR:
         out_path = f"{run_dir}/assignments"
         n_chunks = len(chunks)
         driver_assignments: list[pd.DataFrame] = []
+        start_round = 0
+        if resume:
+            restored = self._ckpt_load(run_dir)
+            if restored is not None:
+                start_round, driver_assignments = restored
         for round_id, chunk in enumerate(chunks):
+            if round_id < start_round:
+                continue
             if round_id == 0:
                 if approx_chunk_n is None:
                     approx_chunk_n = chunk.count()
@@ -493,11 +589,13 @@ class BFR:
 
             fused = chunk.mapInPandas(self._assign_kernel(d), schema=self._FUSED_SCHEMA).persist()
             try:
-                # job 1: distributed write of DS assignments
+                # job 1: distributed write of DS assignments — one
+                # subdirectory per round, OVERWRITE, so a resumed
+                # re-run of an interrupted round is idempotent
                 (
                     fused.filter(F.col("rtype") == self._RT_ASSIGN)
                     .select("id", F.col("label").alias("cluster"))
-                    .write.mode("append").parquet(out_path)
+                    .write.mode("overwrite").parquet(f"{out_path}/round_{round_id:05d}")
                 )
                 # job 2: tiny driver-bound feedback collect (partials,
                 # RS points, CS memberships)
@@ -539,12 +637,18 @@ class BFR:
                 self.cs = None
                 self.cs_members = []
             self._record_round(round_id + 1)
+            # the round is durable (assignments written) — checkpoint
+            # the complete mutable state so a crash before the next
+            # round's write resumes HERE
+            self._ckpt_write(run_dir, round_id + 1, driver_assignments)
 
         # one write for all driver-side (RS/CS-bounded) assignments
         tail = [df.astype({"id": "int64", "cluster": "int64"}) for df in driver_assignments if len(df)]
         if tail:
-            spark.createDataFrame(pd.concat(tail, ignore_index=True)).write.mode("append").parquet(out_path)
-        return spark.read.parquet(out_path)
+            spark.createDataFrame(pd.concat(tail, ignore_index=True)).write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/tail")
+        return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
 
     def intermediate_stats(self) -> pd.DataFrame:
         """Reference's intermediate CSV (bfr.py:453-460)."""

@@ -56,3 +56,54 @@ def test_each_point_assigned_exactly_once(spark):
     out = bfr.fit(to_df(spark, X[perm], y[perm])).toPandas()
     assert len(out) == len(X)
     assert out["id"].nunique() == len(X)
+
+
+def test_midstream_crash_resume_bit_identical(spark, tmp_path):
+    """Recovery contract (r10): every round checkpoints the complete
+    mutable state AFTER its durable assignment write; a crash mid-
+    round resumes at that round (idempotent per-round overwrite) and
+    the finished fit is BIT-IDENTICAL — same (id, cluster) labels,
+    same round_stats — to an uninterrupted run. The reference Runner
+    has no restartability; at 100 TB a chunk-24-of-500 crash must not
+    restart the fit."""
+    X, y = make_blobs(n=2000, k=4, d=6)
+    cfg = dict(n_clusters=4, n_chunks=5, rs_max=16)
+
+    # ground truth: uninterrupted fit
+    ref = BFR(BFRConfig(**cfg))
+    ref_out = sorted(map(tuple, ref.fit(to_df(spark, X, y), run_dir=str(tmp_path / "ref")).collect()))
+    ref_stats = [vars(r) for r in ref.round_stats]
+
+    # interrupted fit: crash INSIDE round 2 (after rounds 0-1 are
+    # durable), before round 2's checkpoint
+    crash_dir = str(tmp_path / "crash")
+    victim = BFR(BFRConfig(**cfg))
+    original = victim._apply_feedback
+    calls = {"n": 0}
+
+    def sabotaged(fb):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor-driver crash")
+        calls["n"] += 1
+        return original(fb)
+
+    victim._apply_feedback = sabotaged
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        victim.fit(to_df(spark, X, y), run_dir=crash_dir)
+
+    # resume with a FRESH model instance (fresh process semantics:
+    # nothing carries over but run_dir)
+    resumed = BFR(BFRConfig(**cfg))
+    out = sorted(map(tuple, resumed.fit(to_df(spark, X, y), run_dir=crash_dir, resume=True).collect()))
+    assert out == ref_out
+    assert [vars(r) for r in resumed.round_stats] == ref_stats
+
+
+def test_resume_without_state_is_full_fit(spark, tmp_path):
+    """resume=True on a virgin run_dir degrades to a normal fit."""
+    X, y = make_blobs(n=600, k=3, d=4)
+    bfr = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    out = bfr.fit(to_df(spark, X, y), run_dir=str(tmp_path / "virgin"), resume=True)
+    assert out.count() == 600

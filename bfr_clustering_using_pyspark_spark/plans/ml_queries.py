@@ -504,8 +504,17 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Silhouette is O(n²); at 100 TB it is ALWAYS run on a bounded
     sample — this is that sample-sized evaluation, one broadcast
     cross join + two grouped means, distances via a JVM-side
-    zip_with fold (no Python)."""
+    zip_with fold (no Python). The probe side is spread across the
+    cluster first: under a broadcast join stage parallelism equals
+    the probe side's partition count, and a single-file scan would
+    run the whole O(n²·d) fold on ONE core (r10 sf1 catch: 20k
+    vectors in one task ground for >20 min; spread, the same work is
+    32-way). Hash-safe: the 1e-6-unit integer sums below are
+    partition-order-independent."""
     emb = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < min(par, 8):
+        emb = emb.repartition(par, "vec_id")
     base = emb.select(
         "vec_id",
         "label",

@@ -540,6 +540,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # 4-decimal half-up rounding of the EXACT rational sq/(scale*n)
+    # in pure int64 arithmetic — round(double_ratio, 4) diverges
+    # between engines when the double lands a hair off a .00005
+    # boundary (r10 sf1 catch: doc with sq/14000 scoring 4.1199 in
+    # Spark vs 4.1198 in DuckDB); (2a+b) div 2b never can
     scored = (
         toks.join(lm_q, "tok")
         .groupBy("doc_id")
@@ -547,9 +552,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("sq") / (F.lit(float(LOGPROB_SCALE)) * F.col("n_tokens")), 4).alias(
-                "avg_neg_logprob"
-            ),
+            (
+                F.expr(
+                    f"(sq * 20000 + {LOGPROB_SCALE} * n_tokens)"
+                    f" div (2 * {LOGPROB_SCALE} * n_tokens)"
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_neg_logprob"),
         )
         .localCheckpoint(eager=True)
     )
@@ -579,9 +588,11 @@ WITH toks AS (
          CAST(round(-ln(cnt * 1e0 / (SELECT sum(cnt) FROM lm)) * {LOGPROB_SCALE}, 0) AS BIGINT) AS q
   FROM lm
 ), scored AS (
+  -- exact int64 half-up 4-decimal rounding, mirroring the Spark face
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS n_tokens,
-         round(CAST(sum(q) AS BIGINT) / ({LOGPROB_SCALE}.0 * count(*)), 4) AS avg_neg_logprob
+         CAST((sum(q) * 20000 + {LOGPROB_SCALE} * count(*))
+              // (2 * {LOGPROB_SCALE} * count(*)) AS BIGINT) / 1e4 AS avg_neg_logprob
   FROM toks JOIN lm_q USING (tok)
   GROUP BY doc_id
 ), cut AS (

@@ -31,6 +31,15 @@ QUADRATIC_ORACLES = {
     "dedup_fuzzy_names",
     "dedup_embedding",
     "text_pii_scrub",
+    # r10 sf1 finding: the silhouette oracle is an n x n cross join
+    # with per-pair list arithmetic — 400M pairs at sf1's 20k vectors
+    # ran >15 min in DuckDB (the Spark face finished in seconds)
+    "silhouette_eval",
+    # r10 sf1 finding: the seq_pack oracle replays the greedy
+    # next-fit as a RECURSIVE CTE whose depth is rows-per-shard
+    # (6250 at sf1) and whose every iteration rescans the doc table —
+    # >70 min of DuckDB CPU at sf1; tractable at <= sf0.1 (625 deep)
+    "seq_pack",
 }
 
 

@@ -31,6 +31,16 @@ ANN_Q_MAX = 200
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Spread an under-partitioned scan: every ANN face joins this
+    # frame against a BROADCAST query side, and under a broadcast
+    # join stage parallelism equals the PROBE side's partition count
+    # — a single-file scan would run the whole O(n·q·d) scoring fold
+    # in one task (r10 sf1 catch: ann_bruteforce 30.5s single-task →
+    # 2.9s spread). Conditional, so a real many-file corpus layout
+    # skips the extra exchange.
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < min(par, 8):
+        emb = emb.repartition(par, "vec_id")
     v = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return emb.select("vec_id", v.alias("v"), norm.alias("nrm"))

@@ -30,7 +30,7 @@ AUDIT = {
     "text_quality": (False, False, 1),
     "dedup_exact": (False, False, 4),  # 3 windows (one per key kind) + sort
     "dedup_ngram_jaccard": (False, False, 3),
-    "ann_bruteforce": (False, True, 2),
+    "ann_bruteforce": (False, True, 4),  # r10: +2 textual, see ann_ivf note
     "cluster_profile": (False, False, 2),
     "q10_returned_items": (True, True, 3),
     "q16_supplier_cnt": (True, True, 4),  # distinct-count = 2-phase
@@ -103,9 +103,13 @@ AUDIT = {
     "q_mad_outliers_approx": (False, True, 5),  # two sketch passes, scalars broadcast back
     "csv_roundtrip": (False, False, 1),  # eager-checkpointed aggregate
     "ann_nndescent_graph": (False, False, 1),  # materialized shared build (_nnd_graph cache) + sort; inner build plan: 2 unrolled NN-Descent rounds, bucketed joins (scale props pinned in tests)
-    "ann_ivf": (False, True, 2),
-    "ann_pq": (False, True, 3),
-    "ann_ivf_rerank": (False, True, 3),
+    # r10: +2 textual each — the conditional probe-side spread
+    # (similarity._base) prints on both the data and query lineages;
+    # runtime pays one repartition of the scan (exchange reuse), and
+    # only when the layout under-parallelizes
+    "ann_ivf": (False, True, 4),
+    "ann_pq": (False, True, 4),
+    "ann_ivf_rerank": (False, True, 4),
     "q_skew_join": (False, False, 5),  # forced SMJ (no broadcast by design) + demo repartition
     "q_range_frame": (True, False, 2),
     "mm_video_frames": (False, False, 1),

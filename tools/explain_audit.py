@@ -257,6 +257,12 @@ def run_audit(
     # AQE would start from, so they are unaffected.)
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Audit FRESH plans: leftover persisted frames from earlier work
+    # in the same session make the CacheManager substitute
+    # InMemoryTableScan for matching subtrees, silently changing the
+    # plan under audit (scans lose PushedFilters, exchange counts
+    # shift) — the budgets would then depend on test ordering.
+    spark.catalog.clearCache()
     qs = all_queries()
     failures: list[str] = []
     warned: list[str] = []

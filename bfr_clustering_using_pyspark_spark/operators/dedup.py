@@ -94,6 +94,13 @@ def _shingles_expr():
     )
 
 
+# Hot-block star cap (duplicate-dense corpora), replayed EXACTLY by
+# the SQL oracle — same rule as EMB_BUCKET_CAP: a (len_bucket,
+# minsh) block above the cap is a near-identical clique; emit star
+# pairs only, preserving connectivity while bounding per-block work.
+NGRAM_BLOCK_CAP = 256
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (J ≥ 0.8).
 
@@ -103,12 +110,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability J (≥ 0.8 at our threshold — measured 23/24 pairs
     retained on testdata vs unblocked). Bucket size is bounded by the
     frequency of a single shingle value, independent of corpus size —
-    no O(n²) blow-up within a length bucket at 100 TB.
+    no O(n²) blow-up within a length bucket at 100 TB — and, on
+    duplicate-dense shards, by ``NGRAM_BLOCK_CAP`` (star rule,
+    oracle-replayed).
     """
     # spread the SCAN (single parquet file = one partition), so the
     # shingle/min-hash build itself parallelizes on both join sides,
     # not just the per-pair work after the exchange
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wb = W.partitionBy("len_bucket", "minsh")
     base = (
         docs.select("doc_id", _tokens(F.col("text")).alias("toks"), F.col("n_chars"))
         .filter(F.size("toks") >= 3)
@@ -124,6 +134,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
             ),
         )
+        .withColumn("bsz", F.count("*").over(wb))
+        .withColumn("bmin", F.min("doc_id").over(wb))
     )
     # PIN the built table before self-joining: without it Catalyst
     # pushes the join keys' isnotnull predicates BELOW the exchange
@@ -134,11 +146,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.localCheckpoint(eager=True)
     a = base.alias("a")
     b = base.alias("b")
+    # hot-block star rule: left-side-only, pushes below the join
+    star_gate = (F.col("a.bsz") <= NGRAM_BLOCK_CAP) | (
+        F.col("a.doc_id") == F.col("a.bmin")
+    )
     pairs = a.join(
         b,
         (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.minsh") == F.col("b.minsh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & star_gate,
     )
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
@@ -155,7 +172,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_NGRAM_JACCARD_SQL = """
+DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
          CAST(floor(n_chars / 64) AS INT) AS len_bucket
@@ -165,16 +182,23 @@ WITH t AS (
          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         for i in generate_series(1, len(toks) - 2)]) AS shingles
   FROM t WHERE len(toks) >= 3
-), blk AS (
+), blk0 AS (
   SELECT *, list_min(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minsh
   FROM sh
+), blk AS (
+  -- hot-block star rule, replayed exactly (see NGRAM_BLOCK_CAP)
+  SELECT *,
+         count(*) OVER (PARTITION BY len_bucket, minsh) AS bsz,
+         min(doc_id) OVER (PARTITION BY len_bucket, minsh) AS bmin
+  FROM blk0
 )
-SELECT * FROM (
+SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(round(len(list_intersect(a.shingles, b.shingles)) * 1e0 /
                (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
                * 1e4) AS BIGINT) / 1e4 AS jaccard
   FROM blk a JOIN blk b ON a.len_bucket = b.len_bucket AND a.minsh = b.minsh AND a.doc_id < b.doc_id
+   AND (a.bsz <= {NGRAM_BLOCK_CAP} OR a.doc_id = a.bmin)
 )
 WHERE jaccard >= 0.8  -- filter the ROUNDED value, matching the Spark plan
 ORDER BY doc_a, doc_b

@@ -132,3 +132,22 @@ def test_embedding_hot_bucket_star_and_oracle_replays(spark, clique_dir):
     assert got == oracle
     assert EMB_BUCKET_CAP < CLIQUE  # the regime under test
     assert LSH_BUCKET_CAP < CLIQUE
+
+
+def test_ngram_hot_block_star_and_oracle_replays(spark, clique_dir):
+    from bfr_clustering_using_pyspark_spark.operators.dedup import (
+        NGRAM_BLOCK_CAP,
+        DEDUP_NGRAM_JACCARD_SQL,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_ngram_jaccard(spark, clique_dir).collect()
+    in_clique = {
+        (r["doc_a"], r["doc_b"]) for r in rows if r["doc_a"] < CLIQUE and r["doc_b"] < CLIQUE
+    }
+    assert in_clique == {(0, m) for m in range(1, CLIQUE)}
+    assert NGRAM_BLOCK_CAP < CLIQUE  # the regime under test
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows}
+    con = _duck(clique_dir)
+    oracle = {(r[0], r[1], r[2]) for r in con.sql(DEDUP_NGRAM_JACCARD_SQL).fetchall()}
+    assert got == oracle

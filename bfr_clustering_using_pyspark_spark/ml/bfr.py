@@ -37,6 +37,7 @@ semantics, and the only shuffle-free one.
 from __future__ import annotations
 
 import math
+import os
 import tempfile
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -451,9 +452,25 @@ class BFR:
     # write. All randomness is freshly seeded per call (cfg.seed), so
     # a resumed fit is deterministic.
 
-    def _ckpt_write(self, run_dir: str, next_round: int, tail: list[pd.DataFrame]) -> None:
+    def _ckpt_write(
+        self,
+        run_dir: str,
+        next_round: int,
+        tail: list[pd.DataFrame],
+        meta: dict | None = None,
+    ) -> None:
+        """Durable checkpoint: snapshot the state SYNCHRONOUSLY (the
+        payload is an independent copy — tolist()/vars() detach it
+        from the live arrays), then do the file IO on a background
+        thread so the ~60 ms of json+fsync overlaps the next round's
+        Spark jobs instead of sitting between them. Ordering is kept
+        by joining the previous writer before starting a new one, so
+        state.json is always the LATEST completed round. The write is
+        crash-safe: fsync(tmp) → os.replace → fsync(dir) — a torn or
+        empty state.json cannot survive a power loss (r11 ADVICE)."""
         import json
         import os
+        import threading
 
         def _summ(s: "Summaries | None"):
             if s is None:
@@ -466,6 +483,10 @@ class BFR:
 
         payload = {
             "next_round": next_round,
+            # provenance (r11 ADVICE): resuming with a different
+            # chunking/corpus must fail loudly, not skip rounds that
+            # never ran for this data
+            "meta": meta or {},
             "ds": _summ(self.ds),
             "cs": _summ(self.cs),
             "cs_members": [[int(x) for x in m] for m in self.cs_members],
@@ -479,20 +500,65 @@ class BFR:
                 for df in tail
             ],
         }
-        tmp = os.path.join(run_dir, f"state.json.tmp-{os.getpid()}")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, os.path.join(run_dir, "state.json"))
 
-    def _ckpt_load(self, run_dir: str) -> tuple[int, list[pd.DataFrame]] | None:
+        def _io() -> None:
+            tmp = os.path.join(run_dir, f"state.json.tmp-{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(run_dir, "state.json"))
+            dfd = os.open(run_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+
+        self._ckpt_join()
+        self._ckpt_thread = threading.Thread(target=_io, name="bfr-ckpt")
+        self._ckpt_thread.start()
+
+    def _ckpt_join(self) -> None:
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+
+    def _ckpt_load(
+        self, run_dir: str, expect_meta: dict | None = None
+    ) -> tuple[int, list[pd.DataFrame]] | None:
         import json
         import os
 
         path = os.path.join(run_dir, "state.json")
         if not os.path.exists(path):
             return None
-        with open(path) as fh:
-            payload = json.load(fh)
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (json.JSONDecodeError, OSError) as e:
+            # a torn checkpoint (pre-fsync crash on old builds, disk
+            # fault) must not block the resume the feature exists
+            # for: fall back to a from-scratch fit
+            print(f"bfr: unreadable checkpoint {path} ({e}); refitting from scratch")
+            return None
+        if expect_meta:
+            got = payload.get("meta", {})
+            bad = {
+                k: (got.get(k), v)
+                for k, v in expect_meta.items()
+                if got.get(k) is not None and got.get(k) != v
+            }
+            if bad:
+                raise ValueError(
+                    f"bfr resume provenance mismatch in {path}: "
+                    + ", ".join(
+                        f"{k}: checkpoint={a} vs this fit={b}"
+                        for k, (a, b) in bad.items()
+                    )
+                    + " — resuming would skip rounds that never ran for this "
+                    "data. Use a fresh run_dir (or resume=False)."
+                )
 
         def _summ(obj):
             if obj is None:
@@ -536,7 +602,13 @@ class BFR:
             for i in range(cfg.n_chunks)
         ]
         return self.fit_stream(
-            chunks, run_dir=run_dir, approx_chunk_n=n_total / cfg.n_chunks, resume=resume
+            chunks,
+            run_dir=run_dir,
+            approx_chunk_n=n_total / cfg.n_chunks,
+            resume=resume,
+            # cheap corpus fingerprint for resume provenance: id range
+            # + row count pins the dataset identity without a scan
+            corpus_fp=[int(lo), int(hi), int(n_total)],
         )
 
     def fit_stream(
@@ -545,6 +617,7 @@ class BFR:
         run_dir: str | None = None,
         approx_chunk_n: float | None = None,
         resume: bool = False,
+        corpus_fp: list[int] | None = None,
     ) -> DataFrame:
         """Run BFR over an explicit sequence of point-chunk
         DataFrames — the exact shape of the reference's sorted
@@ -560,10 +633,11 @@ class BFR:
 
         out_path = f"{run_dir}/assignments"
         n_chunks = len(chunks)
+        ckpt_meta = {"n_chunks": n_chunks, "d": d, "corpus_fp": corpus_fp}
         driver_assignments: list[pd.DataFrame] = []
         start_round = 0
         if resume:
-            restored = self._ckpt_load(run_dir)
+            restored = self._ckpt_load(run_dir, expect_meta=ckpt_meta)
             if restored is not None:
                 start_round, driver_assignments = restored
         for round_id, chunk in enumerate(chunks):
@@ -639,8 +713,21 @@ class BFR:
             self._record_round(round_id + 1)
             # the round is durable (assignments written) — checkpoint
             # the complete mutable state so a crash before the next
-            # round's write resumes HERE
-            self._ckpt_write(run_dir, round_id + 1, driver_assignments)
+            # round's write resumes HERE (IO overlaps the next round)
+            self._ckpt_write(run_dir, round_id + 1, driver_assignments, meta=ckpt_meta)
+        self._ckpt_join()
+
+        # the recursive read below sweeps EVERY round_* subdirectory —
+        # a run_dir previously used with more chunks would contribute
+        # stale assignments that never ran for this data (r11 ADVICE),
+        # so verify/clean beyond n_chunks before the final read
+        import re
+        import shutil
+
+        for name in os.listdir(out_path) if os.path.isdir(out_path) else []:
+            m = re.fullmatch(r"round_(\d{5})", name)
+            if m and int(m.group(1)) >= n_chunks:
+                shutil.rmtree(os.path.join(out_path, name))
 
         # one write for all driver-side (RS/CS-bounded) assignments
         tail = [df.astype({"id": "int64", "cluster": "int64"}) for df in driver_assignments if len(df)]

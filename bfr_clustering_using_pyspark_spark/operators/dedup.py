@@ -417,6 +417,15 @@ _MERSENNE = (1 << 31) - 1
 # where it runs; the duplicate-heavy scale probe exercises the
 # capped regime.
 LSH_BUCKET_CAP = 128
+# Oracle-domain pin (r11, mirrors similarity.IVF_SMALL_N): corpora at
+# or below this many docs are where the EXHAUSTIVE all-pairs oracle
+# runs (gated SFs are 500-5000 docs). Inside the pin, a band bucket
+# above LSH_BUCKET_CAP would silently flip the pair-list contract
+# from complete to star-only and hash-mismatch the oracle
+# indistinguishably from a real defect — so the build errors LOUDLY
+# instead. Above the pin the star cap is the documented scale
+# contract and no guard job runs.
+LSH_ORACLE_N = 8192
 
 
 def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -543,11 +552,30 @@ def _minhash_bands(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFra
 # (application, corpus path, data version) — same doctrine as the
 # NND index's session cache: repeated queries over an unchanged
 # corpus in one session (gate sweeps, bench loops, components
-# composing pair-finding) must not re-tokenize/re-shingle. Entries
-# of stopped applications are evicted on access (a DataFrame
-# outliving its SparkContext is a use-after-free); superseded
-# versions of the same corpus are unpersisted on insert.
+# composing pair-finding) must not re-tokenize/re-shingle.
+# Eviction contract (r11): a foreign-app entry is dropped WITHOUT
+# unpersist only when its SparkContext is actually stopped (the
+# blocks died with the context; calling unpersist then would be a
+# use-after-free) — a LIVE foreign session's entries are unpersisted
+# first so their executor blocks are released rather than leaked.
+# The cache is also bounded (oldest-first) so distinct corpora within
+# one long-lived app can't grow it without limit.
 _MINHASH_SESSION_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_MINHASH_CACHE_MAX = 4
+
+
+def _ctx_stopped(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — any broken handle means gone
+        return True
+
+
+def _cache_evict(key: tuple) -> None:
+    base, bands = _MINHASH_SESSION_CACHE.pop(key)
+    if not _ctx_stopped(base):
+        base.unpersist()
+        bands.unpersist()
 
 
 def _minhash_base_and_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -560,16 +588,18 @@ def _minhash_base_and_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
         mtime = 0
     key = (app_id, os.path.abspath(sf_dir), mtime)
     for k in [k for k in _MINHASH_SESSION_CACHE if k[0] != app_id]:
-        del _MINHASH_SESSION_CACHE[k]
+        _cache_evict(k)
     hit = _MINHASH_SESSION_CACHE.get(key)
     if hit is not None:
         return hit
     # a superseded version of the SAME corpus dir holds persisted
     # blocks it will never serve again — release them
     for k in [k for k in _MINHASH_SESSION_CACHE if k[1] == key[1]]:
-        old_base, old_bands = _MINHASH_SESSION_CACHE.pop(k)
-        old_base.unpersist()
-        old_bands.unpersist()
+        _cache_evict(k)
+    # size bound: oldest distinct-corpus entries go first (dict
+    # preserves insertion order), unpersisting live blocks properly
+    while len(_MINHASH_SESSION_CACHE) >= _MINHASH_CACHE_MAX:
+        _cache_evict(next(iter(_MINHASH_SESSION_CACHE)))
     docs = load_table(spark, sf_dir, "documents")
     # One parquet file = one input split — spread docs across all
     # cores before the Python kernel (at real scale the scan already
@@ -583,6 +613,25 @@ def _minhash_base_and_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
         .select("doc_id", _shingles_expr().alias("shingles"))
     ).persist()  # reused: signature staging + both sides of the verify join
     bands = _minhash_bands(spark, sf_dir, base).persist()
+    # Oracle-domain guard (see LSH_ORACLE_N): one agg over the
+    # persisted signature table, run ONCE per cache entry. Raises if
+    # a gated-size corpus would trip the star cap — the exhaustive
+    # oracle cannot replay the cap, so tripping it silently would be
+    # indistinguishable from a correctness defect.
+    n_docs, max_bsz = bands.agg(
+        (F.count("*") / N_BANDS).cast("long"), F.max("bsz")
+    ).first()
+    if n_docs is not None and n_docs <= LSH_ORACLE_N and (max_bsz or 0) > LSH_BUCKET_CAP:
+        base.unpersist()
+        bands.unpersist()
+        raise RuntimeError(
+            f"minhash band bucket of {max_bsz} docs exceeds LSH_BUCKET_CAP="
+            f"{LSH_BUCKET_CAP} on an oracle-domain corpus ({n_docs} docs <= "
+            f"LSH_ORACLE_N={LSH_ORACLE_N}): the pair list would silently "
+            "degrade from complete to star-only and mismatch the exhaustive "
+            "oracle. Raise LSH_BUCKET_CAP for this corpus or gate it above "
+            "LSH_ORACLE_N."
+        )
     _MINHASH_SESSION_CACHE[key] = (base, bands)
     return base, bands
 

@@ -107,3 +107,53 @@ def test_resume_without_state_is_full_fit(spark, tmp_path):
     bfr = BFR(BFRConfig(n_clusters=3, n_chunks=2))
     out = bfr.fit(to_df(spark, X, y), run_dir=str(tmp_path / "virgin"), resume=True)
     assert out.count() == 600
+
+
+def test_torn_checkpoint_falls_back_to_scratch(spark, tmp_path):
+    """A truncated/empty state.json (pre-fsync crash on an old build,
+    disk fault) must not block resume: the fit refits from scratch
+    instead of raising JSONDecodeError (r11 ADVICE)."""
+    X, y = make_blobs(n=600, k=3, d=4)
+    run_dir = tmp_path / "torn"
+    run_dir.mkdir()
+    (run_dir / "state.json").write_text('{"next_round": 1, "ds"')  # torn
+    bfr = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    out = bfr.fit(to_df(spark, X, y), run_dir=str(run_dir), resume=True)
+    assert out.count() == 600
+
+
+def test_resume_provenance_mismatch_raises(spark, tmp_path):
+    """Resuming with a different chunking (or corpus) must fail
+    LOUDLY: silently skipping rounds that never ran for this data is
+    the r11 ADVICE defect."""
+    import pytest
+
+    X, y = make_blobs(n=600, k=3, d=4)
+    run_dir = str(tmp_path / "prov")
+    b1 = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    b1.fit(to_df(spark, X, y), run_dir=run_dir)
+    # same data, DIFFERENT n_chunks
+    b2 = BFR(BFRConfig(n_clusters=3, n_chunks=4))
+    with pytest.raises(ValueError, match="provenance mismatch"):
+        b2.fit(to_df(spark, X, y), run_dir=run_dir, resume=True)
+    # different CORPUS (row count), same chunking
+    b3 = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    with pytest.raises(ValueError, match="provenance mismatch"):
+        b3.fit(to_df(spark, X[:500], y[:500]), run_dir=run_dir, resume=True)
+
+
+def test_stale_round_dirs_cleaned_before_final_read(spark, tmp_path):
+    """A run_dir left by a prior fit with MORE chunks must not leak
+    its extra round_NNNNN assignment dirs into the returned frame
+    (r11 ADVICE): the recursive read sweeps everything under
+    assignments/, so stale dirs beyond n_chunks are removed first."""
+    X, y = make_blobs(n=600, k=3, d=4)
+    run_dir = str(tmp_path / "stale")
+    b1 = BFR(BFRConfig(n_clusters=3, n_chunks=5))
+    assert b1.fit(to_df(spark, X, y), run_dir=run_dir).count() == 600
+    # fresh fit (resume=False) into the SAME dir with fewer chunks:
+    # rounds 2-4 of the old run are stale and must be swept
+    b2 = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    out = b2.fit(to_df(spark, X, y), run_dir=run_dir).toPandas()
+    assert len(out) == 600
+    assert out["id"].nunique() == 600

@@ -85,7 +85,18 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def test_minhash_hot_bucket_emits_star_pairs(spark, clique_dir):
+@pytest.fixture()
+def _capped_regime(monkeypatch):
+    """This corpus DELIBERATELY exceeds LSH_BUCKET_CAP to exercise the
+    star-cap scale contract; opt it out of the oracle-domain guard
+    (LSH_ORACLE_N) that protects gate corpora from silently tripping
+    the cap."""
+    import bfr_clustering_using_pyspark_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "LSH_ORACLE_N", -1)
+
+
+def test_minhash_hot_bucket_emits_star_pairs(spark, clique_dir, _capped_regime):
     rows = dedup_minhash_lsh(spark, clique_dir).collect()
     in_clique = {(r["doc_a"], r["doc_b"]) for r in rows if r["doc_b"] < CLIQUE}
     # star, not all-pairs: exactly (0, m) for every other member
@@ -95,7 +106,7 @@ def test_minhash_hot_bucket_emits_star_pairs(spark, clique_dir):
     assert len(in_clique) == CLIQUE - 1 < CLIQUE * (CLIQUE - 1) // 2
 
 
-def test_components_survive_star_capping(spark, clique_dir):
+def test_components_survive_star_capping(spark, clique_dir, _capped_regime):
     comp = {r["doc_id"]: r["comp"] for r in dedup_components(spark, clique_dir).collect()}
     clique_members = {i for i in comp if i < CLIQUE}
     assert clique_members == set(range(CLIQUE))
@@ -151,3 +162,29 @@ def test_ngram_hot_block_star_and_oracle_replays(spark, clique_dir):
     con = _duck(clique_dir)
     oracle = {(r[0], r[1], r[2]) for r in con.sql(DEDUP_NGRAM_JACCARD_SQL).fetchall()}
     assert got == oracle
+
+
+def test_minhash_oracle_domain_guard_raises(spark, tmp_path):
+    """On an ORACLE-DOMAIN-sized corpus (<= LSH_ORACLE_N docs) whose
+    band buckets exceed LSH_BUCKET_CAP, the signature build must
+    raise loudly instead of silently degrading the pair list to
+    star-only (r11 ADVICE: a silent degrade hash-mismatches the
+    exhaustive oracle indistinguishably from a real defect)."""
+    rng = np.random.default_rng(3)
+    boiler = " ".join(rng.choice(_VOCAB, size=40))
+    n = LSH_BUCKET_CAP + 30
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [boiler] * n,
+            "lang": ["en"] * n,
+            "source": ["web"] * n,
+            "n_chars": np.array([len(boiler)] * n, dtype=np.int64),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(RuntimeError, match="LSH_BUCKET_CAP"):
+        dedup_minhash_lsh(spark, str(tmp_path)).collect()

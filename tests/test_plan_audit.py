@@ -8,12 +8,25 @@ next silent recompute defect (the class that cost corpus_curate 4x
 its lineage in r9) fails the suite instead of waiting for a manual
 sweep."""
 
+import os
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-SF_AUDIT = "/root/testdata/sf0.001"
+# Derive the audit corpus from the env (same var bench.py honours)
+# so the suite degrades to a skip — not a collection-time hard fail —
+# on machines without the driver's fixture layout.
+SF_AUDIT = os.environ.get(
+    "SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_AUDIT),
+    reason=f"audit corpus {SF_AUDIT} not present on this machine",
+)
 
 
 def test_full_registry_plan_audit(spark):

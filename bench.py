@@ -134,8 +134,14 @@ def main() -> None:
         print(f"# extra {name}: {extra_timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # r1 total at sf0.1 (see BASELINE.md); ratio only meaningful there
+    # frozen comparators (see BASELINE.md): r1 total at sf0.1,
+    # r10 total at sf1 — the decade that actually stresses plans
     baseline_total = 13.838
+    baseline_sf1 = 16.879
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else None
+    ratios = {"vs_baseline_total": round(total / baseline_total, 3)}
+    if sf_num == 1.0:
+        ratios["vs_baseline_sf1"] = round(total / baseline_sf1, 3)
     print(
         json.dumps(
             {
@@ -146,8 +152,8 @@ def main() -> None:
                 "aggregation": "min_per_query",
                 "queries": timings,
                 "extra_queries": extra_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "vs_baseline_total": round(total / baseline_total, 3),
+                "sf": sf_num if sf_num is not None else sf,
+                **ratios,
                 # co-tenant load context: same-commit totals have been
                 # observed to swing ~1.5x with host load (SURVEY r6/r7);
                 # judge cross-round deltas against these numbers

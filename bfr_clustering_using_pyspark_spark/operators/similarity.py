@@ -558,24 +558,29 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def _ivf_partitioned_oracle_sql() -> str:
+def _ivf_guard_cte(n_lists: int) -> str:
+    """Fail-fast domain guard, regime-aware (r11): the oracle
+    replays exactly ``n_lists`` centroids, so it errors loudly unless
+    ``_n_ivf_lists(count(*))`` — replayed in SQL as the same two-
+    regime CASE — resolves to that count. The static exported SQL is
+    built at N_IVF_LISTS (valid up to IVF_SMALL_N, every gate/fuzz
+    corpus); the sf1 sweep builds the 32-list variant for the large
+    regime, closing the scale-decade oracle exclusion."""
+    big = _n_ivf_lists(IVF_SMALL_N + 1)
+    return f"""guard AS (
+  SELECT CASE WHEN (CASE WHEN count(*) <= {IVF_SMALL_N} THEN {N_IVF_LISTS} ELSE {big} END) <> {n_lists} THEN error(
+    'corpus size is outside this IVF oracle replay domain: the engine sizes the quantizer as {N_IVF_LISTS} lists up to n={IVF_SMALL_N} and {big} beyond; rebuild the oracle SQL with the matching n_lists before gating')
+  ELSE 1 END AS ok FROM embeddings
+)"""
+
+
+def _ivf_partitioned_oracle_sql(n_lists: int = N_IVF_LISTS) -> str:
     rows = ", ".join(
         "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
-        for j in range(N_IVF_LISTS)
+        for j in range(n_lists)
     )
-    # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
-    # list count becomes the constant
-    # 1<<ceil(log2(sqrt(ANN_Q_MAX*N_PROBE))) = 32 (see _n_ivf_lists)
-    # while this static SQL stays pinned at N_IVF_LISTS centroids —
-    # running the gate there would produce a hash mismatch
-    # indistinguishable from a real defect, so the oracle REFUSES
-    # loudly instead
     return f"""
-WITH guard AS (
-  SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
-    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine switches to the constant 32-list layout here; re-pin the oracle centroids for this n before gating')
-  ELSE 1 END AS ok FROM embeddings
-), base AS MATERIALIZED (
+WITH {_ivf_guard_cte(n_lists)}, base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE (SELECT ok FROM guard) = 1
@@ -613,24 +618,13 @@ ANN_IVF_PARTITIONED_SQL = _ivf_partitioned_oracle_sql()
 ANN_IVF_SQL = ANN_IVF_PARTITIONED_SQL
 
 
-def _ivf_rerank_oracle_sql() -> str:
+def _ivf_rerank_oracle_sql(n_lists: int = N_IVF_LISTS) -> str:
     rows = ", ".join(
         "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
-        for j in range(N_IVF_LISTS)
+        for j in range(n_lists)
     )
-    # fail-fast domain guard: beyond IVF_SMALL_N the Spark face's
-    # list count becomes the constant
-    # 1<<ceil(log2(sqrt(ANN_Q_MAX*N_PROBE))) = 32 (see _n_ivf_lists)
-    # while this static SQL stays pinned at N_IVF_LISTS centroids —
-    # running the gate there would produce a hash mismatch
-    # indistinguishable from a real defect, so the oracle REFUSES
-    # loudly instead
     return f"""
-WITH guard AS (
-  SELECT CASE WHEN count(*) > {IVF_SMALL_N} THEN error(
-    'corpus exceeds the pinned IVF oracle domain (n > {IVF_SMALL_N}): the engine switches to the constant 32-list layout here; re-pin the oracle centroids for this n before gating')
-  ELSE 1 END AS ok FROM embeddings
-), base AS MATERIALIZED (
+WITH {_ivf_guard_cte(n_lists)}, base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings WHERE (SELECT ok FROM guard) = 1

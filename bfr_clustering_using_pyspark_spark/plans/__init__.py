@@ -115,48 +115,18 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 8: graph_pagerank converted to FIXED-POINT integer
-    # iteration (oracle rewritten in lockstep — the one key whose
-    # values changed this round; partitioning-perturbation test added)
-    "graph_pagerank",
-    # pca_power_det's oracle gained a fail-fast dimension guard CTE
-    # (values unchanged on well-formed corpora) — re-verify the text
-    "pca_power_det",
-    # stream_components' per-batch fold is now TWO-TIER (driver
-    # union-find under documented bounds; distributed incremental
-    # contract-CC-remap beyond them) and connected_components gained
-    # a small-edge driver gate — same labels, new plans, re-verify
-    # externally
-    "stream_components", "dedup_components",
-    # NN-Descent index now persists to the warehouse and reloads
-    # across sessions — same edges, new materialization path
-    "ann_nndescent_graph", "ann_graph_search",
-    # graph_label_prop shares the retyped integer edge build
-    "graph_label_prop",
-    # round 8, second sitting — defects the cross-engine fuzz waves
-    # caught, fixed on both faces, must re-verify externally first:
-    # q_weighted_sample now excludes zero-weight (empty) docs;
-    # mm_decode's oracle byte-sums the UTF-8 encoding; the two
-    # calibrated watermark oracles enumerate all 4 staged batch
-    # indices (empty files still commit a watermark)
-    "q_weighted_sample", "mm_decode", "stream_late_data",
-    "stream_update_counts",
-    # round 8, third sitting — scale-probe-driven adaptive blocking:
-    # dedup_embedding's sign-LSH width now derives from count(*) on
-    # BOTH faces; the IVF family's list count is adaptive above the
-    # pinned oracle domain (values unchanged at gate SF, but the
-    # plans changed — re-verify externally first)
-    "dedup_embedding", "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned",
-    # round 8, fourth sitting — dedup_containment's candidate
-    # discovery no longer replicates shingle arrays through the
-    # explode (same pairs, new join shape — re-verify externally)
-    "dedup_containment",
-    # round 8, fourth sitting — the dedup self-join family's built
-    # tables are now spread + pinned before joining (kills the
-    # pushed-down isnotnull recompute of the shingle pipeline and
-    # the single-task probe stage) and fuzzy-names uses thresholded
-    # levenshtein on a spread probe side — same values, new plans
-    "dedup_ngram_jaccard", "dedup_fuzzy_names", "text_pii_scrub",
+    # round 11: the minhash signature store gained the LSH_ORACLE_N
+    # oracle-domain guard + liveness-checked session-cache eviction —
+    # same values on gate corpora, new build path; components compose
+    # the same store
+    "dedup_minhash_lsh", "dedup_components", "stream_components",
+    # round 11: IVF oracle builders parameterized by list count (the
+    # exported gate SQL's guard CTE text changed; values unchanged)
+    "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned",
+    # round 11: BFR checkpoint is now fsynced/provenance-validated
+    # and written on a background thread — rows-only keys, re-verify
+    # the run path externally
+    "bfr_fit", "intermediate_stats",
 )
 _CONVERTED_THIS_ROUND = ()
 

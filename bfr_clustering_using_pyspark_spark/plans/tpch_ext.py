@@ -1308,16 +1308,38 @@ ORDER BY s.strategy
 """
 
 
-def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-user row cap for q_asof_grouped's pandas path: a grouped-map
+# stage materializes EACH GROUP as one in-memory Arrow/pandas frame
+# with no spill, so a single hot user above ~a few million rows OOMs
+# its task no matter how many executors exist. Users above the cap
+# are routed through the window formulation (q_asof_join's plan),
+# whose sort/window operators spill to disk — same answer (the two
+# faces are row-equality-tied by tests), bounded memory.
+ASOF_GROUP_CAP = 2_000_000
+
+
+def q_asof_grouped(
+    spark: SparkSession, sf_dir: str, group_cap: int = ASOF_GROUP_CAP
+) -> DataFrame:
     """As-of join, grouped-map formulation: per-user
     ``pd.merge_asof`` inside ``applyInPandas`` (the alternative to
     the union+window formulation in ``q_asof_join``; same semantics,
     different engine path — each user's events sort-merge in pandas).
     Compact per-user summary output; oracle expresses the backward
-    as-of match as a correlated EXISTS."""
+    as-of match as a correlated EXISTS.
+
+    Hot-group fallback (r11): users whose event count exceeds
+    ``group_cap`` skip the pandas path (one unspillable in-memory
+    frame per group — a 50%-hot user OOMs its task no matter the
+    cluster size) and flow through the spill-safe window formulation.
+    The gate is one map-side-combined count agg (shuffles only
+    per-partition (user, count) partials, never event rows) whose
+    over-cap survivors are a driver list bounded by total/cap; when
+    it is empty — every production-shaped corpus — the plan is
+    byte-identical to the ungated one."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev0 = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view", "click")
     ).select("user_id", "ts", "event_id", "event_type")
     # EXPLICIT fixed-width repartition on the group key: the grouped
@@ -1327,7 +1349,19 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and serializes every group (measured 9.7s -> 1.5s at sf0.1).
     # A user-specified partition count is exempt from coalescing, and
     # the groupBy below reuses this exchange (same hash distribution)
-    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    ev = ev0.repartition(spark.sparkContext.defaultParallelism, "user_id")
+
+    # hot-group gate (bounded driver list: <= total_rows / group_cap
+    # users can exceed the cap). Map-side partial aggregation means
+    # this job shuffles per-partition (user, count) partials only.
+    hot_ids = [
+        r[0]
+        for r in ev0.groupBy("user_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > group_cap)
+        .select("user_id")
+        .collect()
+    ]
 
     # one shuffle on user_id; merge_asof runs on each user's slice
     def asof(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1355,11 +1389,49 @@ def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        ev.groupBy("user_id")
+    if not hot_ids:
+        # fast path (every production-shaped corpus): plan identical
+        # to the ungated formulation — one exchange, one pandas stage
+        return (
+            ev.groupBy("user_id")
+            .applyInPandas(asof, schema="user_id long, n_purchases long, n_with_quote long")
+            .orderBy("user_id")
+        )
+
+    cold = (
+        ev.filter(~F.col("user_id").isin(hot_ids))
+        .groupBy("user_id")
         .applyInPandas(asof, schema="user_id long, n_purchases long, n_with_quote long")
-        .orderBy("user_id")
     )
+
+    # window formulation for the hot users (q_asof_join's plan shape:
+    # union-tag + last-quote carry — Spark's window/sort operators
+    # spill to disk, so a 50%-hot user streams through instead of
+    # OOMing one pandas frame)
+    tagged = ev.filter(F.col("user_id").isin(hot_ids)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "is_purchase", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    hot_out = (
+        tagged.withColumn(
+            "q_id",
+            F.last(
+                F.when(F.col("is_purchase") == 0, F.col("event_id")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_purchase") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("q_id").alias("n_with_quote"),
+        )
+    )
+    return cold.unionByName(hot_out).orderBy("user_id")
 
 
 RANGE_FRAME_S = 3600  # trailing 1-hour value window

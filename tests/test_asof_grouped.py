@@ -38,3 +38,46 @@ def test_grouped_pandas_stage_width_is_explicit(spark):
 
     kinds = re.findall(r"Arguments: (\w+)partitioning", plan)
     assert kinds.count("hash") == 1, plan
+
+
+def test_hot_group_fallback_identical_output(spark, tmp_path):
+    """r11 VERDICT item 5: a 50%-hot user must route through the
+    spill-safe window formulation (the pandas path materializes each
+    group as ONE in-memory frame) and produce output identical to the
+    ungated pandas path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n_hot, n_users, per_user = 5000, 100, 50
+    rows = []
+    eid = 0
+    for u, n in [(1, n_hot)] + [(u, per_user) for u in range(2, n_users + 2)]:
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    u,
+                    np.datetime64("2024-01-01") + np.timedelta64(int(rng.integers(0, 10**6)), "s"),
+                    str(rng.choice(["purchase", "view", "click", "other"])),
+                    float(rng.uniform(0, 100)),
+                    "p",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value", "page"]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), str(tmp_path / "events.parquet")
+    )
+    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import q_asof_grouped
+
+    sf = str(tmp_path)
+    # cap below the hot user's count but above every cold user's
+    ungated = sorted(map(tuple, q_asof_grouped(spark, sf, group_cap=10**9).collect()))
+    gated = sorted(map(tuple, q_asof_grouped(spark, sf, group_cap=1000).collect()))
+    assert gated == ungated
+    assert any(r[0] == 1 for r in gated)  # the hot user is present

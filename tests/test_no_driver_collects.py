@@ -31,9 +31,9 @@ WHITELIST = {
     "ml/metrics.py": (1, "O(k^2) contingency table for NMI"),
     "plans/ml_queries.py": (1, "O(k*d) centroids per Lloyd round (documented production k-means shape)"),
     "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),
-    "plans/tpch_ext.py": (1, "per-returnflag counts (3 rows) for rank medians"),
+    "plans/tpch_ext.py": (2, "per-returnflag counts (3 rows) for rank medians; q_asof_grouped hot-group gate: <= total/group_cap over-cap user ids (map-side-combined count agg, empty on production-shaped corpora)"),
     "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),
-    "operators/dedup.py": (2, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path)"),
+    "operators/dedup.py": (3, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path); 1-row LSH_ORACLE_N guard agg (count+max over the persisted signature store, once per cache entry)"),
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
     "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
     "streaming/docs_stream.py": (2, "CMS partial cells per batch (<= d*w counters); stream_components driver-tier fold: <=driver_gate pair rows per batch (counted before the collect; distributed incremental fold beyond the bounds)"),

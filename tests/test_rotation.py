@@ -1,0 +1,56 @@
+"""Driver-sample rotation coverage (r11, VERDICT item 2): the
+external gate only reaches a ~50-key prefix of queries() per round,
+so the registry's ordering must be provably cyclic — the prefix is
+exactly the least-recently-sampled steady-state keys (plus the
+explicit tier-0..4 overrides), bounding every key's staleness at
+~ceil(N/50) rounds going forward. tools/rotation_report.py prints
+the full evidence; this test enforces the invariants."""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import rotation_report
+
+
+@pytest.fixture(scope="module")
+def samples():
+    s = rotation_report.load_samples()
+    if not s:
+        pytest.skip("no CORRECTNESS_r*.json artifacts on this machine")
+    return s
+
+
+def test_lru_invariant_holds(samples):
+    """No steady-state key outside the driver prefix is staler than
+    one inside it — the prefix IS the least-recently-sampled set."""
+    problems = rotation_report.check(verbose=False)
+    assert not problems, "\n".join(problems)
+
+
+def test_every_key_sampled_within_bounded_window(samples):
+    """Every registry key appears in SOME trailing window of
+    artifacts (nothing is starved forever), and that window is at
+    most ceil(N/prefix) + slack rounds. Slack covers the tier-0..4
+    override slots that displace LRU keys; 2x is far below the
+    starvation this test exists to catch."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as m
+
+    keys = list(m.queries())
+    rounds = sorted(samples)
+    seen = rotation_report.last_sampled(samples)
+    never = [k for k in keys if k not in seen]
+    assert not never, f"keys never externally sampled: {never}"
+    bound = 2 * -(-len(keys) // rotation_report.PREFIX)  # 2 * ceil(N/50)
+    window = rounds[-min(bound, len(rounds)):]
+    union = set().union(*(samples[r] for r in window))
+    missing = [k for k in keys if k not in union]
+    assert not missing, (
+        f"keys not sampled in the trailing {len(window)}-round window "
+        f"(r{window[0]}-r{window[-1]}): {missing}"
+    )

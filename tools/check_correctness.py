@@ -49,8 +49,10 @@ def table_hash(columns, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--scalable"]
+    use_scalable = "--scalable" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -68,6 +70,16 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    scalable: dict = {}
+    if use_scalable:
+        # swap in the scale-tractable oracle variants (inverted-index
+        # pair ground truth, union-find closure, numpy silhouette,
+        # iterative seq_pack fold, large-regime IVF SQL) — see
+        # tools/scalable_oracles.py
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scalable_oracles import overrides
+
+        scalable = overrides(sf_dir, con)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -81,15 +93,20 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
-        if name not in oracles:
+        oracle = scalable.get(name, oracles.get(name))
+        if oracle is None:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            dtypes = [str(t) for t in rel.types]
-            drows = rel.fetchall()
+            if callable(oracle):
+                dcols, drows = oracle(con)
+                dtypes = []
+            else:
+                rel = con.sql(oracle)
+                dcols = rel.columns
+                dtypes = [str(t) for t in rel.types]
+                drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1

@@ -862,7 +862,16 @@ def connected_components(
     with scoped_shuffle_width(
         spark, sized_width(spark, 2 * n_pairs, floor=width_floor)
     ):
-        labels = _propagate(edges, labels, max_rounds)
+        labels, converged = _propagate(edges, labels, max_rounds)
+    if not converged:
+        # Auto-switch (r11): rounds = diameter for propagation, so a
+        # deep component (the 90%-of-edges-one-chain probe shape,
+        # tools/skew_probe_cc.py) exhausts max_rounds with labels
+        # still moving. Returning them would be silently WRONG —
+        # fall back to the O(log n)-round large/small-star face
+        # (equivalence-tested on chains, hubs, random graphs) over
+        # the same pinned pair list.
+        return connected_components_star(pairs)
     # sort=False for intermediate folds (e.g. the per-batch streaming
     # CC fold, whose labels land in parquet state) — the range
     # exchange + sampling job behind orderBy is pure waste there
@@ -924,7 +933,14 @@ def _cc_driver(spark: SparkSession, pairs: DataFrame, sort: bool) -> DataFrame:
     return out.orderBy("doc_id") if sort else out
 
 
-def _propagate(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
+def _propagate(
+    edges: DataFrame, labels: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool]:
+    """Min-label rounds; returns (labels, converged). A non-converged
+    return means the graph's diameter exceeds max_rounds — the labels
+    are NOT final and the caller must fall back (see
+    ``connected_components``'s star auto-switch)."""
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -949,8 +965,9 @@ def _propagate(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFram
         )
         labels = new_labels.select("doc_id", "comp")
         if changed == 0:
+            converged = True
             break
-    return labels
+    return labels, converged
 
 
 def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

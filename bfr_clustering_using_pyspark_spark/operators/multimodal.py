@@ -25,6 +25,36 @@ DECODE_SCHEMA = (
     "width int, height int, n_frames int, feature_mean double"
 )
 
+# Arrow batch byte budget for payload-bearing stages (r11, VERDICT
+# item 7): Spark sizes Python-worker Arrow batches by ROW COUNT only
+# (spark.sql.execution.arrow.maxRecordsPerBatch, default 10000), so a
+# 10 MB-payload corpus would ship ~100 GB batches into each Python
+# worker — the one knob that bounds it is the record count. Every
+# mm_* plan builder calls ``pin_arrow_batch_for_payload`` with its
+# (measured or closed-form) max payload size; the pin only ever
+# LOWERS the record cap, so corpora whose payloads already fit the
+# budget (every gate/bench corpus: <= a few KB) keep the default and
+# the session is untouched. The pin is session-sticky by necessity —
+# the conf is read at EXECUTION time, after the builder returns — and
+# lowering it is the safe direction for everything else running.
+MM_ARROW_BATCH_BYTES = 64 << 20
+_ARROW_REC_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+def pin_arrow_batch_for_payload(spark: SparkSession, max_payload_bytes: int) -> int:
+    """Bound Arrow batches to ~MM_ARROW_BATCH_BYTES of payload. Only
+    lowers the session's maxRecordsPerBatch; returns the effective
+    record cap."""
+    rows = max(1, MM_ARROW_BATCH_BYTES // max(1, int(max_payload_bytes)))
+    try:
+        cur = int(spark.conf.get(_ARROW_REC_KEY))
+    except Exception:  # unset -> Spark default
+        cur = 10000
+    if rows < cur:
+        spark.conf.set(_ARROW_REC_KEY, str(rows))
+        return int(rows)
+    return cur
+
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for an image/audio decoder.
@@ -49,12 +79,22 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload", type_col: str = "media_type") -> DataFrame:
+def decode_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    max_payload_bytes: int | None = None,
+) -> DataFrame:
     """mapInPandas decode over (doc_id, media_type, payload binary).
 
     Arrow-batched: each batch decodes vectorized-per-row in Python
-    (decoders are per-item by nature) but transfers columnar.
+    (decoders are per-item by nature) but transfers columnar. Pass
+    ``max_payload_bytes`` (the corpus's payload bound) so the Arrow
+    record cap is sized to MM_ARROW_BATCH_BYTES — mandatory hygiene
+    on fat-payload corpora (see ``pin_arrow_batch_for_payload``).
     """
+    if max_payload_bytes is not None:
+        pin_arrow_batch_for_payload(df.sparkSession, max_payload_bytes)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,16 +112,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary column + type tag), run the decode pipeline. The decode
     stub is hash-derived, so ``MM_DECODE_SQL`` recomputes it exactly
     in DuckDB — even the binary path is hash-gated."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
-    return decode_media(media).orderBy("doc_id")
+    return decode_media(_media_table(spark, sf_dir)).orderBy("doc_id")
 
 
 # The decode stub is hash-derived, so even the "binary" path is
@@ -189,6 +220,11 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # payload below = utf-8(text): bound its batch footprint from the
+    # corpus's own metadata (one cheap 1-row agg over a long column;
+    # x4 covers the widest UTF-8 expansion)
+    max_chars = docs.agg(F.max("n_chars")).first()[0] or 0
+    pin_arrow_batch_for_payload(spark, 4 * int(max_chars))
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -311,6 +347,8 @@ def mm_pgm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # closed-form payload bound: P5 header + w*h <= 16*14 px
+    pin_arrow_batch_for_payload(spark, 256)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -385,6 +423,8 @@ def mm_pgm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # closed-form payload bound (source PGM, see mm_pgm_roundtrip)
+    pin_arrow_batch_for_payload(spark, 256)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -549,6 +589,8 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # closed-form payload bound: 44-byte RIFF header + <=192 i16 samples
+    pin_arrow_batch_for_payload(spark, 512)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -627,6 +669,8 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # closed-form payload bound (same WAV builder as mm_wav_roundtrip)
+    pin_arrow_batch_for_payload(spark, 512)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -756,6 +800,8 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np  # noqa: F401 — used inside the closures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # closed-form payload bound: BVID header + 8 frames * 12*9 px
+    pin_arrow_batch_for_payload(spark, 1024)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

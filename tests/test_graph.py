@@ -141,3 +141,30 @@ def test_triangle_orientation_equivalence_on_hub_graph(spark):
     assert by_deg == by_id
     # the ring closes 59 triangles through the hub
     assert by_deg[0] == (60, 59)
+
+
+def test_cc_deep_graph_auto_switches_to_star(spark):
+    """r11 VERDICT item 6: a component deeper than max_rounds must
+    not return half-propagated labels — the non-convergence detector
+    falls back to the large/small-star face and the output matches
+    driver union-find exactly."""
+    import pandas as pd
+
+    from bfr_clustering_using_pyspark_spark.operators.dedup import (
+        connected_components,
+        uf_labels,
+        uf_union,
+    )
+
+    n = 200  # chain diameter 200 >> max_rounds=4 below
+    pdf = pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    pairs = spark.createDataFrame(pdf)
+    got = {
+        r[0]: r[1]
+        for r in connected_components(pairs, max_rounds=4, small_gate=0).collect()
+    }
+    parent = {}
+    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+        uf_union(parent, int(a), int(b))
+    assert got == dict(uf_labels(parent))
+    assert set(got.values()) == {0}

@@ -161,3 +161,50 @@ def test_pgm_resize_query(spark):
         assert r["out_width"] == (r["src_width"] + 1) // 2
         assert r["out_height"] == (r["src_height"] + 1) // 2
         assert 0 <= r["min_px"] <= r["max_px"] <= 255
+
+
+def test_fat_payload_arrow_batches_bounded(spark, tmp_path):
+    """r11 VERDICT item 7: ~5 MB payloads must ride Arrow batches
+    sized by MM_ARROW_BATCH_BYTES, not the 10k-row default (which
+    would build ~50 GB batches). The pin computes rows = budget /
+    payload and the pipeline completes with correct metadata."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bfr_clustering_using_pyspark_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    payload_mb = 5
+    n_docs = 24
+    texts = [
+        "".join(chr(97 + b) for b in rng.integers(0, 26, payload_mb * 1024 * 1024 // 64)) * 64
+        for _ in range(4)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": [texts[i % 4] for i in range(n_docs)],
+            "lang": ["en"] * n_docs,
+            "source": ["web"] * n_docs,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    prev = spark.conf.get(mm._ARROW_REC_KEY, None)
+    try:
+        out = mm.mm_decode(spark, str(tmp_path)).collect()
+        assert len(out) == n_docs
+        assert all(r["n_bytes"] == payload_mb * 1024 * 1024 for r in out)
+        # the pin fired: budget/payload = 64MB / (4 * 5MB) = 3 rows
+        pinned = int(spark.conf.get(mm._ARROW_REC_KEY))
+        assert pinned == mm.MM_ARROW_BATCH_BYTES // (4 * payload_mb * 1024 * 1024)
+    finally:
+        if prev is not None:
+            spark.conf.set(mm._ARROW_REC_KEY, prev)
+        else:
+            spark.conf.unset(mm._ARROW_REC_KEY)

@@ -34,6 +34,7 @@ module exists so the SCALE decade is hash-verified too.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -120,11 +121,12 @@ def _seq_pack_rows(con) -> tuple[list[str], list[tuple]]:
     bin_id = fill = n = chk = 0
 
     def flush() -> None:
-        # fill/PACK_BUDGET is a dyadic rational (PACK_BUDGET = 512),
-        # so no decimal-tie risk at 4 places — all round modes agree
-        out.append(
-            (cur_shard, bin_id, n, fill, round(fill / PACK_BUDGET, 4), chk)
-        )
+        # fill/PACK_BUDGET is dyadic (PACK_BUDGET = 512) so the 4dp
+        # scaling below is EXACT — but exact .5 ties DO occur (e.g.
+        # 464/512 = 0.90625) and both engines round HALF_UP, while
+        # Python's round() is half-even: replicate half-up explicitly
+        frac = math.floor(fill / PACK_BUDGET * 1e4 + 0.5) / 1e4
+        out.append((cur_shard, bin_id, n, fill, frac, chk))
 
     for shard, doc_id, t in rows:
         t = int(t)
@@ -177,13 +179,16 @@ def _silhouette_rows(con, block: int = 2048) -> tuple[list[str], list[tuple]]:
 
     a_vals = np.empty(n)
     b_vals = np.empty(n)
+    tmp = np.empty((block, n))
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         B = X[lo:hi]
         acc = np.zeros((hi - lo, n))
-        for k in range(d):  # exact left fold over dims
-            diff = B[:, k, None] - Xs[None, :, k]
-            acc += diff * diff
+        t = tmp[: hi - lo]
+        for k in range(d):  # exact left fold over dims, in-place
+            np.subtract(B[:, k, None], Xs[None, :, k], out=t)
+            np.multiply(t, t, out=t)
+            acc += t
         units = _round_half_away(np.sqrt(acc) * 1e6).astype(np.int64)
         # grouped sums per o_label (columns are label-sorted)
         sums = np.add.reduceat(units, bounds[:-1], axis=1)

@@ -1291,7 +1291,7 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = uq.filter(F.col("q_id").isin(*GS_QUERY_IDS))
 
     j_col = F.explode(F.array(*[F.lit(j) for j in range(GS_ENTRIES)])).alias("j")
-    beam = (
+    md5_entries = (
         queries.select("q_id", j_col)
         .select(
             "q_id",
@@ -1304,6 +1304,30 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % n
             ).alias("c"),
         )
+    )
+    # IVF-ROUTED entries (r11): on a clustered corpus the NND graph
+    # has few cross-cluster links, so a beam seeded only by md5-
+    # random nodes reaches the query's cluster with probability
+    # ~1-(1-1/k)^GS_ENTRIES (measured recall 0.36 on a 10-blob
+    # mixture vs 0.54 isotropic). Route each query to the MIN-ID
+    # member of its N_PROBE nearest md5-quantizer cells — the same
+    # deterministic coarse quantizer the IVF family replays in SQL —
+    # so at least one entry starts inside the query's region at any
+    # cluster count. IVF-routed + random entries is the standard
+    # hybrid (ScaNN / IVF-HNSW shape); everything stays hash-gated.
+    n_lists = _n_ivf_lists(n)
+    ranked_all = _centroid_rank_expr("v", n_lists)
+    assigned = base.select("vec_id", ranked_all[0]["j"].alias("list_id"))
+    reps = assigned.groupBy("list_id").agg(F.min("vec_id").alias("c"))
+    q_probe = base.filter(F.col("vec_id").isin(*GS_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(F.transform(F.slice(ranked_all, 1, N_PROBE), lambda s: s["j"])).alias(
+            "list_id"
+        ),
+    )
+    routed = q_probe.join(F.broadcast(reps), "list_id").select("q_id", "c")
+    beam = (
+        md5_entries.union(routed)
         .filter(F.col("q_id") != F.col("c"))
         .distinct()
     )
@@ -1353,11 +1377,30 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_search(beam).localCheckpoint(eager=True)
 
 
-def _graph_search_oracle_sql() -> str:
-    """Graph CTEs (shared with the nndescent oracle) + unrolled beam
-    hops."""
+def _graph_search_oracle_sql(n_lists: int = N_IVF_LISTS) -> str:
+    """Graph CTEs (shared with the nndescent oracle) + the IVF-routed
+    entry CTEs (r11 — same md5 quantizer as the IVF family, guarded
+    by the same two-regime domain pin) + unrolled beam hops."""
     graph_part = _nndescent_oracle_sql().rsplit("\nSELECT a AS vec_id", 1)[0]
-    hops = [f""", gq AS MATERIALIZED (
+    cent_rows = ", ".join(
+        "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
+        for j in range(n_lists)
+    )
+    big = _n_ivf_lists(IVF_SMALL_N + 1)
+    hops = [f""", gsguard AS (
+  SELECT CASE WHEN (CASE WHEN count(*) <= {IVF_SMALL_N} THEN {N_IVF_LISTS} ELSE {big} END) <> {n_lists} THEN error(
+    'corpus size is outside this graph-search oracle entry-routing domain: rebuild with the matching n_lists')
+  ELSE 1 END AS ok FROM embeddings
+), gscent(j, cv) AS (VALUES {cent_rows}),
+gsdist AS MATERIALIZED (
+  SELECT vec_id, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))), j) AS rk
+  FROM base CROSS JOIN gscent
+  WHERE (SELECT ok FROM gsguard) = 1
+), gsrep AS MATERIALIZED (
+  SELECT j, min(vec_id) AS c FROM gsdist WHERE rk = 1 GROUP BY j
+), gq AS MATERIALIZED (
   SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id IN {GS_QUERY_IDS}
 ), beam0 AS MATERIALIZED (
   SELECT q_id, c, cosine, rank FROM (
@@ -1366,11 +1409,16 @@ def _graph_search_oracle_sql() -> str:
            row_number() OVER (PARTITION BY e.q_id ORDER BY
              round(list_sum(list_transform(list_zip(g.qu, y.u), p -> p[1] * p[2])), 4) DESC, e.c) AS rank
     FROM (
-      SELECT DISTINCT gq.q_id,
-             ('0x' || substr(md5('gs' || gq.q_id || '_' || j.j), 1, 15))::BIGINT % nvec.n AS c
-      FROM gq CROSS JOIN nvec
-      CROSS JOIN (SELECT unnest(generate_series(0, {GS_ENTRIES - 1})) AS j) j
-      WHERE ('0x' || substr(md5('gs' || gq.q_id || '_' || j.j), 1, 15))::BIGINT % nvec.n <> gq.q_id
+      SELECT DISTINCT q_id, c FROM (
+        SELECT gq.q_id,
+               ('0x' || substr(md5('gs' || gq.q_id || '_' || j.j), 1, 15))::BIGINT % nvec.n AS c
+        FROM gq CROSS JOIN nvec
+        CROSS JOIN (SELECT unnest(generate_series(0, {GS_ENTRIES - 1})) AS j) j
+        UNION ALL
+        SELECT d.vec_id AS q_id, r.c
+        FROM gsdist d JOIN gsrep r ON r.j = d.j
+        WHERE d.vec_id IN {GS_QUERY_IDS} AND d.rk <= {N_PROBE}
+      ) WHERE q_id <> c
     ) e JOIN gq g ON e.q_id = g.q_id JOIN unit y ON e.c = y.vec_id
   ) WHERE rank <= {GS_BEAM}
 )"""]

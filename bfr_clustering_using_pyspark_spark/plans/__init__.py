@@ -127,6 +127,13 @@ _CHANGED_THIS_ROUND = (
     # and written on a background thread — rows-only keys, re-verify
     # the run path externally
     "bfr_fit", "intermediate_stats",
+    # round 11: graph search entries are now md5-random UNION
+    # IVF-routed (clustered-corpus recall 0.36 -> 0.78); oracle
+    # rewritten in lockstep — values CHANGED, re-verify first
+    "ann_graph_search",
+    # round 11: q_asof_grouped gained the counted hot-group gate
+    # (fast path keeps the gate-corpus plan identical; re-verify)
+    "q_asof_grouped",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -227,6 +227,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
     import duckdb  # noqa: F401 — con is an open duckdb connection
 
     from bfr_clustering_using_pyspark_spark.operators.similarity import (
+        _graph_search_oracle_sql,
         _ivf_partitioned_oracle_sql,
         _ivf_rerank_oracle_sql,
         _n_ivf_lists,
@@ -244,4 +245,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         "ann_ivf": ivf_sql,
         "ann_ivf_partitioned": ivf_sql,
         "ann_ivf_rerank": _ivf_rerank_oracle_sql(n_lists),
+        # the graph search's IVF-routed entries (r11) inherit the
+        # same list-count regime as the IVF family
+        "ann_graph_search": _graph_search_oracle_sql(n_lists),
     }

@@ -501,28 +501,41 @@ class BFR:
             ],
         }
 
+        err: list[BaseException] = []
+
         def _io() -> None:
-            tmp = os.path.join(run_dir, f"state.json.tmp-{os.getpid()}")
-            with open(tmp, "w") as fh:
-                json.dump(payload, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, os.path.join(run_dir, "state.json"))
-            dfd = os.open(run_dir, os.O_RDONLY)
             try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
+                tmp = os.path.join(run_dir, f"state.json.tmp-{os.getpid()}")
+                with open(tmp, "w") as fh:
+                    json.dump(payload, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, os.path.join(run_dir, "state.json"))
+                dfd = os.open(run_dir, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                err.append(e)
 
         self._ckpt_join()
         self._ckpt_thread = threading.Thread(target=_io, name="bfr-ckpt")
+        self._ckpt_err = err
         self._ckpt_thread.start()
 
     def _ckpt_join(self) -> None:
+        """Wait for the in-flight checkpoint write; a failed write
+        must surface HERE (silently losing durability would defeat
+        the checkpoint), at the next round boundary or fit end."""
         t = getattr(self, "_ckpt_thread", None)
         if t is not None:
             t.join()
             self._ckpt_thread = None
+            err = getattr(self, "_ckpt_err", [])
+            if err:
+                self._ckpt_err = []
+                raise RuntimeError("bfr checkpoint write failed") from err[0]
 
     def _ckpt_load(
         self, run_dir: str, expect_meta: dict | None = None

@@ -157,3 +157,20 @@ def test_stale_round_dirs_cleaned_before_final_read(spark, tmp_path):
     out = b2.fit(to_df(spark, X, y), run_dir=run_dir).toPandas()
     assert len(out) == 600
     assert out["id"].nunique() == 600
+
+
+def test_failed_checkpoint_write_surfaces(spark, tmp_path, monkeypatch):
+    """The checkpoint IO runs on a background thread; a write failure
+    must raise at the next join point, not vanish (losing durability
+    silently would defeat the checkpoint)."""
+    import json as _json
+
+    import pytest
+
+    X, y = make_blobs(n=600, k=3, d=4)
+    bfr = BFR(BFRConfig(n_clusters=3, n_chunks=2))
+    monkeypatch.setattr(
+        _json, "dump", lambda *a, **k: (_ for _ in ()).throw(OSError("disk full"))
+    )
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        bfr.fit(to_df(spark, X, y), run_dir=str(tmp_path / "fail"))

@@ -13,6 +13,7 @@ from . import (
     graph,
     merge,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     sketches,
@@ -24,6 +25,7 @@ _MODULES = (
     curate,
     dedup,
     similarity,
+    retrieval,
     multimodal,
     embeddings_ops,
     merge,

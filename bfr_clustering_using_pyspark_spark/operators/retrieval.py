@@ -1,0 +1,325 @@
+"""Search-ranking operators: BM25 lexical retrieval and hybrid
+lexical+vector rank fusion (RRF) — the retrieval faces an LLM-data /
+RAG pipeline runs next to dedup and ANN.
+
+Spark-first shape: everything is an inverted-index join (explode →
+groupBy → broadcast the O(1) query side), never a doc×doc cross
+join; per-query top-k goes through a salted two-phase window so no
+single window partition scales with the corpus. The reference
+(a single-node BFR clustering homework, 946 LoC) has no retrieval
+surface at all — these operators extend the engine the brief asks
+for, with the same DuckDB hash-gate contract as every other key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_RE, word_tokens
+from ..functions.vectors import to_double_array
+from ..sources.readers import load_table
+
+# BM25 parameters (the Robertson/Okapi defaults everyone ships).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Query terms: the N_QUERY_TERMS highest-document-frequency terms
+# (df desc, term asc) — deterministic, data-derived, replayed by the
+# oracle with the identical ranking predicate.
+N_QUERY_TERMS = 8
+BM25_TOP_K = 5
+# Salt width for the two-phase per-term top-k: a high-df query term
+# can match a constant fraction of the corpus, so one unsalted
+# window partition would scale with n. 32 salts bound the first
+# phase at matches/32 rows per task; phase two ranks <= 32*K rows.
+TOPK_SALTS = 32
+
+# Hybrid-RRF query docs: doc_id % RRF_QUERY_MOD == 0, capped to the
+# fixed RRF_Q_MAX-member id set — same bounded-broadcast contract as
+# the ANN family's _bounded_query_filter (similarity.py): the query
+# side is O(1) in corpus size, so the broadcast never grows.
+RRF_QUERY_MOD = 100
+RRF_Q_MAX = 50
+RRF_K = 60          # the standard RRF dampening constant
+RRF_LIST_K = 20     # fuse the top-20 of each leg
+RRF_TOP_K = 10
+
+
+def _salted_topk(scored: DataFrame, part: str, order_col: str, tie: str, k: int) -> DataFrame:
+    """Two-phase per-``part`` top-k over (order_col DESC, tie ASC):
+    phase one ranks within (part, tie%TOPK_SALTS) so no window
+    partition scales with the corpus; phase two ranks the <=
+    TOPK_SALTS*k survivors per part. Emits ``rank``."""
+    w1 = W.partitionBy(part, F.col(tie) % TOPK_SALTS).orderBy(F.desc(order_col), tie)
+    w2 = W.partitionBy(part).orderBy(F.desc(order_col), tie)
+    return (
+        scored.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2 b=0.75) top-5 documents for each of the 8
+    highest-df query terms.
+
+    Plan: one token explode → (doc,term) tf + per-doc length in the
+    SAME aggregation pass; df per term; the 8 query terms are a tiny
+    sorted agg broadcast into the tf frame, so scoring touches only
+    postings of query terms (inverted-index semantics — never a
+    doc×term dense product). Top-k is the salted two-phase window.
+    All arithmetic is doubles over exact integer inputs with the
+    oracle replaying the identical expression shape; scores rounded
+    to 6dp before ranking (doc_id tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # per-doc length from the tf frame (map-side combine already paid)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.sum("dl")).first()[0]) / float(n_docs)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # global top-8 terms via TakeOrderedAndProject (orderBy+limit),
+    # NOT an unpartitioned vocabulary-sized window — the plan audit
+    # rejects any WindowExec whose partition scales with the data
+    qterms = df_.orderBy(F.desc("df"), "term").limit(N_QUERY_TERMS).select("term", "df")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            F.round(idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )
+    return (
+        _salted_topk(scored, "term", "bm25", "doc_id", BM25_TOP_K)
+        .select("term", "doc_id", "bm25", "rank")
+        .orderBy("term", "rank")
+    )
+
+
+TEXT_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1e0 / (SELECT count(*) FROM documents) AS avgdl
+), df_ AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qrank FROM df_
+  ) WHERE qrank <= {N_QUERY_TERMS}
+), scored AS (
+  SELECT t.term, t.doc_id,
+         round(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+               * t.tf * {BM25_K1 + 1.0}
+               / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+               6) AS bm25
+  FROM tf t JOIN qterms q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+), ranked AS (
+  SELECT term, doc_id, bm25,
+         row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT term, doc_id, bm25, rank FROM ranked WHERE rank <= {BM25_TOP_K}
+ORDER BY term, rank
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: for each query
+    document (doc_id % {mod} == 0, id < {mod}·{qmax} — the bounded
+    O(1) query-set contract the ANN family uses), fuse
+
+      - a LEXICAL leg: distinct-token Jaccard vs every candidate doc
+        sharing >= 1 token, via an inverted-index join on term
+        (candidates bounded by shared-vocabulary postings, never
+        doc×doc), top-{lk}; and
+      - a VECTOR leg: exact cosine of the doc's embedding
+        (vec_id == doc_id by corpus construction) vs all embeddings,
+        query side broadcast, top-{lk};
+
+    then rrf = Σ_leg 1/({k} + rank_leg) over the union of both
+    top-{lk} lists (absent leg contributes 0), re-ranked to
+    top-{tk}. Ranks are integers, so the fused score is a sum of two
+    exact-input divisions — cross-engine stable at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    qpred = (F.col("doc_id") % RRF_QUERY_MOD == 0) & (
+        F.col("doc_id") < RRF_QUERY_MOD * RRF_Q_MAX
+    )
+
+    # ---- lexical leg: distinct-token Jaccard over the inverted index
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    qtoks = toks.filter(qpred).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    inter = (
+        toks.join(F.broadcast(qtoks), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    qsizes = sizes.filter(qpred).select(
+        F.col("doc_id").alias("q_id"), F.col("n_tok").alias("q_n")
+    )
+    lex_scored = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(qsizes), "q_id")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(
+                F.col("inter") / (F.col("q_n") + F.col("n_tok") - F.col("inter")), 6
+            ).alias("jacc"),
+        )
+    )
+    lex = _salted_topk(lex_scored, "q_id", "jacc", "doc_id", RRF_LIST_K).select(
+        "q_id", "doc_id", F.col("rank").alias("r_lex")
+    )
+
+    # ---- vector leg: exact cosine, bounded query side broadcast
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_array("embedding").alias("v"),
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select("doc_id", "v", nrm.alias("nrm"))
+    qvec = base.filter(qpred).select(
+        F.col("doc_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    vec_scored = (
+        base.join(F.broadcast(qvec), F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
+        )
+    )
+    vec = _salted_topk(vec_scored, "q_id", "cosine", "doc_id", RRF_LIST_K).select(
+        "q_id", "doc_id", F.col("rank").alias("r_vec")
+    )
+
+    # ---- fusion: union of the two lists, absent leg contributes 0
+    fused = (
+        lex.join(vec, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select("q_id", "doc_id", "r_lex", "r_vec", "rrf", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+q_hybrid_rrf.__doc__ = q_hybrid_rrf.__doc__.format(
+    mod=RRF_QUERY_MOD, qmax=RRF_Q_MAX, lk=RRF_LIST_K, k=RRF_K, tk=RRF_TOP_K
+)
+
+
+Q_HYBRID_RRF_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+    FROM documents
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), qtoks AS (
+  SELECT doc_id AS q_id, term FROM toks
+  WHERE doc_id % {RRF_QUERY_MOD} = 0 AND doc_id < {RRF_QUERY_MOD * RRF_Q_MAX}
+), inter AS (
+  SELECT q.q_id, t.doc_id, count(*) AS inter
+  FROM toks t JOIN qtoks q USING (term)
+  WHERE t.doc_id <> q.q_id
+  GROUP BY q.q_id, t.doc_id
+), lex_scored AS (
+  SELECT i.q_id, i.doc_id,
+         round(i.inter * 1e0 / (qs.n_tok + s.n_tok - i.inter), 6) AS jacc
+  FROM inter i
+  JOIN sizes s ON s.doc_id = i.doc_id
+  JOIN sizes qs ON qs.doc_id = i.q_id
+), lex AS (
+  SELECT q_id, doc_id, rank AS r_lex FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY jacc DESC, doc_id) AS rank
+    FROM lex_scored
+  ) WHERE rank <= {RRF_LIST_K}
+), base AS MATERIALIZED (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), qvec AS (
+  SELECT doc_id AS q_id, v AS q_v, nrm AS q_nrm FROM base
+  WHERE doc_id % {RRF_QUERY_MOD} = 0 AND doc_id < {RRF_QUERY_MOD * RRF_Q_MAX}
+), vec_scored AS (
+  SELECT q.q_id, b.doc_id,
+         round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2]))
+               / (b.nrm * q.q_nrm), 4) AS cosine
+  FROM base b CROSS JOIN qvec q
+  WHERE b.doc_id <> q.q_id
+), vec AS (
+  SELECT q_id, doc_id, rank AS r_vec FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank
+    FROM vec_scored
+  ) WHERE rank <= {RRF_LIST_K}
+), fused AS (
+  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.r_lex AS r_lex, v.r_vec AS r_vec,
+         round(coalesce(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + coalesce(1.0 / ({RRF_K} + v.r_vec), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+), ranked AS (
+  SELECT q_id, doc_id, r_lex, r_vec, rrf,
+         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, r_lex, r_vec, rrf, rank FROM ranked
+WHERE rank <= {RRF_TOP_K} ORDER BY q_id, rank
+"""
+
+
+QUERIES = {
+    "text_bm25": text_bm25,
+    "q_hybrid_rrf": q_hybrid_rrf,
+}
+
+ORACLES = {
+    "text_bm25": TEXT_BM25_SQL,
+    "q_hybrid_rrf": Q_HYBRID_RRF_SQL,
+}

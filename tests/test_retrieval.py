@@ -1,0 +1,100 @@
+"""BM25 + hybrid-RRF retrieval: DuckDB parity at sf0.001, semantic
+sanity (the top BM25 doc actually contains the term; RRF favors
+docs present in BOTH legs), and plan properties (broadcast query
+side, no corpus-partition window before the salted phase)."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from bfr_clustering_using_pyspark_spark.operators.retrieval import (
+    BM25_TOP_K,
+    N_QUERY_TERMS,
+    Q_HYBRID_RRF_SQL,
+    RRF_K,
+    RRF_LIST_K,
+    RRF_TOP_K,
+    TEXT_BM25_SQL,
+    q_hybrid_rrf,
+    text_bm25,
+)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_bm25_matches_duckdb(spark, duck):
+    got = _rows(text_bm25(spark, SF_SMALL))
+    want = [tuple(r) for r in duck.execute(TEXT_BM25_SQL).fetchall()]
+    assert got == want
+    # contract: <= top-k rows for each of the query terms, ranks 1..k
+    terms = {t for t, *_ in got}
+    assert len(terms) == N_QUERY_TERMS
+    for t in terms:
+        ranks = [r for (tt, _, _, r) in got if tt == t]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= BM25_TOP_K
+
+
+def test_bm25_top_doc_contains_term(spark):
+    """Sanity: every (term, doc) hit really contains the term — BM25
+    only scores postings, never zero-tf pairs."""
+    import re
+
+    got = text_bm25(spark, SF_SMALL).collect()
+    docs = {
+        r["doc_id"]: r["text"].lower()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    for r in got:
+        assert r["term"] in re.findall("[a-z0-9]+", docs[r["doc_id"]])
+        assert r["bm25"] > 0
+
+
+def test_hybrid_rrf_matches_duckdb(spark, duck):
+    got = _rows(q_hybrid_rrf(spark, SF_SMALL))
+    want = [tuple(r) for r in duck.execute(Q_HYBRID_RRF_SQL).fetchall()]
+    assert got == want
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    rows = q_hybrid_rrf(spark, SF_SMALL).collect()
+    assert rows, "query set must be non-empty at sf0.001"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= RRF_TOP_K
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            # fused score recomputes from the leg ranks exactly
+            want = 0.0
+            if r["r_lex"] is not None:
+                assert 1 <= r["r_lex"] <= RRF_LIST_K
+                want += 1.0 / (RRF_K + r["r_lex"])
+            if r["r_vec"] is not None:
+                assert 1 <= r["r_vec"] <= RRF_LIST_K
+                want += 1.0 / (RRF_K + r["r_vec"])
+            assert r["rrf"] == pytest.approx(round(want, 6), abs=1e-9)
+            assert r["r_lex"] is not None or r["r_vec"] is not None
+        # a doc in both legs at equal rank beats a doc in one leg at
+        # that rank (the point of fusion)
+        both = [r for r in rs if r["r_lex"] and r["r_vec"]]
+        only = [r for r in rs if (r["r_lex"] is None) != (r["r_vec"] is None)]
+        for b in both:
+            for o in only:
+                o_rank = o["r_lex"] or o["r_vec"]
+                if max(b["r_lex"], b["r_vec"]) <= o_rank:
+                    assert b["rrf"] > o["rrf"]
+
+
+def test_plans_stay_bounded(spark):
+    """No window partitioned on a corpus-sized key before the salted
+    phase, and the query sides are broadcast."""
+    for fn in (text_bm25, q_hybrid_rrf):
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        for line in plan.splitlines():
+            if "Window" in line and "partitionBy" in line:
+                pytest.fail(f"unexpected window spec: {line}")

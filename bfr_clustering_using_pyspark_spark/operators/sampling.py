@@ -363,7 +363,67 @@ LIMIT {WS_K}
 """
 
 
+SHUF_SEED = "shuf1:"
+SHUF_SHARD_SIZE = 64  # docs per training shard
+
+
+def corpus_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    seeded 60-bit md5 permutation key, the corpus is EXACTLY ranked
+    in key order, and rank is folded into fixed-size training shards
+    (shard = rank div SHUF_SHARD_SIZE, pos = rank mod
+    SHUF_SHARD_SIZE) — the "shuffle then shard" step every
+    pretraining pipeline runs before writing webdataset /
+    arrayrecord-style shards. Seeded hash (not rand()) means the
+    same permutation on every engine, every run, every partitioning
+    — resumable and auditable.
+
+    Scale: the rank comes from operators.ranking.global_rank (range
+    bucketing by the key + per-bucket local windows + broadcast
+    prefix offsets) — there is NO unpartitioned n-sized window and
+    no driver-side sort; output is shuffled once by the rank's
+    bucket key. The oracle replays the identical permutation with a
+    plain row_number() at gate scale."""
+    from .ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    skey = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SHUF_SEED), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select("doc_id", skey.alias("skey"))
+    ranked = global_rank(
+        keyed, [F.col("skey"), F.col("doc_id")], F.col("skey"), out="rank"
+    )
+    r0 = F.col("rank") - 1
+    return ranked.select(
+        "doc_id",
+        "skey",
+        (r0 / SHUF_SHARD_SIZE).cast("long").alias("shard"),
+        (r0 % SHUF_SHARD_SIZE).cast("long").alias("pos"),
+    ).orderBy("shard", "pos")
+
+
+CORPUS_TRAIN_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{SHUF_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM documents
+), ranked AS (
+  SELECT doc_id, skey,
+         row_number() OVER (ORDER BY skey, doc_id) - 1 AS r0
+  FROM keyed
+)
+SELECT doc_id, skey,
+       CAST(r0 // {SHUF_SHARD_SIZE} AS BIGINT) AS shard,
+       CAST(r0 % {SHUF_SHARD_SIZE} AS BIGINT) AS pos
+FROM ranked ORDER BY shard, pos
+"""
+
+
 QUERIES = {
+    "corpus_train_shuffle": corpus_train_shuffle,
     "q_weighted_sample": q_weighted_sample,
     "sample_stratified": sample_stratified,
     "corpus_mix": corpus_mix,
@@ -373,6 +433,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_train_shuffle": CORPUS_TRAIN_SHUFFLE_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "corpus_mix": CORPUS_MIX_SQL,

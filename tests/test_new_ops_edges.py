@@ -407,5 +407,5 @@ def test_ivf_oracle_guard_fails_fast_beyond_pinned_domain():
         f" list_transform(range(64), x -> 0.1 + x * 0.001) AS embedding"
         f" FROM range({IVF_SMALL_N + 1}) t(i)"
     )
-    with pytest.raises(duckdb.Error, match="pinned IVF oracle domain"):
+    with pytest.raises(duckdb.Error, match="IVF oracle replay domain"):
         con.execute(ANN_IVF_SQL).fetchall()

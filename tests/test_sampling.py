@@ -122,3 +122,47 @@ def test_weighted_sample_favors_heavy_docs(spark):
     corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
     sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_avg > corpus_avg  # weight = n_chars pulls long docs in
+
+
+def test_corpus_train_shuffle_parity_and_contract(spark, duck):
+    from bfr_clustering_using_pyspark_spark.operators.sampling import (
+        CORPUS_TRAIN_SHUFFLE_SQL,
+        SHUF_SHARD_SIZE,
+        corpus_train_shuffle,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = [tuple(r) for r in corpus_train_shuffle(spark, SF_SMALL).collect()]
+    want = [tuple(r) for r in duck.execute(CORPUS_TRAIN_SHUFFLE_SQL).fetchall()]
+    assert got == want
+    # a permutation: every doc exactly once, (shard, pos) dense
+    n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(got) == n == len({d for d, *_ in got})
+    slots = sorted((s, p) for _, _, s, p in got)
+    assert slots == [(i // SHUF_SHARD_SIZE, i % SHUF_SHARD_SIZE) for i in range(n)]
+    # the permutation actually shuffles (not identity order)
+    by_slot = [d for d, _, _, _ in got]
+    assert by_slot != sorted(by_slot)
+
+
+def test_corpus_train_shuffle_partition_invariant(spark):
+    """The shard/pos assignment must not depend on input partitioning
+    — repartitioned input produces the identical permutation."""
+    from bfr_clustering_using_pyspark_spark.operators import sampling
+    from bfr_clustering_using_pyspark_spark.operators.sampling import corpus_train_shuffle
+    from bfr_clustering_using_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    base = [tuple(r) for r in corpus_train_shuffle(spark, SF_SMALL).collect()]
+
+    orig = sampling.load_table
+
+    def shuffled_load(spark_, sf_dir_, name):
+        return orig(spark_, sf_dir_, name).repartition(7)
+
+    sampling.load_table = shuffled_load
+    try:
+        re = [tuple(r) for r in corpus_train_shuffle(spark, SF_SMALL).collect()]
+    finally:
+        sampling.load_table = orig
+    assert re == base

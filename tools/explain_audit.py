@@ -144,6 +144,11 @@ GLOBAL_WINDOW_OK = {
     # SOURCE (catalog-sized), not per document (documented in the
     # operator's docstring)
     "corpus_mix": "global normalizer over the per-source grouped frame",
+    # grouped_rank's prefix-offset window: input is the per-bucket
+    # COUNTS frame (<= ranking.MAX_BUCKETS rows, one per range
+    # bucket), not the corpus; Catalyst folds the lit(0) partition
+    # key away, making the bounded window look global to this parser
+    "corpus_train_shuffle": "prefix offsets over the bucket-counts frame (<= MAX_BUCKETS rows)",
 }
 
 # grouped-pandas keys where AQE collapsing the stage to one task is

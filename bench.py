@@ -39,6 +39,10 @@ EXTRAS = [
     "dedup_components",
     "stream_components",
     "graph_pagerank",
+    # r11 retrieval faces — tracked so ranking-path regressions show
+    "text_bm25",
+    "q_hybrid_rrf",
+    "corpus_train_shuffle",
 ]
 
 

@@ -79,7 +79,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # per-doc length from the tf frame (map-side combine already paid)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = float(dl.agg(F.sum("dl")).first()[0]) / float(n_docs)
+    # all-empty corpus → no tokens → sum is NULL; 1.0 keeps the
+    # (vacuously row-free) scoring expression well-defined
+    tot_tokens = dl.agg(F.sum("dl")).first()[0]
+    avgdl = float(tot_tokens) / float(n_docs) if tot_tokens else 1.0
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     # global top-8 terms via TakeOrderedAndProject (orderBy+limit),
     # NOT an unpartitioned vocabulary-sized window — the plan audit

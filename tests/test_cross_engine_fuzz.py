@@ -52,6 +52,8 @@ DOC_KEYS = [
     "text_unigram_logprob",
     "doc_chunk",
     "chunk_boilerplate",
+    "text_bm25",
+    "corpus_train_shuffle",
 ]
 EMB_KEYS = [
     "embedding_normalize",
@@ -59,6 +61,10 @@ EMB_KEYS = [
     "ann_bruteforce",
     "ann_lsh",
     "dedup_embedding",
+    # needs BOTH views (documents lexical leg + embeddings vector
+    # leg); deterministic — every candidate is scored, no
+    # probabilistic blocking
+    "q_hybrid_rrf",
 ]
 
 _VOCAB = (

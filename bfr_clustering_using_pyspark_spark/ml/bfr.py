@@ -641,6 +641,10 @@ class BFR:
         checkpoint/resume contract above)."""
         cfg = self.cfg
         spark = chunks[0].sparkSession
+        # an anonymous tempdir cannot be resumed (the caller can't
+        # name it), so per-round durability there is pure cost —
+        # checkpoint only when the caller provided a run_dir
+        ckpt_enabled = run_dir is not None
         run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
         d = len(chunks[0].select("features").first()[0])
 
@@ -727,7 +731,8 @@ class BFR:
             # the round is durable (assignments written) — checkpoint
             # the complete mutable state so a crash before the next
             # round's write resumes HERE (IO overlaps the next round)
-            self._ckpt_write(run_dir, round_id + 1, driver_assignments, meta=ckpt_meta)
+            if ckpt_enabled:
+                self._ckpt_write(run_dir, round_id + 1, driver_assignments, meta=ckpt_meta)
         self._ckpt_join()
 
         # the recursive read below sweeps EVERY round_* subdirectory —

@@ -38,6 +38,12 @@ AUDIT = {
     "q_salted_agg": (False, False, 3),
     "q_merge_upsert": (False, False, 5),  # +1: in-plan max-key 1-row agg (replaced a driver collect)
     "tfidf_top_terms": (False, True, 5),
+    # r11 retrieval family: inverted-index joins with broadcast O(1)
+    # query sides; exchange budgets include the salted two-phase
+    # top-k (2 window exchanges per ranked leg) + presentation sort
+    "text_bm25": (False, True, 8),
+    "q_hybrid_rrf": (False, True, 11),
+    "corpus_train_shuffle": (False, True, 4),
     "q_regression": (False, True, 2),
     "embedding_normalize": (False, False, 1),
     "dedup_fuzzy_names": (False, False, 3),

@@ -61,6 +61,11 @@ PROBE_QUERIES = [
     # cost should stay near-flat once the NND build amortizes)
     "q_percentiles_dist",
     "ann_graph_search",
+    # r11: retrieval faces (inverted-index postings join + salted
+    # top-k; the fused two-leg ranker) and the shuffle-and-shard rank
+    "text_bm25",
+    "q_hybrid_rrf",
+    "corpus_train_shuffle",
 ]
 # probed r9 via SPARK_GRAFT_PROBE_QUERIES (kept off the default
 # tier-0 list for cost): stream_late_data / stream_update_counts /

@@ -145,36 +145,24 @@ ORDER BY term, rank
 """
 
 
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval with reciprocal-rank fusion: for each query
-    document (doc_id % {mod} == 0, id < {mod}·{qmax} — the bounded
-    O(1) query-set contract the ANN family uses), fuse
-
-      - a LEXICAL leg: distinct-token Jaccard vs every candidate doc
-        sharing >= 1 token, via an inverted-index join on term
-        (candidates bounded by shared-vocabulary postings, never
-        doc×doc), top-{lk}; and
-      - a VECTOR leg: exact cosine of the doc's embedding
-        (vec_id == doc_id by corpus construction) vs all embeddings,
-        query side broadcast, top-{lk};
-
-    then rrf = Σ_leg 1/({k} + rank_leg) over the union of both
-    top-{lk} lists (absent leg contributes 0), re-ranked to
-    top-{tk}. Ranks are integers, so the fused score is a sum of two
-    exact-input divisions — cross-engine stable at 6dp."""
-    docs = load_table(spark, sf_dir, "documents")
-    qpred = (F.col("doc_id") % RRF_QUERY_MOD == 0) & (
+def _query_pred():
+    return (F.col("doc_id") % RRF_QUERY_MOD == 0) & (
         F.col("doc_id") < RRF_QUERY_MOD * RRF_Q_MAX
     )
 
-    # ---- lexical leg: distinct-token Jaccard over the inverted index
+
+def _lex_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Lexical leg: distinct-token Jaccard of every bounded query doc
+    vs every candidate sharing >= 1 token (inverted-index join on
+    term — candidates bounded by shared-vocabulary postings, never
+    doc×doc), salted top-k. Emits (q_id, doc_id, rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qpred = _query_pred()
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term")
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    qtoks = toks.filter(qpred).select(
-        F.col("doc_id").alias("q_id"), "term"
-    )
+    qtoks = toks.filter(qpred).select(F.col("doc_id").alias("q_id"), "term")
     inter = (
         toks.join(F.broadcast(qtoks), "term")
         .filter(F.col("doc_id") != F.col("q_id"))
@@ -195,18 +183,22 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jacc"),
         )
     )
-    lex = _salted_topk(lex_scored, "q_id", "jacc", "doc_id", RRF_LIST_K).select(
-        "q_id", "doc_id", F.col("rank").alias("r_lex")
+    return _salted_topk(lex_scored, "q_id", "jacc", "doc_id", k).select(
+        "q_id", "doc_id", "rank"
     )
 
-    # ---- vector leg: exact cosine, bounded query side broadcast
+
+def _vec_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Vector leg: exact cosine of each bounded query doc's embedding
+    (vec_id == doc_id by corpus construction) vs all embeddings,
+    query side broadcast, salted top-k. Emits (q_id, doc_id, rank)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         to_double_array("embedding").alias("v"),
     )
     nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     base = emb.select("doc_id", "v", nrm.alias("nrm"))
-    qvec = base.filter(qpred).select(
+    qvec = base.filter(_query_pred()).select(
         F.col("doc_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
     dot = F.aggregate(
@@ -220,9 +212,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
         )
     )
-    vec = _salted_topk(vec_scored, "q_id", "cosine", "doc_id", RRF_LIST_K).select(
-        "q_id", "doc_id", F.col("rank").alias("r_vec")
+    return _salted_topk(vec_scored, "q_id", "cosine", "doc_id", k).select(
+        "q_id", "doc_id", "rank"
     )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: for each query
+    document (doc_id % {mod} == 0, id < {mod}·{qmax} — the bounded
+    O(1) query-set contract the ANN family uses), fuse
+
+      - a LEXICAL leg: distinct-token Jaccard vs every candidate doc
+        sharing >= 1 token, via an inverted-index join on term
+        (candidates bounded by shared-vocabulary postings, never
+        doc×doc), top-{lk}; and
+      - a VECTOR leg: exact cosine of the doc's embedding
+        (vec_id == doc_id by corpus construction) vs all embeddings,
+        query side broadcast, top-{lk};
+
+    then rrf = Σ_leg 1/({k} + rank_leg) over the union of both
+    top-{lk} lists (absent leg contributes 0), re-ranked to
+    top-{tk}. Ranks are integers, so the fused score is a sum of two
+    exact-input divisions — cross-engine stable at 6dp."""
+    lex = _lex_ranked(spark, sf_dir, RRF_LIST_K).withColumnRenamed("rank", "r_lex")
+    vec = _vec_ranked(spark, sf_dir, RRF_LIST_K).withColumnRenamed("rank", "r_vec")
 
     # ---- fusion: union of the two lists, absent leg contributes 0
     fused = (
@@ -253,7 +266,56 @@ q_hybrid_rrf.__doc__ = q_hybrid_rrf.__doc__.format(
 )
 
 
-Q_HYBRID_RRF_SQL = f"""
+
+
+EVAL_K = 10
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval quality of the LEXICAL ranking measured
+    against the exact-cosine VECTOR ranking as reference — the eval
+    face of the retrieval family (the counterpart of
+    ann_recall_eval / dedup_recall_eval for their families):
+
+      - ``n_hits``      |lex top-10 ∩ vec top-10|
+      - ``recall_at_10`` n_hits / 10
+      - ``mrr``          1 / (smallest lexical rank holding a
+                         reference member), 0 when none
+
+    Every metric is an exact rational of integer ranks (no float
+    score enters the aggregation), so cross-engine agreement is
+    structural. The legs reuse q_hybrid_rrf's bounded builders —
+    broadcast O(1) query sides, salted top-k."""
+    lex = _lex_ranked(spark, sf_dir, EVAL_K).withColumnRenamed("rank", "r_lex")
+    vec = _vec_ranked(spark, sf_dir, EVAL_K).select("q_id", "doc_id")
+    hits = lex.join(vec, ["q_id", "doc_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("r_lex").alias("first_rel"),
+    )
+    # left-join back onto the full query set so zero-overlap queries
+    # report 0 instead of vanishing
+    qs = lex.select("q_id").distinct()
+    return (
+        qs.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(EVAL_K)), 4).alias(
+                "recall_at_10"
+            ),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _leg_ctes() -> str:
+    """The shared lexical/vector CTE text (DuckDB), parameterized by
+    nothing — both oracles (hybrid RRF, retrieval eval) splice it so
+    the leg definitions cannot drift apart."""
+    return f"""
 WITH toks AS MATERIALIZED (
   SELECT DISTINCT doc_id, term FROM (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
@@ -275,12 +337,10 @@ WITH toks AS MATERIALIZED (
   FROM inter i
   JOIN sizes s ON s.doc_id = i.doc_id
   JOIN sizes qs ON qs.doc_id = i.q_id
-), lex AS (
-  SELECT q_id, doc_id, rank AS r_lex FROM (
-    SELECT q_id, doc_id,
-           row_number() OVER (PARTITION BY q_id ORDER BY jacc DESC, doc_id) AS rank
-    FROM lex_scored
-  ) WHERE rank <= {RRF_LIST_K}
+), lex_ranked AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY jacc DESC, doc_id) AS rank
+  FROM lex_scored
 ), base AS MATERIALIZED (
   SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -294,13 +354,34 @@ WITH toks AS MATERIALIZED (
                / (b.nrm * q.q_nrm), 4) AS cosine
   FROM base b CROSS JOIN qvec q
   WHERE b.doc_id <> q.q_id
-), vec AS (
-  SELECT q_id, doc_id, rank AS r_vec FROM (
-    SELECT q_id, doc_id,
-           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank
-    FROM vec_scored
-  ) WHERE rank <= {RRF_LIST_K}
-), fused AS (
+), vec_ranked AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank
+  FROM vec_scored
+)"""
+
+
+RETRIEVAL_EVAL_SQL = f"""{_leg_ctes()},
+lex AS (SELECT q_id, doc_id, rank AS r_lex FROM lex_ranked WHERE rank <= {EVAL_K}),
+vec AS (SELECT q_id, doc_id FROM vec_ranked WHERE rank <= {EVAL_K}),
+hits AS (
+  SELECT l.q_id, count(*) AS n_hits, min(l.r_lex) AS first_rel
+  FROM lex l JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+  GROUP BY l.q_id
+), qs AS (SELECT DISTINCT q_id FROM lex)
+SELECT qs.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(EVAL_K)}, 4) AS recall_at_10,
+       round(coalesce(1.0 / h.first_rel, 0.0), 6) AS mrr
+FROM qs LEFT JOIN hits h ON qs.q_id = h.q_id
+ORDER BY qs.q_id
+"""
+
+
+Q_HYBRID_RRF_SQL = f"""{_leg_ctes()},
+lex AS (SELECT q_id, doc_id, rank AS r_lex FROM lex_ranked WHERE rank <= {RRF_LIST_K}),
+vec AS (SELECT q_id, doc_id, rank AS r_vec FROM vec_ranked WHERE rank <= {RRF_LIST_K}),
+fused AS (
   SELECT coalesce(l.q_id, v.q_id) AS q_id,
          coalesce(l.doc_id, v.doc_id) AS doc_id,
          l.r_lex AS r_lex, v.r_vec AS r_vec,
@@ -320,9 +401,11 @@ WHERE rank <= {RRF_TOP_K} ORDER BY q_id, rank
 QUERIES = {
     "text_bm25": text_bm25,
     "q_hybrid_rrf": q_hybrid_rrf,
+    "retrieval_eval": retrieval_eval,
 }
 
 ORACLES = {
     "text_bm25": TEXT_BM25_SQL,
     "q_hybrid_rrf": Q_HYBRID_RRF_SQL,
+    "retrieval_eval": RETRIEVAL_EVAL_SQL,
 }

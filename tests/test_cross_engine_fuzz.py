@@ -61,10 +61,11 @@ EMB_KEYS = [
     "ann_bruteforce",
     "ann_lsh",
     "dedup_embedding",
-    # needs BOTH views (documents lexical leg + embeddings vector
+    # need BOTH views (documents lexical leg + embeddings vector
     # leg); deterministic — every candidate is scored, no
     # probabilistic blocking
     "q_hybrid_rrf",
+    "retrieval_eval",
 ]
 
 _VOCAB = (

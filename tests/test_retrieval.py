@@ -98,3 +98,28 @@ def test_plans_stay_bounded(spark):
         for line in plan.splitlines():
             if "Window" in line and "partitionBy" in line:
                 pytest.fail(f"unexpected window spec: {line}")
+
+
+def test_retrieval_eval_matches_duckdb_and_recomputes(spark, duck):
+    from bfr_clustering_using_pyspark_spark.operators.retrieval import (
+        EVAL_K,
+        RETRIEVAL_EVAL_SQL,
+        _lex_ranked,
+        _vec_ranked,
+        retrieval_eval,
+    )
+
+    got = retrieval_eval(spark, SF_SMALL).collect()
+    want = [tuple(r) for r in duck.execute(RETRIEVAL_EVAL_SQL).fetchall()]
+    assert [tuple(r) for r in got] == want
+    # recompute the metrics from the leg frames directly
+    lex = {(r["q_id"], r["doc_id"]): r["rank"] for r in _lex_ranked(spark, SF_SMALL, EVAL_K).collect()}
+    vec = {(r["q_id"], r["doc_id"]) for r in _vec_ranked(spark, SF_SMALL, EVAL_K).collect()}
+    for r in got:
+        hits = {k: v for k, v in lex.items() if k[0] == r["q_id"] and k in vec}
+        assert r["n_hits"] == len(hits)
+        assert r["recall_at_10"] == pytest.approx(round(len(hits) / EVAL_K, 4))
+        if hits:
+            assert r["mrr"] == pytest.approx(round(1.0 / min(hits.values()), 6))
+        else:
+            assert r["mrr"] == 0.0

@@ -43,6 +43,7 @@ AUDIT = {
     # top-k (2 window exchanges per ranked leg) + presentation sort
     "text_bm25": (False, True, 8),
     "q_hybrid_rrf": (False, True, 11),
+    "retrieval_eval": (False, True, 12),
     "corpus_train_shuffle": (False, True, 4),
     "q_regression": (False, True, 2),
     "embedding_normalize": (False, False, 1),

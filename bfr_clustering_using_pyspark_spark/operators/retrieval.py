@@ -75,9 +75,9 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6dp before ranking (doc_id tiebreak)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tok = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # per-doc length from the tf frame (map-side combine already paid)
+    # persisted (doc,term,tf): dl, df and the scoring join all read
+    # the SAME materialization instead of re-exploding per consumer
+    tf = _bm25_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # all-empty corpus → no tokens → sum is NULL; 1.0 keeps the
     # (vacuously row-free) scoring expression well-defined
@@ -145,6 +145,90 @@ ORDER BY term, rank
 """
 
 
+# Per-session cache of tokenized frames keyed by (kind, application,
+# corpus path, data version) — the minhash-store doctrine
+# (operators/dedup.py): repeated retrieval queries over an unchanged
+# corpus in one session (the gate runs text_bm25 + q_hybrid_rrf +
+# retrieval_eval back-to-back; the eval reuses the hybrid's legs)
+# must not re-tokenize per consumer. Same hardened eviction contract:
+# foreign-app entries are unpersisted when their context is still
+# live (popped without unpersist only when the context is stopped),
+# superseded same-corpus versions are released, and the cache is
+# bounded oldest-first.
+_TOK_CACHE: dict[tuple, DataFrame] = {}
+_TOK_CACHE_MAX = 4
+
+
+def _tok_evict(key: tuple) -> None:
+    from .dedup import _ctx_stopped
+
+    df = _TOK_CACHE.pop(key)
+    if not _ctx_stopped(df):
+        df.unpersist()
+
+
+def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = (kind, app_id, os.path.abspath(sf_dir), mtime)
+    for k in [k for k in _TOK_CACHE if k[1] != app_id]:
+        _tok_evict(k)
+    hit = _TOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _TOK_CACHE if k[0] == kind and k[2] == key[2]]:
+        _tok_evict(k)
+    while len(_TOK_CACHE) >= _TOK_CACHE_MAX:
+        _tok_evict(next(iter(_TOK_CACHE)))
+    df = build().persist()
+    _TOK_CACHE[key] = df
+    return df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """A 1-2-file parquet scan gives every downstream map stage (and
+    the data side of a broadcast join) that same width — the
+    one-task-serializes-everything defect the sf1 sweeps caught on
+    silhouette/dedup. Repartition narrow scans to deployment width
+    (same guard as similarity._base / dedup's _spread)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        return df.repartition(par)
+    return df
+
+
+def _bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, term, tf) frame — one explode+agg serving
+    dl, df and the scoring join instead of three lineage replays."""
+
+    def build():
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        tok = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+        return tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+    return _cached_frame(spark, sf_dir, "bm25_tf", build)
+
+
+def _distinct_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted distinct (doc_id, term) postings — the lexical leg's
+    inverted index, shared by q_hybrid_rrf and retrieval_eval."""
+
+    def build():
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term"),
+        )
+
+    return _cached_frame(spark, sf_dir, "postings", build)
+
+
 def _query_pred():
     return (F.col("doc_id") % RRF_QUERY_MOD == 0) & (
         F.col("doc_id") < RRF_QUERY_MOD * RRF_Q_MAX
@@ -156,11 +240,8 @@ def _lex_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     vs every candidate sharing >= 1 token (inverted-index join on
     term — candidates bounded by shared-vocabulary postings, never
     doc×doc), salted top-k. Emits (q_id, doc_id, rank)."""
-    docs = load_table(spark, sf_dir, "documents")
     qpred = _query_pred()
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term")
-    )
+    toks = _distinct_postings(spark, sf_dir)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     qtoks = toks.filter(qpred).select(F.col("doc_id").alias("q_id"), "term")
     inter = (
@@ -192,7 +273,7 @@ def _vec_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Vector leg: exact cosine of each bounded query doc's embedding
     (vec_id == doc_id by corpus construction) vs all embeddings,
     query side broadcast, salted top-k. Emits (q_id, doc_id, rank)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("doc_id"),
         to_double_array("embedding").alias("v"),
     )

@@ -41,9 +41,14 @@ AUDIT = {
     # r11 retrieval family: inverted-index joins with broadcast O(1)
     # query sides; exchange budgets include the salted two-phase
     # top-k (2 window exchanges per ranked leg) + presentation sort
-    "text_bm25": (False, True, 8),
-    "q_hybrid_rrf": (False, True, 11),
-    "retrieval_eval": (False, True, 12),
+    # exchange budgets count TEXTUAL Exchange nodes: the session-
+    # cached postings/tf frames (retrieval._cached_frame) print their
+    # build plan (spread repartition + agg exchange) inside every
+    # InMemoryRelation occurrence, so each consumer branch re-counts
+    # it — at runtime those stages execute once per session
+    "text_bm25": (False, True, 11),
+    "q_hybrid_rrf": (False, True, 17),
+    "retrieval_eval": (False, True, 18),
     "corpus_train_shuffle": (False, True, 4),
     "q_regression": (False, True, 2),
     "embedding_normalize": (False, False, 1),

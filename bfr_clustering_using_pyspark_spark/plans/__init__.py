@@ -87,8 +87,11 @@ _COST_S = {
     # it runs after ann_graph_search (whose cost covers the build) or
     # against an already-persisted warehouse index it's ~2s — the
     # scheduler may finish early, never late.
-    "text_bm25": 1.5, "q_hybrid_rrf": 8.0, "corpus_train_shuffle": 2.0,
-    "retrieval_eval": 9.0,
+    # retrieval family: REAL standalone first-touch costs — whichever
+    # key runs first in a session pays the postings/tf cache build
+    # (ADVICE r7 doctrine: never encode the cache discount)
+    "text_bm25": 9.0, "q_hybrid_rrf": 10.0, "corpus_train_shuffle": 2.0,
+    "retrieval_eval": 10.0,
     "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,

@@ -167,14 +167,36 @@ def _tok_evict(key: tuple) -> None:
         df.unpersist()
 
 
+def _corpus_version(path: str) -> int:
+    """Freshness token for the cache key.  A plain file is its
+    st_mtime_ns.  For a DIRECTORY-style corpus (the scaled sf1
+    layout) the directory mtime alone is NOT enough — rewriting a
+    part file in place leaves the dir mtime untouched — so fold in
+    every contained file's (name, size, mtime_ns)."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 0
+    if not os.path.isdir(path):
+        return st.st_mtime_ns
+    h = st.st_mtime_ns
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            try:
+                fst = os.stat(os.path.join(root, name))
+            except OSError:
+                continue
+            h = hash((h, name, fst.st_size, fst.st_mtime_ns))
+    return h
+
+
 def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     import os
 
     app_id = spark.sparkContext.applicationId
-    try:
-        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
-    except OSError:
-        mtime = 0
+    mtime = _corpus_version(os.path.join(sf_dir, "documents.parquet"))
     key = (kind, app_id, os.path.abspath(sf_dir), mtime)
     for k in [k for k in _TOK_CACHE if k[1] != app_id]:
         _tok_evict(k)
@@ -342,9 +364,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_hybrid_rrf.__doc__ = q_hybrid_rrf.__doc__.format(
-    mod=RRF_QUERY_MOD, qmax=RRF_Q_MAX, lk=RRF_LIST_K, k=RRF_K, tk=RRF_TOP_K
-)
+if q_hybrid_rrf.__doc__:  # stripped to None under python -OO
+    q_hybrid_rrf.__doc__ = q_hybrid_rrf.__doc__.format(
+        mod=RRF_QUERY_MOD, qmax=RRF_Q_MAX, lk=RRF_LIST_K, k=RRF_K, tk=RRF_TOP_K
+    )
 
 
 
@@ -373,9 +396,16 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         F.min("r_lex").alias("first_rel"),
     )
-    # left-join back onto the full query set so zero-overlap queries
-    # report 0 instead of vanishing
-    qs = lex.select("q_id").distinct()
+    # left-join back onto the FULL query set — derived from the query
+    # predicate over documents, NOT from the lexical ranking — so a
+    # query doc with zero lexical candidates (e.g. an empty-text doc)
+    # still reports n_hits=0 instead of vanishing (round-11 advice:
+    # the old qs came from `lex`, silently dropping such queries)
+    qs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_query_pred())
+        .select(F.col("doc_id").alias("q_id"))
+    )
     return (
         qs.join(hits, "q_id", "left")
         .select(
@@ -449,7 +479,10 @@ hits AS (
   SELECT l.q_id, count(*) AS n_hits, min(l.r_lex) AS first_rel
   FROM lex l JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
   GROUP BY l.q_id
-), qs AS (SELECT DISTINCT q_id FROM lex)
+), qs AS (
+  SELECT doc_id AS q_id FROM documents
+  WHERE doc_id % {RRF_QUERY_MOD} = 0 AND doc_id < {RRF_QUERY_MOD * RRF_Q_MAX}
+)
 SELECT qs.q_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        round(coalesce(h.n_hits, 0) / {float(EVAL_K)}, 4) AS recall_at_10,

@@ -90,14 +90,32 @@ def test_hybrid_rrf_fusion_semantics(spark):
 
 
 def test_plans_stay_bounded(spark):
-    """No window partitioned on a corpus-sized key before the salted
-    phase, and the query sides are broadcast."""
+    """Every WindowExec partitions only on the expected bounded keys
+    (term / q_id plus the `_w`-projected salt column), and the query
+    sides are broadcast.  Round-11 advice: the old guard matched the
+    literal 'partitionBy', which never appears in a physical plan
+    (windows render as 'windowspecdefinition(...)'), so it passed
+    vacuously for ANY window shape.  This version parses the Window
+    node's partition-spec list — `Window [funcs], [partSpec],
+    [orderSpec]` — and fails on any column outside the allowlist."""
+    import re
+
+    allowed = {"term", "q_id", "_w0"}  # _w0 = projected `tie % TOPK_SALTS` salt
     for fn in (text_bm25, q_hybrid_rrf):
         plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        n_windows = 0
         for line in plan.splitlines():
-            if "Window" in line and "partitionBy" in line:
-                pytest.fail(f"unexpected window spec: {line}")
+            m = re.search(r"\bWindow\s+\[.*\],\s*\[([^\]]*)\],\s*\[[^\]]*\]\s*$", line)
+            if not m:
+                assert "windowspecdefinition" not in line, f"unparsed window: {line}"
+                continue
+            n_windows += 1
+            cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
+            assert cols, f"empty (corpus-global) window partition spec: {line}"
+            for c in cols:
+                assert c in allowed, f"window partitioned on unexpected column {c!r}: {line}"
+        assert n_windows >= 2, "expected the salted two-phase windows in the plan"
 
 
 def test_retrieval_eval_matches_duckdb_and_recomputes(spark, duck):

@@ -5,6 +5,7 @@ Each module exposes QUERIES / ORACLES like ``plans/``.
 """
 
 from . import (
+    bpe,
     curate,
     dedup,
     dq,
@@ -22,6 +23,7 @@ from . import (
 
 _MODULES = (
     textstats,
+    bpe,
     curate,
     dedup,
     similarity,

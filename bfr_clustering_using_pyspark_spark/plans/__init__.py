@@ -92,6 +92,10 @@ _COST_S = {
     # (ADVICE r7 doctrine: never encode the cache discount)
     "text_bm25": 9.0, "q_hybrid_rrf": 10.0, "corpus_train_shuffle": 2.0,
     "retrieval_eval": 10.0,
+    # BPE family: standalone first-touch pays the R_MERGES-round fit
+    # (whichever key runs first; the second is ~2s off the session
+    # cache — never encode the discount)
+    "text_bpe_train": 12.0, "text_bpe_encode": 13.0,
     "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
@@ -120,25 +124,16 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 11: the minhash signature store gained the LSH_ORACLE_N
-    # oracle-domain guard + liveness-checked session-cache eviction —
-    # same values on gate corpora, new build path; components compose
-    # the same store
-    "dedup_minhash_lsh", "dedup_components", "stream_components",
-    # round 11: IVF oracle builders parameterized by list count (the
-    # exported gate SQL's guard CTE text changed; values unchanged)
-    "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned",
-    # round 11: BFR checkpoint is now fsynced/provenance-validated
-    # and written on a background thread — rows-only keys, re-verify
-    # the run path externally
-    "bfr_fit", "intermediate_stats",
-    # round 11: graph search entries are now md5-random UNION
-    # IVF-routed (clustered-corpus recall 0.36 -> 0.78); oracle
-    # rewritten in lockstep — values CHANGED, re-verify first
-    "ann_graph_search",
-    # round 11: q_asof_grouped gained the counted hot-group gate
-    # (fast path keeps the gate-corpus plan identical; re-verify)
-    "q_asof_grouped",
+    # round 12: NEW — distributed BPE tokenizer train/encode
+    # (operators/bpe.py; unrolled-rounds oracle)
+    "text_bpe_train", "text_bpe_encode",
+    # round 12: retrieval_eval's query set now derives from the query
+    # predicate over documents (zero-candidate queries report 0
+    # instead of vanishing) — VALUES CHANGED, oracle in lockstep
+    "retrieval_eval",
+    # round 12: retrieval token-cache freshness key now folds per-part
+    # -file stats for directory corpora — same values, new build path
+    "text_bm25", "q_hybrid_rrf",
 )
 _CONVERTED_THIS_ROUND = ()
 

@@ -37,6 +37,7 @@ WHITELIST = {
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
     "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
     "operators/retrieval.py": (1, "1-row corpus token-total agg (BM25 avgdl scalar)"),
+    "operators/bpe.py": (1, "O(1) top-pair row per merge round (TakeOrderedAndProject limit 1, <= R_MERGES rounds) — the kmeans_lloyd_det per-round driver-feedback contract"),
     "operators/multimodal.py": (1, "1-row max(n_chars) agg sizing the Arrow record cap to the payload byte budget"),
     "streaming/docs_stream.py": (2, "CMS partial cells per batch (<= d*w counters); stream_components driver-tier fold: <=driver_gate pair rows per batch (counted before the collect; distributed incremental fold beyond the bounds)"),
     "streaming/events_stream.py": (1, "8-bucket partial aggregates per batch"),

@@ -604,6 +604,131 @@ ORDER BY doc_id
 """
 
 
+BIGRAM_LAMBDA = 0.75  # Jelinek-Mercer interpolation weight
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring — the KenLM-shaped upgrade of
+    ``text_unigram_logprob``: score each document's token TRANSITIONS
+    under p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/T fitted on the corpus
+    itself (Jelinek-Mercer smoothing, λ=0.75), report the per-doc
+    average negative log-probability and flag the top decile.
+    Repetitive/templated docs score low (their transitions dominate
+    the LM); incoherent token soup scores high even when individual
+    tokens are common — the signal the unigram filter cannot see.
+
+    Scale: bigrams come straight off the token ARRAY (zip with its
+    own tail — no posexplode+self-join); both LM tables are
+    Zipf-bounded aggregations, joined back by key (AQE broadcasts
+    the unigram side; the bigram join shuffles on the pair key).
+    Per-transition scores are rounded to scaled integers before the
+    per-doc sum (order-free), and the average uses the exact int64
+    half-up pattern the unigram operator pinned at sf1. Docs with
+    < 2 tokens carry zero transitions and survive via the left join
+    (n_bigrams=0, score 0, never flagged)."""
+    from .retrieval import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    arr = _tokens(F.col("text"))
+    shifted = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    pair_arr = F.filter(
+        F.zip_with(arr, shifted, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+        lambda p: p["b"].isNotNull(),
+    )
+    toks = docs.select("doc_id", F.explode(arr).alias("tok"))
+    bigr = docs.select("doc_id", F.explode(pair_arr).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint(eager=True)
+    total = uni.agg(F.sum("cnt").alias("total"))
+    blm = bigr.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    p_interp = (
+        F.lit(BIGRAM_LAMBDA) * F.col("cab") / F.col("ca")
+        + F.lit(1.0 - BIGRAM_LAMBDA) * F.col("cb") / F.col("total")
+    )
+    scored_tok = (
+        bigr.join(blm, ["a", "b"])
+        .join(uni.select(F.col("tok").alias("a"), F.col("cnt").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("cnt").alias("cb")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(p_interp) * LOGPROB_SCALE, 0).cast("long").alias("q"),
+        )
+    )
+    scored = (
+        scored_tok.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr(
+                    f"(sq * 20000 + {LOGPROB_SCALE} * n_bigrams)"
+                    f" div (2 * {LOGPROB_SCALE} * n_bigrams)"
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_neg_logprob"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cut = scored.agg(F.round(F.percentile("avg_neg_logprob", 0.9), 4).alias("cut"))
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+            F.coalesce(F.col("avg_neg_logprob") > F.col("cut"), F.lit(False)).alias(
+                "flag_surprising"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LOGPROB_SQL = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+), toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM arrs
+), bigr AS (
+  SELECT doc_id, pr[1] AS a, pr[2] AS b FROM (
+    SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS pr FROM arrs
+  ) WHERE pr[2] IS NOT NULL
+), uni AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), blm AS (
+  SELECT a, b, count(*) AS cab FROM bigr GROUP BY a, b
+), scored_tok AS (
+  SELECT g.doc_id,
+         CAST(round(-ln({BIGRAM_LAMBDA} * m.cab / ua.cnt
+                        + {1.0 - BIGRAM_LAMBDA} * ub.cnt / (SELECT sum(cnt) FROM uni))
+                    * {LOGPROB_SCALE}, 0) AS BIGINT) AS q
+  FROM bigr g
+  JOIN blm m ON g.a = m.a AND g.b = m.b
+  JOIN uni ua ON g.a = ua.tok
+  JOIN uni ub ON g.b = ub.tok
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST((sum(q) * 20000 + {LOGPROB_SCALE} * count(*))
+              // (2 * {LOGPROB_SCALE} * count(*)) AS BIGINT) / 1e4 AS avg_neg_logprob
+  FROM scored_tok GROUP BY doc_id
+), cut AS (
+  SELECT round(quantile_cont(avg_neg_logprob, 0.9), 4) AS cut FROM scored
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.avg_neg_logprob, 0.0) AS avg_neg_logprob,
+       coalesce(s.avg_neg_logprob > cut.cut, false) AS flag_surprising
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN cut
+ORDER BY d.doc_id
+"""
+
+
 CHUNK_TOKENS = 32  # RAG chunk window (documents avg ~54 tokens)
 CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
 
@@ -839,6 +964,7 @@ QUERIES = {
     "udtf_doc_chunk": udtf_doc_chunk,
     "chunk_boilerplate": chunk_boilerplate,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_logprob": text_bigram_logprob,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
@@ -859,6 +985,7 @@ ORACLES = {
     "udtf_doc_chunk": DOC_CHUNK_SQL,
     "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
+    "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "text_winnow_fingerprint": TEXT_WINNOW_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,

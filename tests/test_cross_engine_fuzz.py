@@ -50,6 +50,9 @@ DOC_KEYS = [
     "text_winnow_fingerprint",
     "text_pii_scrub",
     "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_bpe_train",
+    "text_bpe_encode",
     "doc_chunk",
     "chunk_boilerplate",
     "text_bm25",

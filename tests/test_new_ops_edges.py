@@ -206,6 +206,58 @@ def test_unigram_logprob_semantics(spark):
         assert r["n_tokens"] > 0
 
 
+def test_bigram_logprob_semantics(spark):
+    """Transitions the corpus LM has seen often score low; the flag
+    rate is ~10%; sub-2-token docs report zero and are never
+    flagged. Cross-checks one doc's score against a pure-Python
+    recompute of the interpolated LM."""
+    import math
+    import re
+    from collections import Counter
+
+    from bfr_clustering_using_pyspark_spark.operators.textstats import (
+        BIGRAM_LAMBDA,
+        LOGPROB_SCALE,
+        text_bigram_logprob,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = text_bigram_logprob(spark, SF_SMALL).collect()
+    assert rows
+    flagged = sum(r["flag_surprising"] for r in rows)
+    assert 0.03 <= flagged / len(rows) <= 0.15
+    for r in rows:
+        if r["n_bigrams"] == 0:
+            assert r["avg_neg_logprob"] == 0.0 and not r["flag_surprising"]
+        else:
+            assert r["avg_neg_logprob"] > 0
+
+    docs = {
+        d["doc_id"]: re.findall("[a-z0-9]+", d["text"].lower())
+        for d in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    uni = Counter(t for ts in docs.values() for t in ts)
+    big = Counter(p for ts in docs.values() for p in zip(ts, ts[1:]))
+    total = sum(uni.values())
+    target = max(docs, key=lambda d: len(docs[d]))
+    toks = docs[target]
+    qs = [
+        round(
+            -math.log(
+                BIGRAM_LAMBDA * big[(a, b)] / uni[a]
+                + (1 - BIGRAM_LAMBDA) * uni[b] / total
+            )
+            * LOGPROB_SCALE
+        )
+        for a, b in zip(toks, toks[1:])
+    ]
+    n = len(qs)
+    want = ((sum(qs) * 20000 + LOGPROB_SCALE * n) // (2 * LOGPROB_SCALE * n)) / 1e4
+    got = {r["doc_id"]: r for r in rows}[target]
+    assert got["n_bigrams"] == n
+    assert got["avg_neg_logprob"] == want
+
+
 def test_time_range_frame_ties_are_peers(spark, tmp_path):
     """RANGE interval frames treat tied timestamps as peers: rows at
     the same instant include EACH OTHER in their frames (a ROWS frame

@@ -178,6 +178,45 @@ def global_rank(
     return grouped_rank(df, [], order_cols, bucket_expr, out, cuts, nulls)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket_expr: Column,
+    val: Column,
+    out: str = "_psum",
+    cuts: list[float] | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE prefix sum of integer ``val`` over a global
+    total order — the sum analogue of ``global_rank`` (the textbook
+    two-phase distributed scan): running sum within each
+    deterministic literal-cut bucket (parallel), per-bucket totals
+    cumsum'd by a bounded ≤MAX_BUCKETS-row window, broadcast join
+    adds each bucket's prefix offset. ``val`` must be integral —
+    integer addition is associative/commutative, so the result is
+    partitioning-invariant by construction (a double val would not
+    be). ``order_cols`` must totally order the frame."""
+    bkt = _bucket_col(df, bucket_expr, cuts, "first").alias("_bkt")
+    part = df.withColumn("_bkt", bkt)
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("_lsum", F.sum(val).over(w))
+    sums = part.groupBy("_bkt").agg(F.sum(val).alias("_s"))
+    w_off = (
+        W.partitionBy(F.lit(0)).orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = sums.select(
+        "_bkt", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_bkt")
+        .withColumn(out, (F.col("_off") + F.col("_lsum")).cast("long"))
+        .drop("_bkt", "_lsum", "_off")
+    )
+
+
 # Size gate for global_ntile's distributed machinery: below this many
 # rows a single-task ntile window is strictly cheaper than the
 # cut-sketch + bucketed-rank + broadcast-offset pipeline (the window

@@ -313,6 +313,74 @@ FROM packed GROUP BY shard, bin ORDER BY shard, bin
 """
 
 
+def seq_pack_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing — the OTHER industry packing
+    mode next to ``seq_pack``'s greedy next-fit: conceptually
+    concatenate every document's tokens in doc_id order into one
+    stream and slice it into fixed PACK_BUDGET-token context
+    windows; documents SPLIT across window boundaries (GPT-style
+    pretraining packing, zero padding waste). Emits each doc's span
+    in chunk space: (doc_id, n_tokens, start_offset, first_chunk,
+    last_chunk, n_chunks, spans_boundary).
+
+    Scale: the whole operator is one exact global token prefix sum —
+    computed by ``ranking.global_prefix_sum``'s two-phase
+    distributed scan (literal-cut buckets → parallel local running
+    sums → bounded bucket-offset window → broadcast join), so no
+    task ever sees an n-sized window. The oracle replays it as the
+    naive ``sum() OVER (ORDER BY doc_id)`` — the hash match PROVES
+    the distributed scan equals the single-window semantics. All
+    arithmetic is int64 (token counts), so the result is
+    partitioning-invariant by construction. Zero-token docs span
+    nothing: n_chunks=0, NULL chunk ids (they still appear — the
+    no-vanishing doctrine)."""
+    from .ranking import global_prefix_sum
+
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("t")
+        ),
+        "doc_id",
+    )
+    ps = global_prefix_sum(
+        docs, [F.col("doc_id")], F.col("doc_id"), F.col("t"), out="end_off"
+    )
+    start = F.col("end_off") - F.col("t")
+    first = F.expr(f"(end_off - t) div {PACK_BUDGET}")
+    last = F.expr(f"(end_off - 1) div {PACK_BUDGET}")
+    has = F.col("t") > 0
+    return ps.select(
+        "doc_id",
+        F.col("t").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        F.when(has, first).cast("long").alias("first_chunk"),
+        F.when(has, last).cast("long").alias("last_chunk"),
+        F.when(has, last - first + 1).otherwise(F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(last > first, F.lit(False)).alias("spans_boundary"),
+    ).orderBy("doc_id")
+
+
+SEQ_PACK_CONTIG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents
+), ps AS (
+  SELECT doc_id, t,
+         sum(t) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM t
+)
+SELECT doc_id,
+       CAST(t AS BIGINT) AS n_tokens,
+       CAST(end_off - t AS BIGINT) AS start_offset,
+       CAST(CASE WHEN t > 0 THEN (end_off - t) // {PACK_BUDGET} END AS BIGINT) AS first_chunk,
+       CAST(CASE WHEN t > 0 THEN (end_off - 1) // {PACK_BUDGET} END AS BIGINT) AS last_chunk,
+       CAST(CASE WHEN t > 0 THEN (end_off - 1) // {PACK_BUDGET} - (end_off - t) // {PACK_BUDGET} + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks,
+       coalesce((end_off - 1) // {PACK_BUDGET} > (end_off - t) // {PACK_BUDGET}, false)
+         AS spans_boundary
+FROM ps ORDER BY doc_id
+"""
+
+
 WS_K = 50  # weighted-sample size
 
 
@@ -430,6 +498,7 @@ QUERIES = {
     "sample_train_split": sample_train_split,
     "decontaminate": decontaminate,
     "seq_pack": seq_pack,
+    "seq_pack_contig": seq_pack_contig,
 }
 
 ORACLES = {
@@ -440,4 +509,5 @@ ORACLES = {
     "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "seq_pack": SEQ_PACK_SQL,
+    "seq_pack_contig": SEQ_PACK_CONTIG_SQL,
 }

@@ -53,6 +53,7 @@ DOC_KEYS = [
     "text_bigram_logprob",
     "text_bpe_train",
     "text_bpe_encode",
+    "seq_pack_contig",
     "doc_chunk",
     "chunk_boilerplate",
     "text_bm25",

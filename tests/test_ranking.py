@@ -239,3 +239,39 @@ def test_grouped_rank_keeps_null_group_rows(spark):
     }
     assert len(got) == 120  # nothing dropped, NULL group included
     assert got == want
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """The two-phase distributed scan must be bit-identical to the
+    naive unpartitioned running-sum window, including under a
+    different input partitioning."""
+    from bfr_clustering_using_pyspark_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    ev = _events(spark).select(
+        "event_id", (F.col("value") * 100).cast("long").alias("v")
+    )
+    want = {
+        r["event_id"]: r["ps"]
+        for r in ev.withColumn(
+            "ps",
+            F.sum("v").over(
+                W.partitionBy(F.lit(0))
+                .orderBy("event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        ).collect()
+    }
+    for n_parts in (1, 7):
+        got = {
+            r["event_id"]: r["ps"]
+            for r in global_prefix_sum(
+                ev.repartition(n_parts),
+                [F.col("event_id")],
+                F.col("event_id"),
+                F.col("v"),
+                out="ps",
+            ).collect()
+        }
+        assert got == want

@@ -161,6 +161,11 @@ GLOBAL_WINDOW_OK = {
     # bucket), not the corpus; Catalyst folds the lit(0) partition
     # key away, making the bounded window look global to this parser
     "corpus_train_shuffle": "prefix offsets over the bucket-counts frame (<= MAX_BUCKETS rows)",
+    # same machinery, sum flavor (ranking.global_prefix_sum): the
+    # window's input is the per-bucket token-SUMS frame
+    # (<= MAX_BUCKETS rows); the n-sized running sum is the separate
+    # per-bucket-partitioned window above it
+    "seq_pack_contig": "prefix offsets over the bucket-sums frame (<= MAX_BUCKETS rows)",
 }
 
 # grouped-pandas keys where AQE collapsing the stage to one task is

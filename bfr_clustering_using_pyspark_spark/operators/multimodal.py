@@ -860,8 +860,95 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the binary image
+    path: encode a genuine PGM per document, decode the bytes, and
+    compute the classic AVERAGE HASH (aHash) — nearest-neighbor
+    downsample to 8×8, threshold each sample against the patch mean,
+    pack the 64 bits into a 16-hex-char fingerprint — then count how
+    many corpus images share each fingerprint (``n_dups``). aHash is
+    shift/scale-tolerant where exact byte hashing is not: visually
+    identical images with different encodings collide here, which is
+    the image-side analogue of text canonical fingerprinting.
+
+    The threshold is the EXACT integer comparison ``64·p ≥ Σp`` (no
+    mean division), so the bit pattern is engine-portable. Pixels
+    are closed-form (the mm_pgm contract), so the oracle recomputes
+    every sample, bit, and byte in SQL — a hash-gate match proves
+    the real decoder + numpy downsample produced ground truth.
+
+    Scale: two Arrow-batched Python stages (encode/decode+hash, the
+    production decode shape) and ONE shuffle on the 8-byte
+    fingerprint for the dup counts — the same groupBy-hash plan as
+    ``dedup_exact``, so 100 TB behavior follows that key's."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pin_arrow_batch_for_payload(spark, 256)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_pgm_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(8)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _pgm_decode(bytes(payload))
+                samp = px[(idx * h) // 8][:, (idx * w) // 8].astype(np.int64)
+                s = int(samp.sum())
+                bits = (64 * samp >= s).astype(np.uint8)
+                byts = (bits << (7 - idx)[None, :]).sum(axis=1)
+                rows.append((doc_id, w, h, "".join(f"{int(b):02x}" for b in byts)))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    hashed = encoded.mapInPandas(
+        ahash, schema="doc_id long, width int, height int, ahash string"
+    )
+    dups = hashed.groupBy("ahash").agg(F.count("*").alias("n_dups"))
+    return (
+        hashed.join(dups, "ahash")
+        .select("doc_id", "width", "height", "ahash", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+MM_IMAGE_AHASH_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h FROM documents
+), samp AS (
+  SELECT g.doc_id, g.w, g.h, i.i, j.j,
+         (g.doc_id + 31 * ((i.i * g.h) // 8) + 7 * ((j.j * g.w) // 8)) % 256 AS p
+  FROM g, generate_series(0, 7) AS i(i), generate_series(0, 7) AS j(j)
+), tot AS (
+  SELECT doc_id, sum(p) AS s FROM samp GROUP BY doc_id
+), bytes AS (
+  SELECT samp.doc_id, samp.i,
+         sum(CASE WHEN 64 * samp.p >= t.s THEN 1 ELSE 0 END * (1 << (7 - samp.j))) AS b
+  FROM samp JOIN tot t USING (doc_id) GROUP BY samp.doc_id, samp.i
+), hashes AS (
+  SELECT doc_id, string_agg(printf('%02x', CAST(b AS INT)), '' ORDER BY i) AS ahash
+  FROM bytes GROUP BY doc_id
+), dups AS (
+  SELECT ahash, count(*) AS n_dups FROM hashes GROUP BY ahash
+)
+SELECT h.doc_id, CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+       h.ahash, CAST(d.n_dups AS BIGINT) AS n_dups
+FROM hashes h JOIN g USING (doc_id) JOIN dups d USING (ahash)
+ORDER BY h.doc_id
+"""
+
+
 QUERIES = {
     "mm_decode": mm_decode,
+    "mm_image_ahash": mm_image_ahash,
     "mm_pipeline": mm_pipeline,
     "mm_pgm_roundtrip": mm_pgm_roundtrip,
     "mm_pgm_resize": mm_pgm_resize,
@@ -871,6 +958,7 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "mm_pgm_resize": MM_PGM_RESIZE_SQL,
+    "mm_image_ahash": MM_IMAGE_AHASH_SQL,
     "mm_decode": MM_DECODE_SQL,
     "mm_pipeline": MM_PIPELINE_SQL,
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,

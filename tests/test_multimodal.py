@@ -208,3 +208,41 @@ def test_fat_payload_arrow_batches_bounded(spark, tmp_path):
             spark.conf.set(mm._ARROW_REC_KEY, prev)
         else:
             spark.conf.unset(mm._ARROW_REC_KEY)
+
+
+def test_image_ahash_dedup_semantics(spark):
+    """aHash invariants: 16 lowercase hex chars, dup counts really
+    count hash-equal images, and the closed-form corpus contains
+    genuine perceptual-dup groups (same dims + near-identical pixel
+    phase). Cross-checks one doc's hash against a from-scratch
+    numpy recompute of decode -> 8x8 NN downsample -> mean
+    threshold."""
+    import re
+
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        _pgm_decode,
+        _pgm_payload,
+        mm_image_ahash,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = mm_image_ahash(spark, SF_SMALL).collect()
+    assert rows
+    by_hash = {}
+    for r in rows:
+        assert re.fullmatch("[0-9a-f]{16}", r["ahash"])
+        by_hash.setdefault(r["ahash"], []).append(r)
+    for r in rows:
+        assert r["n_dups"] == len(by_hash[r["ahash"]])
+    assert any(len(v) > 1 for v in by_hash.values()), "corpus must contain dup groups"
+
+    target = rows[17]
+    w, h, px = _pgm_decode(_pgm_payload(target["doc_id"]))
+    assert (w, h) == (target["width"], target["height"])
+    idx = np.arange(8)
+    samp = px[(idx * h) // 8][:, (idx * w) // 8].astype(np.int64)
+    bits = (64 * samp >= int(samp.sum())).astype(np.uint8)
+    byts = (bits << (7 - idx)[None, :]).sum(axis=1)
+    assert "".join(f"{int(b):02x}" for b in byts) == target["ahash"]

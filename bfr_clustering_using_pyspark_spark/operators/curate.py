@@ -153,5 +153,109 @@ ORDER BY stage
 """
 
 
-QUERIES = {"corpus_curate": corpus_curate}
-ORACLES = {"corpus_curate": CORPUS_CURATE_SQL}
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the mixture-design audit
+    every multi-source corpus needs before setting sampling weights:
+    for every pair of sources, how much verbatim phrasing they share
+    (distinct 4-token shingles in both), plus the shingle-set
+    Jaccard. Two sources with high overlap double-count their
+    content in a training mix; this is the measurement that catches
+    it (the pairwise face of ``decontaminate``, which compares the
+    corpus against one benchmark side).
+
+    Scale: one tokenize+shingle pass reduced to DISTINCT
+    (source, shingle) — the frame is min(corpus shingles, sources ×
+    vocabulary) and catalog-bounded in the source dimension; the
+    self-join fans out ≤ |sources| rows per shingle (never doc×doc),
+    and the pair matrix is |sources|² — a few thousand rows for any
+    real catalog. The pair spine is built from per-source totals, so
+    zero-overlap pairs report 0 (no-vanishing doctrine). Jaccard is
+    floored at 6dp from exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", _tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= DECON_N)
+    # one materialized shingle-set frame serving the self-join's BOTH
+    # sides and the per-source totals (the decontaminate doctrine:
+    # without truncation the tokenizer re-runs per consumer)
+    sh = (
+        docs.select("source", F.explode(_ngram_shingles(DECON_N)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per_src = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    spine = (
+        per_src.alias("x")
+        .crossJoin(F.broadcast(per_src.alias("y")))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.n_sh").alias("n_b"),
+        )
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        spine.join(pairs, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            shared.cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.floor(shared * F.lit(1e6) / (F.col("n_a") + F.col("n_b") - shared))
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CORPUS_SOURCE_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest(list_distinct([{_DECON_SHINGLE}
+                                 for i in generate_series(1, len(toks) - {DECON_N - 1})])) AS sh
+  FROM t WHERE len(toks) >= {DECON_N}
+), ps AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+), pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+), spine AS (
+  SELECT x.source AS source_a, y.source AS source_b, x.n_sh AS n_a, y.n_sh AS n_b
+  FROM ps x JOIN ps y ON x.source < y.source
+)
+SELECT s.source_a, s.source_b,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(s.n_a AS BIGINT) AS n_a,
+       CAST(s.n_b AS BIGINT) AS n_b,
+       floor(coalesce(p.n_shared, 0) * 1e6 / (s.n_a + s.n_b - coalesce(p.n_shared, 0))) / 1e6
+         AS jaccard
+FROM spine s LEFT JOIN pr p ON s.source_a = p.source_a AND s.source_b = p.source_b
+ORDER BY s.source_a, s.source_b
+"""
+
+
+QUERIES = {
+    "corpus_curate": corpus_curate,
+    "corpus_source_overlap": corpus_source_overlap,
+}
+ORACLES = {
+    "corpus_curate": CORPUS_CURATE_SQL,
+    "corpus_source_overlap": CORPUS_SOURCE_OVERLAP_SQL,
+}

@@ -54,6 +54,7 @@ DOC_KEYS = [
     "text_bpe_train",
     "text_bpe_encode",
     "seq_pack_contig",
+    "corpus_source_overlap",
     "doc_chunk",
     "chunk_boilerplate",
     "text_bm25",

@@ -87,3 +87,36 @@ def test_dedup_recall_eval_sane(spark):
     assert rows["minsh_block"]["n_truth"] == rows["simhash"]["n_truth"]
     if rows["minsh_block"]["n_truth"] > 0:
         assert rows["minsh_block"]["recall_x1e4"] >= rows["simhash"]["recall_x1e4"]
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Pair matrix covers every source pair exactly once (a < b),
+    overlap counts match a from-scratch Python recompute on the
+    shingle sets, and Jaccard is consistent with the counts."""
+    import re
+    from math import floor
+
+    from bfr_clustering_using_pyspark_spark.operators.curate import (
+        corpus_source_overlap,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = corpus_source_overlap(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    sets: dict[str, set] = {}
+    for d in docs:
+        toks = re.findall("[a-z0-9]+", d["text"].lower())
+        for i in range(len(toks) - 3):
+            sets.setdefault(d["source"], set()).add(" ".join(toks[i : i + 4]))
+    srcs = sorted(sets)
+    assert [(r["source_a"], r["source_b"]) for r in rows] == [
+        (a, b) for a in srcs for b in srcs if a < b
+    ]
+    assert any(r["n_shared"] > 0 for r in rows), "corpus must contain overlap"
+    for r in rows:
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_shared"] == len(a & b)
+        assert r["jaccard"] == floor(len(a & b) * 1e6 / len(a | b)) / 1e6

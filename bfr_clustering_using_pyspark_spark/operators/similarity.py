@@ -717,6 +717,65 @@ def _pq_anchor_units(spark: SparkSession, sf_dir: str):
     return unit, books
 
 
+def _pq_sub(col: str, m: int):
+    dsub = _PLANE_DIMS // PQ_M
+    return F.slice(col, m * dsub + 1, dsub)
+
+
+def _pq_cent_lit(books, m: int):
+    # array<array<double>> literal: subspace m's K centers
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
+
+
+def _pq_d2s(books, col: str, m: int):
+    # distances to all K centers via ONE higher-order transform —
+    # the lambda body exists once in the plan (runtime-evaluated
+    # per element), so expression size stays O(M), not O(M·K·d);
+    # the naive unrolled form blew whole-stage codegen and ran
+    # ~10× slower
+    sub = _pq_sub(col, m)
+    return F.transform(
+        _pq_cent_lit(books, m),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _pq_codes_expr(books, col: str = "u"):
+    """PQ encoding expression: argmin_k per subspace;
+    array_position finds the FIRST index of the min → ties break to
+    the smaller k, matching the oracle's ORDER BY d2, k."""
+    return F.array(
+        *[
+            (
+                F.array_position(_pq_d2s(books, col, m), F.array_min(_pq_d2s(books, col, m)))
+                - 1
+            ).cast("int")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def _pq_lut_expr(books, col: str = "u"):
+    """Per-query ADC lookup table: lut[m][k] = <q_sub_m, c_mk>."""
+
+    def _dots(m: int):
+        sub = _pq_sub(col, m)
+        return F.transform(
+            _pq_cent_lit(books, m),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.array(*[_dots(m) for m in range(PQ_M)])
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the FAISS IVF-PQ memory recipe),
     hash-gated end to end: compress every vector to M=8 4-bit codes
@@ -732,60 +791,18 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded as plan literals — the FAISS pattern of shipping trained
     codebooks to every node; encoding is a map-side JVM fold (no
     Python, no shuffle); ADC scans codes once per bounded query set;
-    the exact distance touches only O(q·shortlist) rows. Combine
-    with ann_ivf's lists to prune which codes each query scans at
-    100 TB."""
+    the exact distance touches only O(q·shortlist) rows.
+    ``ann_ivfpq`` composes this with the IVF lists so each query
+    scans only probed codes — the full 100 TB recipe."""
     unit, books = _pq_anchor_units(spark, sf_dir)
-    dsub = _PLANE_DIMS // PQ_M
-
-    def _sub(col: str, m: int):
-        return F.slice(col, m * dsub + 1, dsub)
-
-    def _cent_lit(m: int):
-        # array<array<double>> literal: subspace m's K centers
-        return F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
-
-    def _d2s(m: int):
-        # distances to all K centers via ONE higher-order transform —
-        # the lambda body exists once in the plan (runtime-evaluated
-        # per element), so expression size stays O(M), not O(M·K·d);
-        # the naive unrolled form blew whole-stage codegen and ran
-        # ~10× slower
-        sub = _sub("u", m)
-        return F.transform(
-            _cent_lit(m),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    # encode: argmin_k per subspace; array_position finds the FIRST
-    # index of the min → ties break to the smaller k, matching the
-    # oracle's ORDER BY d2, k
-    code_cols = [
-        (F.array_position(_d2s(m), F.array_min(_d2s(m))) - 1).cast("int")
-        for m in range(PQ_M)
-    ]
-    coded = unit.select("vec_id", "u", F.array(*code_cols).alias("codes"))
-
-    # bounded query side with per-query LUT: lut[m][k] = <q_sub_m, c_mk>
-    def _dots(m: int):
-        sub = _sub("u", m)
-        return F.transform(
-            _cent_lit(m),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    lut = F.array(*[_dots(m) for m in range(PQ_M)])
+    coded = unit.select("vec_id", "u", _pq_codes_expr(books).alias("codes"))
     qlut = (
         unit.filter(F.col("vec_id").isin(*PQ_QUERY_IDS))
-        .select(F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), lut.alias("lut"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("u").alias("q_u"),
+            _pq_lut_expr(books).alias("lut"),
+        )
     )
 
     # ADC: one pass over the code table per query — approx cosine of a
@@ -819,6 +836,151 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS billion-scale recipe composed from
+    the two verified halves: the md5 coarse quantizer routes every
+    vector to an inverted list (``ann_ivf``'s contract) AND every
+    vector is PQ-encoded to M=8 4-bit codes (``ann_pq``'s contract);
+    a query probes only its ``N_PROBE`` nearest lists, scores the
+    probed CODES via the ADC lookup table (no full-precision vector
+    is touched in the scan), then re-ranks the shortlist with the
+    exact cosine.
+
+    Scale composition: candidate volume drops to n·nprobe/nlists AND
+    each candidate costs an M-entry LUT sum instead of a d-dim dot —
+    the two orthogonal cost cuts multiplied, which is why this is
+    the architecture behind every production ANN deployment. Both
+    quantizers are deterministic (md5 centroids, anchor-id
+    codebooks), so the ENTIRE composition is hash-gated: the oracle
+    replays list assignment, codes, LUTs, probe routing, shortlist
+    cut and re-rank from the same parquet. Assignment runs on the
+    UNIT vectors (the PQ domain), documented difference from
+    ann_ivf's raw-vector assignment."""
+    unit, books = _pq_anchor_units(spark, sf_dir)
+    # one metadata count sizes the quantizer beyond the pinned
+    # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
+    ranked = _centroid_rank_expr("u", _n_ivf_lists(unit.count()))
+    coded = _with_list_id(unit, ranked).select(
+        "vec_id", "u", "list_id", _pq_codes_expr(books).alias("codes")
+    )
+    qprobe = unit.filter(F.col("vec_id").isin(*PQ_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("u").alias("q_u"),
+        _pq_lut_expr(books).alias("lut"),
+        F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+            "probe_list"
+        ),
+    )
+    scored = coded.join(
+        F.broadcast(qprobe),
+        (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        "u",
+        "q_u",
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double),"
+                f" (acc, m) -> acc + lut[m][codes[m]])"
+            ),
+            4,
+        ).alias("approx_cos"),
+    )
+    w_short = W.partitionBy("q_id").orderBy(F.desc("approx_cos"), "vec_id")
+    shortlist = scored.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= PQ_SHORTLIST
+    )
+    exact = F.aggregate(
+        F.zip_with("u", "q_u", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rescored = shortlist.select("q_id", "vec_id", F.round(exact, 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivfpq_oracle_sql(n_lists: int = N_IVF_LISTS) -> str:
+    dsub = _PLANE_DIMS // PQ_M
+    rows = ", ".join(
+        "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
+        for j in range(n_lists)
+    )
+    return f"""
+WITH {_ivf_guard_cte(n_lists)}, base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE (SELECT ok FROM guard) = 1
+), unit AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM base
+), ivfcent(j, c) AS (VALUES {rows}),
+dists AS (
+  SELECT vec_id, u, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_sum(list_transform(list_zip(u, c), p -> (p[1] - p[2]) * (p[1] - p[2]))), j) AS rk
+  FROM unit CROSS JOIN ivfcent
+), assigned AS (
+  SELECT vec_id, j AS list_id FROM dists WHERE rk = 1
+), cent AS (
+  SELECT m.m, a.vec_id - {PQ_ANCHOR_LO} AS k,
+         a.u[m.m * {dsub} + 1 : (m.m + 1) * {dsub}] AS c
+  FROM unit a, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+  WHERE a.vec_id BETWEEN {PQ_ANCHOR_LO} AND {PQ_ANCHOR_HI}
+), enc AS (
+  SELECT u.vec_id, c.m, c.k,
+         row_number() OVER (
+           PARTITION BY u.vec_id, c.m
+           ORDER BY list_sum(list_transform(
+             list_zip(u.u[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), c.k) AS rk
+  FROM unit u CROSS JOIN cent c
+), codes AS (
+  SELECT vec_id, m, k FROM enc WHERE rk = 1
+), lutrows AS (
+  SELECT q.vec_id AS q_id, c.m, c.k,
+         list_sum(list_transform(
+           list_zip(q.u[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c),
+           p -> p[1] * p[2])) AS val
+  FROM unit q CROSS JOIN cent c
+  WHERE q.vec_id IN {PQ_QUERY_IDS}
+), qprobe AS (
+  SELECT vec_id AS q_id, j AS probe_list FROM dists
+  WHERE vec_id IN {PQ_QUERY_IDS} AND rk <= {N_PROBE}
+), scored AS (
+  SELECT l.q_id, e.vec_id, round(list_sum(list(l.val ORDER BY e.m)), 4) AS approx_cos
+  FROM codes e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN qprobe p ON a.list_id = p.probe_list
+  JOIN lutrows l ON e.m = l.m AND e.k = l.k AND l.q_id = p.q_id
+  WHERE e.vec_id <> l.q_id
+  GROUP BY l.q_id, e.vec_id
+), shortlist AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS srank
+  FROM scored
+), rescored AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_sum(list_transform(list_zip(du.u, qu.u), p -> p[1] * p[2])), 4) AS cosine
+  FROM shortlist s
+  JOIN unit du ON s.vec_id = du.vec_id
+  JOIN unit qu ON s.q_id = qu.vec_id
+  WHERE s.srank <= {PQ_SHORTLIST}
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ANN_IVFPQ_SQL = _ivfpq_oracle_sql()
 
 
 ANN_PQ_SQL = f"""
@@ -1458,6 +1620,7 @@ QUERIES = {
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_rerank": ann_ivf_rerank,
     "ann_pq": ann_pq,
+    "ann_ivfpq": ann_ivfpq,
     "ann_nndescent_graph": ann_nndescent_graph,
     "ann_graph_search": ann_graph_search,
     "knn_classify_eval": knn_classify_eval,
@@ -1472,6 +1635,7 @@ ORACLES = {
     "ann_ivf_partitioned": ANN_IVF_PARTITIONED_SQL,
     "ann_ivf_rerank": ANN_IVF_RERANK_SQL,
     "ann_pq": ANN_PQ_SQL,
+    "ann_ivfpq": ANN_IVFPQ_SQL,
     "ann_nndescent_graph": ANN_NNDESCENT_SQL,
     "ann_graph_search": ANN_GRAPH_SEARCH_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,

@@ -1649,7 +1649,11 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_key_rows"),
             F.round(F.percentile("n", 0.5), 2).alias("p50_key_rows"),
             F.round(F.percentile("n", 0.99), 2).alias("p99_key_rows"),
-            F.round(F.max("n") * F.count("*") / F.sum("n"), 2).alias("skew_factor"),
+            # fixed-point, not round(x, 2): max·keys/sum lands on exact
+            # 2dp ties (fuzz seed 1201: 70·49/400 = 8.575 → Spark 8.58
+            # vs DuckDB's binary-double 8.57). One scale-0 round of the
+            # scaled ratio — the r10 doctrine — kills the tie class.
+            fixed_point(F.max("n") * F.count("*") / F.sum("n"), 2).alias("skew_factor"),
         )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1671,7 +1675,7 @@ SELECT '{key}' AS key_name,
        CAST(max(n) AS BIGINT) AS max_key_rows,
        round(quantile_cont(n, 0.5), 2) AS p50_key_rows,
        round(quantile_cont(n, 0.99), 2) AS p99_key_rows,
-       round(max(n) * count(*) * 1e0 / sum(n), 2) AS skew_factor
+       CAST(round((max(n) * count(*) * 1e0 / sum(n)) * 1e2) AS BIGINT) / 1e2 AS skew_factor
 FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {key})
 """
 

@@ -374,3 +374,49 @@ class TestGraphSearch:
         for v in per_q.values():
             assert sorted(x["rank"] for x in v) == list(range(1, len(v) + 1))
             assert len(v) <= S.TOP_K
+
+
+def test_ivfpq_recall_and_containment(spark):
+    """IVF-PQ composes the two verified halves: results must be
+    reproducible, the candidate set must respect probe routing
+    (every result shares a probed list with its query), and recall@5
+    vs brute force clears a floor despite BOTH approximations
+    stacking (probe pruning x ADC codes)."""
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.operators.similarity import (
+        N_PROBE,
+        PQ_QUERY_IDS,
+        TOP_K,
+        _centroid_rank_expr,
+        _n_ivf_lists,
+        _pq_anchor_units,
+        ann_bruteforce,
+        ann_ivfpq,
+    )
+    from tests.conftest import SF_MED
+
+    got_rows = ann_ivfpq(spark, SF_MED).collect()
+    got = {(r["q_id"], r["vec_id"]) for r in got_rows}
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in ann_bruteforce(spark, SF_MED).collect()
+        if r["q_id"] in PQ_QUERY_IDS
+    }
+    # both approximations stack: lower floor than pure PQ (0.6)
+    assert len(got & truth) / len(truth) >= 0.3
+    assert {(r["q_id"], r["vec_id"]) for r in ann_ivfpq(spark, SF_MED).collect()} == got
+    per_q = {}
+    for q, _v in got:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(n <= TOP_K for n in per_q.values())
+    # probe-routing containment: result vec's list must be among the
+    # query's probed lists
+    unit, _books = _pq_anchor_units(spark, SF_MED)
+    ranked = _centroid_rank_expr("u", _n_ivf_lists(unit.count()))
+    assign = {
+        r["vec_id"]: [s["j"] for s in r["rk"][:N_PROBE]]
+        for r in unit.select("vec_id", ranked.alias("rk")).collect()
+    }
+    for q, v in got:
+        assert assign[v][0] in assign[q], f"{v} not in {q}'s probed lists"

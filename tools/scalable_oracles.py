@@ -230,6 +230,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         _graph_search_oracle_sql,
         _ivf_partitioned_oracle_sql,
         _ivf_rerank_oracle_sql,
+        _ivfpq_oracle_sql,
         _n_ivf_lists,
     )
 
@@ -245,6 +246,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         "ann_ivf": ivf_sql,
         "ann_ivf_partitioned": ivf_sql,
         "ann_ivf_rerank": _ivf_rerank_oracle_sql(n_lists),
+        "ann_ivfpq": _ivfpq_oracle_sql(n_lists),
         # the graph search's IVF-routed entries (r11) inherit the
         # same list-count regime as the IVF family
         "ann_graph_search": _graph_search_oracle_sql(n_lists),

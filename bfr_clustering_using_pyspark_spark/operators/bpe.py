@@ -199,6 +199,40 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's VOCABULARY — the second artifact a
+    tokenizer ships next to the merge table: every distinct final
+    symbol (post-merge subword) with how many distinct words contain
+    it and its total corpus occurrence count (word frequency ×
+    within-word occurrences). Single-character survivors and merged
+    subwords appear side by side, which is how you audit a
+    tokenizer's coverage before committing to it.
+
+    Rides the session-cached fit (``_bpe_fit``): one explode of the
+    final symbol strings over the Zipf-bounded distinct-word table —
+    vocabulary-sized work, independent of corpus row count."""
+    wf, _merges = _bpe_fit(spark, sf_dir)
+    toks = wf.select(
+        "word",
+        "wcount",
+        F.explode(F.filter(F.split("sym", r"\|"), lambda x: x != "")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("wcount").alias("total_occurrences"),
+        )
+        .select(
+            "token",
+            F.length("token").alias("token_len"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("total_occurrences").cast("long").alias("total_occurrences"),
+        )
+        .orderBy("token")
+    )
+
+
 def _rounds_ctes() -> str:
     """The unrolled merge rounds as DuckDB CTE text: round r computes
     pair counts p{r} from word state w{r-1}, the top pair t{r}
@@ -274,12 +308,31 @@ ORDER BY d.doc_id
 )
 
 
+TEXT_BPE_VOCAB_SQL = (
+    _rounds_ctes()
+    + f""",
+toks AS (
+  SELECT word, wcount,
+         unnest(list_filter(string_split(sym, '{_D}'), x -> x <> '')) AS token
+  FROM w{R_MERGES}
+)
+SELECT token,
+       CAST(length(token) AS INT) AS token_len,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(sum(wcount) AS BIGINT) AS total_occurrences
+FROM toks GROUP BY token ORDER BY token
+"""
+)
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
+    "text_bpe_vocab": text_bpe_vocab,
 }
 
 ORACLES = {
     "text_bpe_train": TEXT_BPE_TRAIN_SQL,
     "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
+    "text_bpe_vocab": TEXT_BPE_VOCAB_SQL,
 }

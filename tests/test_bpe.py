@@ -108,3 +108,30 @@ def test_fit_is_cached_per_session(spark):
     assert n >= 1
     text_bpe_encode(spark, SF_SMALL)  # must reuse, not refit
     assert len(_BPE_CACHE) == n
+
+
+def test_vocab_matches_python_and_conserves_tokens(spark, duck, corpus):
+    from bfr_clustering_using_pyspark_spark.operators.bpe import (
+        TEXT_BPE_VOCAB_SQL,
+        text_bpe_vocab,
+    )
+
+    rows = text_bpe_vocab(spark, SF_SMALL).collect()
+    want = [tuple(r) for r in duck.execute(TEXT_BPE_VOCAB_SQL).fetchall()]
+    assert [tuple(r) for r in rows] == want
+    wc = Counter(w for toks in corpus.values() for w in toks)
+    _, final = _py_bpe(wc, R_MERGES)
+    occ, words = Counter(), {}
+    for w, syms in final.items():
+        for s in syms:
+            occ[s] += wc[w]
+            words.setdefault(s, set()).add(w)
+    assert {r["token"]: r["total_occurrences"] for r in rows} == dict(occ)
+    for r in rows:
+        assert r["token_len"] == len(r["token"])
+        assert r["n_words"] == len(words[r["token"]])
+    # conservation: vocabulary occurrences == total encoded stream
+    enc = text_bpe_encode(spark, SF_SMALL).collect()
+    assert sum(r["total_occurrences"] for r in rows) == sum(
+        r["n_bpe_tokens"] for r in enc
+    )

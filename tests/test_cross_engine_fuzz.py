@@ -53,6 +53,7 @@ DOC_KEYS = [
     "text_bigram_logprob",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_vocab",
     "seq_pack_contig",
     "corpus_source_overlap",
     "doc_chunk",

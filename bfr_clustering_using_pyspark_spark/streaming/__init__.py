@@ -28,15 +28,18 @@ from ..operators.dedup import DEDUP_COMPONENTS_SQL
 from .docs_stream import (
     STREAM_COUNTMIN_SQL,
     STREAM_QUALITY_FILTER_SQL,
+    STREAM_TOKEN_STATS_SQL,
     stream_components,
     stream_countmin,
     stream_quality_filter,
+    stream_token_stats,
 )
 
 QUERIES = {
     "stream_countmin": stream_countmin,
     "stream_components": stream_components,
     "stream_quality_filter": stream_quality_filter,
+    "stream_token_stats": stream_token_stats,
     "stream_events_window": stream_events_window,
     "stream_sliding_window": stream_sliding_window,
     "stream_upsert_sink": stream_upsert_sink,
@@ -59,6 +62,8 @@ ORACLES: dict[str, str] = {
     "stream_components": DEDUP_COMPONENTS_SQL,
     # stateless filter + complete-mode agg: drained result ≡ batch agg
     "stream_quality_filter": STREAM_QUALITY_FILTER_SQL,
+    # stateless token count + complete-mode agg: drained ≡ batch agg
+    "stream_token_stats": STREAM_TOKEN_STATS_SQL,
     "stream_events_window": STREAM_EVENTS_WINDOW_SQL,
     "stream_sliding_window": STREAM_SLIDING_WINDOW_SQL,
     "stream_upsert_sink": STREAM_UPSERT_SINK_SQL,

@@ -100,6 +100,64 @@ FROM t GROUP BY lang, passes_quality ORDER BY lang, passes_quality
 """
 
 
+def stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-budget accounting — the ingest dashboard a
+    pretraining pipeline actually watches while data lands: per
+    source, running doc / word-token / char totals and mean tokens
+    per doc (complete mode). This is the live face of the batch
+    ``corpus_mix`` inputs: the same per-source token masses that set
+    temperature-scaled sampling weights, maintained as documents
+    arrive. Stateless row-wise token count + one bounded aggregation:
+    state is O(sources) (catalog-bounded), not O(documents).
+
+    The mean uses the exact int64 scaled-round pattern
+    (``fixed_avg_int`` shape) so the drained result hash-equals the
+    batch oracle under any batch split."""
+    from ..functions.numeric import fixed_avg_int
+    from ..operators.textstats import _tokens
+    from .events_stream import _run_to_memory
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(f"{sf_dir}/documents*.parquet")
+    )
+    agg = (
+        docs.select(
+            "source",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_toks"),
+            F.length("text").cast("long").alias("n_chr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+            fixed_avg_int(F.col("n_toks"), 2).alias("avg_tokens_per_doc"),
+        )
+    )
+    out = _run_to_memory(agg, "stream_token_stats_sink", mode="complete")
+    return out.orderBy("source")
+
+
+STREAM_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks,
+         length(text) AS n_chr
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       CAST(round(sum(n_toks) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens_per_doc
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def _chunked_docs_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     """The chunked source corpus is a pure function of
     (documents.parquet, n_chunks): persisted once under the warehouse

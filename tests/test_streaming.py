@@ -464,3 +464,35 @@ def test_stream_components_fold_paths_random_corpus(spark, tmp_path):
             for r in stream_components(spark, str(d), n_chunks=3, **kwargs).collect()
         }
         assert got == want, f"fold path {kwargs} diverged"
+
+
+def test_stream_token_stats_matches_batch(spark):
+    """The drained complete-mode token dashboard must equal the
+    batch aggregation over the same corpus, and its totals must be
+    consistent (sum of per-source docs == corpus rows)."""
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.streaming.docs_stream import (
+        stream_token_stats,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = stream_token_stats(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    want = {
+        r["source"]: (r["n"], r["t"], r["c"])
+        for r in docs.select(
+            "source",
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("tk"),
+            F.length("text").alias("ch"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("tk").alias("t"), F.sum("ch").alias("c"))
+        .collect()
+    }
+    assert {r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"]) for r in got} == want
+    assert sum(r["n_docs"] for r in got) == docs.count()
+    for r in got:
+        # mean within half a unit of the exact rational (scaled round)
+        exact = r["n_tokens"] / r["n_docs"]
+        assert abs(r["avg_tokens_per_doc"] - exact) <= 0.005 + 1e-9

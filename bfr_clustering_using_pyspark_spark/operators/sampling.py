@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fixed_point
 from ..sources.readers import load_table
 from .dedup import _spread, _tokens
 
@@ -49,7 +50,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
             F.sum(flag).alias("n_sampled"),
             F.sum(flag * F.col("doc_id")).alias("sampled_id_sum"),
-            F.round(F.sum(flag) / F.count("*"), 4).alias("frac"),
+            fixed_point(F.sum(flag) / F.count("*"), 4).alias("frac"),
         )
         .orderBy("lang")
     )
@@ -65,7 +66,7 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum,
-       round(sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) * 1e0 / count(*), 4) AS frac
+       CAST(round((sum(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) * 1e0 / count(*)) * 1e4) AS BIGINT) / 1e4 AS frac
 FROM h GROUP BY lang ORDER BY lang
 """
 

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import fixed_avg_int
+from ..functions.numeric import fixed_avg_int, fixed_point
 from ..sources.readers import load_table
 
 TOKEN_RE = "[a-z0-9]+"
@@ -90,10 +90,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         n_tok.alias("n_tokens"),
-        F.round(F.length(F.regexp_replace("text", " ", "")) / F.greatest(n_tok, F.lit(1)), 4).alias("mean_word_len"),
-        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
-        F.round(n_digit / F.greatest(F.length("text"), F.lit(1)), 4).alias("digit_ratio"),
-        F.round(n_stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        fixed_point(F.length(F.regexp_replace("text", " ", "")) / F.greatest(n_tok, F.lit(1)), 4).alias("mean_word_len"),
+        fixed_point(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        fixed_point(n_digit / F.greatest(F.length("text"), F.lit(1)), 4).alias("digit_ratio"),
+        fixed_point(n_stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
         quality_flag_expr(F.col("text")).cast("int").alias("passes_quality"),
     ).orderBy("doc_id")
 
@@ -109,11 +109,11 @@ WITH t AS (
 SELECT doc_id,
        length(text) AS n_chars_actual,
        len(toks) AS n_tokens,
-       round(length(replace(text, ' ', '')) * 1e0 / greatest(len(toks), 1), 4) AS mean_word_len,
-       round(n_punct * 1e0 / greatest(length(text), 1), 4) AS punct_ratio,
-       round(n_digit * 1e0 / greatest(length(text), 1), 4) AS digit_ratio,
-       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
-             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       CAST(round((length(replace(text, ' ', '')) * 1e0 / greatest(len(toks), 1)) * 1e4) AS BIGINT) / 1e4 AS mean_word_len,
+       CAST(round((n_punct * 1e0 / greatest(length(text), 1)) * 1e4) AS BIGINT) / 1e4 AS punct_ratio,
+       CAST(round((n_digit * 1e0 / greatest(length(text), 1)) * 1e4) AS BIGINT) / 1e4 AS digit_ratio,
+       CAST(round((len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
+             / greatest(len(toks), 1)) * 1e4) AS BIGINT) / 1e4 AS stopword_ratio,
        CAST(length(text) >= 50
             AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
                 / greatest(len(toks), 1) > 0.05
@@ -395,14 +395,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_stats = base.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.round(1.0 - F.size(F.array_distinct(tg)) / F.size(tg), 4).alias("dup_3gram_frac"),
+        # fixed-point, not round(x,4): integer-ratio decimal ties (the
+        # fuzz-1201 class) diverge across engines
+        fixed_point(1.0 - F.size(F.array_distinct(tg)) / F.size(tg), 4).alias("dup_3gram_frac"),
     )
     top_tok = (
         base.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac"))
+        .agg(fixed_point(F.max("c") / F.sum("c"), 4).alias("top_token_frac"))
     )
     return (
         gram_stats.join(top_tok, "doc_id")
@@ -424,10 +426,10 @@ WITH base AS (
   FROM filtered
 ), gram_stats AS (
   SELECT doc_id, n_tokens,
-         round(1.0 - len(list_distinct(tg)) * 1e0 / len(tg), 4) AS dup_3gram_frac
+         CAST(round((1.0 - len(list_distinct(tg)) * 1e0 / len(tg)) * 1e4) AS BIGINT) / 1e4 AS dup_3gram_frac
   FROM grams
 ), top_tok AS (
-  SELECT doc_id, round(max(c) * 1e0 / sum(c), 4) AS top_token_frac
+  SELECT doc_id, CAST(round((max(c) * 1e0 / sum(c)) * 1e4) AS BIGINT) / 1e4 AS top_token_frac
   FROM (SELECT doc_id, tok, count(*) AS c
         FROM (SELECT doc_id, unnest(toks) AS tok FROM filtered) u
         GROUP BY doc_id, tok) g

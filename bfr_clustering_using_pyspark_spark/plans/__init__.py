@@ -146,7 +146,15 @@ _CHANGED_THIS_ROUND = (
     # -file stats for directory corpora — same values, new build path
     "text_bm25", "q_hybrid_rrf",
 )
-_CONVERTED_THIS_ROUND = ()
+# round 12: integer-ratio round(x,k) sites converted to the
+# fixed-point scale-0-round pattern after the fuzz-1201 tie catch
+# (q_key_skew_profile, listed in tier 0 — values CHANGED there);
+# these keys' values are unchanged on every gate corpus (no tie was
+# hit), re-verified by the local strict gate at sf0.01+sf0.1
+_CONVERTED_THIS_ROUND = (
+    "q_events_retention", "sample_stratified", "text_quality",
+    "text_repetition", "stream_components",
+)
 
 
 def _external_history():

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import fixed_sum
+from ..functions.numeric import fixed_point, fixed_sum
 from ..sources.readers import load_table
 
 SESSION_GAP_MIN = 30
@@ -209,7 +209,9 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_users",
-            F.round(F.col("n_active") / F.col("cohort_users"), 4).alias("retention"),
+            # fixed-point, not round(x,4): integer-ratio decimal ties (the
+            # fuzz-1201 q_key_skew_profile class) diverge across engines
+            fixed_point(F.col("n_active") / F.col("cohort_users"), 4).alias("retention"),
         )
         .orderBy("cohort_week", "week_offset")
     )
@@ -231,7 +233,7 @@ WITH ev AS (
   SELECT cohort_week, count(DISTINCT user_id) AS cohort_users FROM first_seen GROUP BY 1
 )
 SELECT a.cohort_week, week_offset, n_active, cohort_users,
-       round(n_active * 1e0 / cohort_users, 4) AS retention
+       CAST(round((n_active * 1e0 / cohort_users) * 1e4) AS BIGINT) / 1e4 AS retention
 FROM active a JOIN size_ s ON a.cohort_week = s.cohort_week
 ORDER BY a.cohort_week, week_offset
 """

@@ -304,7 +304,14 @@ def stream_components(
                 pairs = (
                     cand.join(sa, "doc_a")
                     .join(sb, "doc_b")
-                    .filter(F.round(inter / union, 4) >= threshold)
+                    # fixed-point shape, matching the batch dedup plan
+                    # (dedup.py): round(x, 4) diverges from the oracle
+                    # on exact 4dp decimal ties (the fuzz-1201 class),
+                    # and here the rounded value gates MEMBERSHIP
+                    .filter(
+                        F.round(inter / union * 10000.0).cast("long") / 10000.0
+                        >= threshold
+                    )
                     .select("doc_a", "doc_b")
                     # pin the verified pairs: the CC fold below reads
                     # them several times (symmetrize + per-round joins)

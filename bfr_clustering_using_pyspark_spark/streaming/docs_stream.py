@@ -127,15 +127,15 @@ def stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         docs.select(
             "source",
-            F.size(_tokens(F.col("text"))).cast("long").alias("n_toks"),
+            F.size(_tokens(F.col("text"))).cast("long").alias("cnt_tokens"),
             F.length("text").cast("long").alias("n_chr"),
         )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_toks").alias("n_tokens"),
+            F.sum("cnt_tokens").alias("n_tokens"),
             F.sum("n_chr").alias("n_chars"),
-            fixed_avg_int(F.col("n_toks"), 2).alias("avg_tokens_per_doc"),
+            fixed_avg_int(F.col("cnt_tokens"), 2).alias("avg_tokens_per_doc"),
         )
     )
     out = _run_to_memory(agg, "stream_token_stats_sink", mode="complete")
@@ -145,15 +145,15 @@ def stream_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TOKEN_STATS_SQL = """
 WITH t AS (
   SELECT source,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cnt_tokens,
          length(text) AS n_chr
   FROM documents
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt_tokens) AS BIGINT) AS n_tokens,
        CAST(sum(n_chr) AS BIGINT) AS n_chars,
-       CAST(round(sum(n_toks) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens_per_doc
+       CAST(round(sum(cnt_tokens) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens_per_doc
 FROM t GROUP BY source ORDER BY source
 """
 

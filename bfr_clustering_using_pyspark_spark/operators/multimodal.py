@@ -645,6 +645,98 @@ FROM pcm GROUP BY doc_id, n_samples ORDER BY doc_id
 """
 
 
+FP_FRAME = 16  # samples per fingerprint frame (coarser than analysis)
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO fingerprinting over the real RIFF/WAV path —
+    the audio analogue of ``mm_image_ahash`` and the miniature of the
+    Shazam/Chromaprint family: split the PCM into 16-sample frames,
+    take each frame's exact integer energy (Σv²), emit one bit per
+    adjacent frame pair (1 iff energy rose), pack the bits into a
+    hex fingerprint, and count corpus-wide collisions per
+    (n_frames, fingerprint). Energy-DELTA signs are loudness- and
+    offset-tolerant where raw byte hashing is not — the property
+    that makes this the audio dedup key.
+
+    Bits are pure integer comparisons, so the fingerprint is
+    engine-portable; the closed-form PCM contract lets the oracle
+    recompute every frame energy, bit, and packed value in SQL.
+    Same scale shape as mm_image_ahash: Arrow-batched decode+hash
+    stages, one dedup_exact-style shuffle on the fingerprint."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pin_arrow_batch_for_payload(spark, 512)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _sr, pcm = _wav_decode(bytes(payload))
+                n_fr = len(pcm) // FP_FRAME  # truncate the ragged tail
+                e = (
+                    pcm[: n_fr * FP_FRAME]
+                    .astype(np.int64)
+                    .reshape(n_fr, FP_FRAME)
+                    ** 2
+                ).sum(axis=1)
+                val = 0
+                for f in range(n_fr - 1):  # MSB = earliest frame pair
+                    val = (val << 1) | int(e[f + 1] > e[f])
+                rows.append((doc_id, n_fr, f"{val:03x}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "fingerprint"])
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    fps = encoded.mapInPandas(
+        fingerprint, schema="doc_id long, n_frames int, fingerprint string"
+    )
+    dups = fps.groupBy("n_frames", "fingerprint").agg(F.count("*").alias("n_dups"))
+    return (
+        fps.join(dups, ["n_frames", "fingerprint"])
+        .select("doc_id", "n_frames", "fingerprint", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+MM_AUDIO_FINGERPRINT_SQL = f"""
+WITH pcm AS (
+  SELECT d.doc_id,
+         (64 + d.doc_id % 129) // {FP_FRAME} AS n_fr,
+         i.i // {FP_FRAME} AS f,
+         ((d.doc_id * 7919 + i.i * 104729) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, 192) AS i(i)
+  WHERE i.i < ((64 + d.doc_id % 129) // {FP_FRAME}) * {FP_FRAME}
+), fe AS (
+  SELECT doc_id, n_fr, f, sum(v * v) AS e FROM pcm GROUP BY 1, 2, 3
+), bits AS (
+  SELECT doc_id, n_fr, f,
+         CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+              THEN 1 ELSE 0 END AS b
+  FROM fe
+), fp AS (
+  SELECT doc_id, n_fr,
+         printf('%03x', CAST(sum(b * (1 << (n_fr - 2 - f))) AS INT)) AS fingerprint
+  FROM bits WHERE f < n_fr - 1 GROUP BY 1, 2
+), dups AS (
+  SELECT n_fr, fingerprint, count(*) AS n_dups FROM fp GROUP BY 1, 2
+)
+SELECT p.doc_id, CAST(p.n_fr AS INT) AS n_frames, p.fingerprint,
+       CAST(d.n_dups AS BIGINT) AS n_dups
+FROM fp p JOIN dups d ON p.n_fr = d.n_fr AND p.fingerprint = d.fingerprint
+ORDER BY p.doc_id
+"""
+
+
 AUDIO_FRAME = 64  # samples per analysis frame
 AUDIO_FEAT_SCHEMA = (
     "doc_id long, frame_idx int, frame_n int, energy_mean double, "
@@ -949,6 +1041,7 @@ ORDER BY h.doc_id
 QUERIES = {
     "mm_decode": mm_decode,
     "mm_image_ahash": mm_image_ahash,
+    "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_pipeline": mm_pipeline,
     "mm_pgm_roundtrip": mm_pgm_roundtrip,
     "mm_pgm_resize": mm_pgm_resize,
@@ -959,6 +1052,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "mm_pgm_resize": MM_PGM_RESIZE_SQL,
     "mm_image_ahash": MM_IMAGE_AHASH_SQL,
+    "mm_audio_fingerprint": MM_AUDIO_FINGERPRINT_SQL,
     "mm_decode": MM_DECODE_SQL,
     "mm_pipeline": MM_PIPELINE_SQL,
     "mm_pgm_roundtrip": MM_PGM_ROUNDTRIP_SQL,

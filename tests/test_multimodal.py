@@ -246,3 +246,38 @@ def test_image_ahash_dedup_semantics(spark):
     bits = (64 * samp >= int(samp.sum())).astype(np.uint8)
     byts = (bits << (7 - idx)[None, :]).sum(axis=1)
     assert "".join(f"{int(b):02x}" for b in byts) == target["ahash"]
+
+
+def test_audio_fingerprint_semantics(spark):
+    """Fingerprint bits recompute from a from-scratch numpy decode
+    (energy-delta signs, MSB = earliest pair), dup counts really
+    count (n_frames, fingerprint)-equal audios, and the coarse bit
+    space produces genuine collision groups."""
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        FP_FRAME,
+        _wav_decode,
+        _wav_payload,
+        mm_audio_fingerprint,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = mm_audio_fingerprint(spark, SF_SMALL).collect()
+    assert rows
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["n_frames"], r["fingerprint"]), []).append(r)
+    for r in rows:
+        assert r["n_dups"] == len(groups[(r["n_frames"], r["fingerprint"])])
+    assert any(len(v) > 1 for v in groups.values()), "coarse space must collide"
+
+    for r in (rows[3], rows[77]):
+        _sr, pcm = _wav_decode(_wav_payload(r["doc_id"]))
+        n_fr = len(pcm) // FP_FRAME
+        assert n_fr == r["n_frames"]
+        e = (pcm[: n_fr * FP_FRAME].astype(np.int64).reshape(n_fr, FP_FRAME) ** 2).sum(axis=1)
+        val = 0
+        for f in range(n_fr - 1):
+            val = (val << 1) | int(e[f + 1] > e[f])
+        assert f"{val:03x}" == r["fingerprint"]

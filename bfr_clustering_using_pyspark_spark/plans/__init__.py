@@ -98,7 +98,7 @@ _COST_S = {
     "text_bpe_train": 12.0, "text_bpe_encode": 13.0,
     "text_bigram_logprob": 4.0, "seq_pack_contig": 2.0,
     "mm_image_ahash": 2.5, "mm_audio_fingerprint": 2.5, "corpus_source_overlap": 3.0, "ann_ivfpq": 7.0, "text_bpe_vocab": 12.0, "stream_token_stats": 3.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "q_join_strategies": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "bfr_lloyd_det": 16.0, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
@@ -126,36 +126,13 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 12: NEW — distributed BPE tokenizer train/encode
-    # (operators/bpe.py; unrolled-rounds oracle)
-    "text_bpe_train", "text_bpe_encode", "text_bigram_logprob",
-    "seq_pack_contig", "mm_image_ahash", "corpus_source_overlap",
-    # round 12: NEW — IVF-PQ composition (probe routing x ADC codes);
-    # ann_pq refactored onto the shared PQ expression builders (same
-    # values, new build path)
-    "ann_ivfpq", "ann_pq", "text_bpe_vocab", "stream_token_stats",
-    "mm_audio_fingerprint",
-    # round 12: q_key_skew_profile's skew_factor converted to the
-    # fixed-point pattern after fuzz seed 1201 caught an exact 2dp
-    # tie (8.575) — VALUES can differ at ties, oracle in lockstep
-    "q_key_skew_profile",
-    # round 12: retrieval_eval's query set now derives from the query
-    # predicate over documents (zero-candidate queries report 0
-    # instead of vanishing) — VALUES CHANGED, oracle in lockstep
-    "retrieval_eval",
-    # round 12: retrieval token-cache freshness key now folds per-part
-    # -file stats for directory corpora — same values, new build path
-    "text_bm25", "q_hybrid_rrf",
+    # round 13: NEW — deterministic chunked-BFR epoch (farthest-point
+    # seeds + Lloyd init + integer-moment Mahalanobis gate; unrolled
+    # materialized-CTE oracle) — the namesake algorithm's hash gate
+    "bfr_lloyd_det",
 )
-# round 12: integer-ratio round(x,k) sites converted to the
-# fixed-point scale-0-round pattern after the fuzz-1201 tie catch
-# (q_key_skew_profile, listed in tier 0 — values CHANGED there);
-# these keys' values are unchanged on every gate corpus (no tie was
-# hit), re-verified by the local strict gate at sf0.01+sf0.1
-_CONVERTED_THIS_ROUND = (
-    "q_events_retention", "sample_stratified", "text_quality",
-    "text_repetition", "stream_components",
-)
+# round 13: no fixed-point conversions this round
+_CONVERTED_THIS_ROUND = ()
 
 
 def _external_history():

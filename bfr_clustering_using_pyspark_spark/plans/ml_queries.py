@@ -602,7 +602,7 @@ def _kdet_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", xi.alias("xi"))
 
 
-def _kdet_assign_expr(centroids: dict[int, list[float]]):
+def _kdet_assign_expr(centroids: dict[int, list[float]], scale: float = KDET_SCALE):
     """argmin_c Σ_d (x_d/SCALE − c_d)², ties → smaller cluster id
     (centroid ids listed ascending, array_position takes the first
     min). One higher-order transform over an array-of-arrays literal
@@ -617,7 +617,7 @@ def _kdet_assign_expr(centroids: dict[int, list[float]]):
             F.zip_with(
                 "xi",
                 c,
-                lambda x, cc: (x / F.lit(KDET_SCALE) - cc) * (x / F.lit(KDET_SCALE) - cc),
+                lambda x, cc: (x / F.lit(scale) - cc) * (x / F.lit(scale) - cc),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -719,6 +719,307 @@ SELECT vec_id, cluster FROM a{KDET_ITERS} ORDER BY vec_id"""
 KMEANS_LLOYD_DET_SQL = _kdet_oracle_sql()
 
 
+# ----------------------------------------------------------------- #
+# bfr_lloyd_det — a deterministic, CROSS-ENGINE BIT-EXACT chunked BFR
+# epoch (the hash-gated face of the namesake algorithm; ``bfr_fit``
+# keeps the production Arrow/NumPy path whose k-means init no SQL
+# engine can replay). Parity target: reference ``Runner.run`` chunk
+# loop + ``assign_to_ss`` Mahalanobis gate (/root/reference/code/
+# bfr.py:191-468, :363-374).
+#
+# Determinism recipe (the kmeans_lloyd_det pattern, extended with a
+# variance gate):
+# - coordinates quantized to 1e-4 integer units (BDET_SCALE) — small
+#   enough that Σx² stays < 2^53 out to ~sf1000, so BIGINT→DOUBLE
+#   conversion is EXACT in both engines and every derived double
+#   (mean, variance, Mahalanobis term) is a correctly-rounded
+#   function of identical integers;
+# - chunks are vec_id % BDET_CHUNKS (a deterministic stand-in for
+#   arrival order); chunk 0 is clustered with FARTHEST-POINT seeding
+#   (the reference's HCluster init, bfr.py:18-40 — here fully
+#   deterministic: first seed = min vec_id, each next seed = argmax
+#   of min-distance to the chosen set, ties → smaller vec_id) plus
+#   BDET_INIT_ITERS Euclidean Lloyd rounds (= "k-means the first
+#   chunk" init, ref bfr.py:219-231); that assignment initializes
+#   the DS moments N/SUM/SUMSQ (exact integers, ref SummarizedSet
+#   bfr.py:142-188);
+# - each later chunk is assigned by the Mahalanobis gate: point
+#   joins argmin_c Σ_d (x_d−μ_cd)²/max(σ²_cd, ε) iff that distance
+#   ≤ α²·d, else it is RETAINED (cluster −1, the RS of ref
+#   bfr.py:363-374 with α=2); assigned points fold into the DS
+#   moments before the next chunk (batch-BFR semantics, see
+#   ml/bfr.py module docstring);
+# - the oracle UNROLLS the chunk loop as CTEs; the driver-side state
+#   is O(k·d) integers per chunk — the same footprint production BFR
+#   broadcasts.
+# ----------------------------------------------------------------- #
+
+BDET_K = 8          # discard-set clusters
+BDET_CHUNKS = 4     # fixed chunk count (the oracle unrolls them)
+BDET_INIT_ITERS = 2  # Lloyd rounds on the init chunk
+BDET_SCALE = 10_000.0  # 1e-4 units: Σx² < 2^53 through ~sf1000
+BDET_ALPHA2 = 4.0   # α=2 gate, reference default (bfr.py:363)
+BDET_THRESH = BDET_ALPHA2 * KDET_DIMS  # α²·d = 256.0
+BDET_EPS = 1e-12    # variance floor (singleton clusters)
+
+
+def _bdet_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * BDET_SCALE).cast("long")
+    )
+    return emb.select(
+        "vec_id", xi.alias("xi"), (F.col("vec_id") % BDET_CHUNKS).cast("int").alias("chunk")
+    )
+
+
+def _bdet_mom_aggs() -> list:
+    """count + per-dim Σx and Σx² — exact BIGINT moments, map-side
+    combined (one wide row per cluster, no row explosion)."""
+    return (
+        [F.count("*").alias("n")]
+        + [F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(KDET_DIMS)]
+        + [F.sum(F.col("xi")[i] * F.col("xi")[i]).alias(f"q{i}") for i in range(KDET_DIMS)]
+    )
+
+
+def _bdet_gate_expr(mom: dict[int, tuple[int, list[int], list[int]]]):
+    """Mahalanobis-gated assignment over DS-moment literals.
+
+    μ and σ² are computed ON THE DRIVER from the exact integer
+    moments with the same op order the oracle uses in SQL
+    (s/n/S, q/n/S/S − μ·μ, greatest(·, ε)) — Python floats and SQL
+    DOUBLEs are both correctly-rounded IEEE754, so the literals match
+    the oracle's computed columns bit-for-bit."""
+    ids = sorted(mom)
+    S = BDET_SCALE
+    params = []
+    for c in ids:
+        n, s, q = mom[c]
+        mu = [s[i] / n / S for i in range(KDET_DIMS)]
+        sg = [max(q[i] / n / S / S - mu[i] * mu[i], BDET_EPS) for i in range(KDET_DIMS)]
+        params.append((c, mu, sg))
+    msig = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(F.lit(mu[i]).alias("m"), F.lit(sg[i]).alias("s"))
+                    for i in range(KDET_DIMS)
+                ]
+            )
+            for _, mu, sg in params
+        ]
+    )
+    ids_lit = F.array(*[F.lit(c) for c, _, _ in params])
+    d2s = F.transform(
+        msig,
+        lambda ms: F.aggregate(
+            F.zip_with(
+                "xi",
+                ms,
+                lambda x, t: (x / F.lit(S) - t["m"]) * (x / F.lit(S) - t["m"]) / t["s"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    best = F.array_min(d2s)
+    bc = ids_lit[F.array_position(d2s, best) - 1].cast("int")
+    return F.when(best <= F.lit(BDET_THRESH), bc).otherwise(F.lit(-1).cast("int"))
+
+
+def bfr_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic BFR epoch over ``embeddings``: returns
+    (vec_id, cluster) with cluster ∈ {0..K−1} for DS members and −1
+    for retained (gate-rejected) points.
+
+    Scale: per chunk, ONE map-side-combined wide aggregation whose
+    result is K rows × (1+2d) integer columns — the only driver
+    materialization, O(k·d) exactly like the production ``bfr_fit``
+    broadcast state; assignment is a JVM literal-fold projection
+    inside whole-stage codegen. No n-sized collect, no RNG, no
+    Python workers."""
+    pts = _bdet_points(spark, sf_dir).persist()
+    chunk0 = pts.where(F.col("chunk") == 0)
+    S = BDET_SCALE
+    # --- farthest-point seeding (ref HCluster init, bfr.py:18-40):
+    # first seed = min vec_id; each next = argmax of min-distance to
+    # the chosen set, ties → smaller vec_id. K−1 one-row TakeOrdered
+    # jobs over the init chunk — O(k·d) driver state.
+    first = chunk0.orderBy("vec_id").select("xi").head()
+    seeds: list[list[int]] = [list(first["xi"])]
+    for _ in range(BDET_K - 1):
+        dmin = F.array_min(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            "xi",
+                            F.array(*[F.lit(int(v)) for v in sx]),
+                            lambda x, y: (x / F.lit(S) - y / F.lit(S))
+                            * (x / F.lit(S) - y / F.lit(S)),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for sx in seeds
+                ]
+            )
+        )
+        nxt = (
+            chunk0.select("vec_id", "xi", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .head()
+        )
+        seeds.append(list(nxt["xi"]))
+
+    # --- BDET_INIT_ITERS Lloyd rounds on chunk 0 (euclidean, no gate)
+    cents = {j: [int(v) / S for v in sx] for j, sx in enumerate(seeds)}
+    a0 = _kdet_assign_expr(cents, scale=S)
+    for _ in range(BDET_INIT_ITERS - 1):
+        srows = (
+            chunk0.withColumn("cluster", a0)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(KDET_DIMS)],
+            )
+            .collect()
+        )
+        cents = {
+            r["cluster"]: [r[f"s{i}"] / r["n"] / S for i in range(KDET_DIMS)]
+            for r in srows
+        }
+        a0 = _kdet_assign_expr(cents, scale=S)
+
+    mom: dict[int, tuple[int, list[int], list[int]]] = {}
+
+    def _fold(grouped: DataFrame) -> None:
+        for r in grouped.collect():
+            c = r["cluster"]
+            n0, s0, q0 = mom.get(c, (0, [0] * KDET_DIMS, [0] * KDET_DIMS))
+            mom[c] = (
+                n0 + r["n"],
+                [s0[i] + r[f"s{i}"] for i in range(KDET_DIMS)],
+                [q0[i] + r[f"q{i}"] for i in range(KDET_DIMS)],
+            )
+
+    _fold(chunk0.withColumn("cluster", a0).groupBy("cluster").agg(*_bdet_mom_aggs()))
+    frames = [chunk0.select("vec_id", a0.alias("cluster"))]
+    for t in range(1, BDET_CHUNKS):
+        gate = _bdet_gate_expr(mom)
+        ch = pts.where(F.col("chunk") == t)
+        frames.append(ch.select("vec_id", gate.alias("cluster")))
+        _fold(
+            ch.withColumn("cluster", gate)
+            .where(F.col("cluster") >= 0)
+            .groupBy("cluster")
+            .agg(*_bdet_mom_aggs())
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    result = out.orderBy("vec_id").localCheckpoint(eager=True)
+    pts.unpersist()
+    return result
+
+
+def _bdet_oracle_sql() -> str:
+    """Unrolled chunked-BFR epoch: farthest-point seeds + Lloyd init
+    on chunk 0, then per-chunk moment CTEs → μ/σ² lists → gated
+    argmin → moment accumulation (UNION ALL of assigned rows)."""
+    S, K, D = BDET_SCALE, BDET_K, KDET_DIMS
+
+    def assign_cte(name: str, src: str, cent: str) -> str:
+        return f""", {name} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster FROM (
+    SELECT p.vec_id, p.xi, k.cluster,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             list_sum(list_transform(list_zip(p.xi, k.c),
+               q -> (q[1] / {S} - q[2]) * (q[1] / {S} - q[2]))), k.cluster) AS rk
+    FROM {src} p CROSS JOIN {cent} k
+  ) WHERE rk = 1
+)"""
+
+    head = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {S}) AS BIGINT)) AS xi,
+         CAST(vec_id % {BDET_CHUNKS} AS INT) AS chunk
+  FROM embeddings
+), dims AS (SELECT unnest(generate_series(0, {D - 1})) AS pos),
+i0 AS MATERIALIZED (SELECT vec_id, xi FROM pts WHERE chunk = 0),
+sd1 AS MATERIALIZED (SELECT 0 AS sid, vec_id, xi FROM i0 ORDER BY vec_id LIMIT 1)"""
+    # farthest-point seeds 2..K: argmax of min-distance, ties → min vec_id
+    for j in range(2, K + 1):
+        head += f""", dm{j} AS MATERIALIZED (
+  SELECT p.vec_id, p.xi,
+         min(list_sum(list_transform(list_zip(p.xi, s.xi),
+           q -> (q[1] / {S} - q[2] / {S}) * (q[1] / {S} - q[2] / {S})))) AS dmin
+  FROM i0 p CROSS JOIN sd{j - 1} s GROUP BY p.vec_id, p.xi
+), sd{j} AS MATERIALIZED (
+  SELECT sid, vec_id, xi FROM sd{j - 1}
+  UNION ALL
+  (SELECT {j - 1} AS sid, vec_id, xi FROM dm{j} ORDER BY dmin DESC, vec_id LIMIT 1)
+)"""
+    # init centroids = seed coordinates, then BDET_INIT_ITERS Lloyd rounds
+    head += f""", c0 AS MATERIALIZED (
+  SELECT sid AS cluster, list_transform(xi, v -> v / {S}) AS c FROM sd{K}
+)"""
+    head += assign_cte("r0", "i0", "c0")
+    prev = "r0"
+    for it in range(1, BDET_INIT_ITERS):
+        head += f""", mI{it} AS MATERIALIZED (
+  SELECT cluster, d.pos, sum(xi[d.pos + 1]) AS s, count(*) AS n
+  FROM {prev} CROSS JOIN dims d GROUP BY cluster, d.pos
+), cI{it} AS MATERIALIZED (
+  SELECT cluster, list(s / n / {S} ORDER BY pos) AS c FROM mI{it} GROUP BY cluster
+)"""
+        head += assign_cte(f"r{it}", "i0", f"cI{it}")
+        prev = f"r{it}"
+    head += f""", a0 AS MATERIALIZED (SELECT vec_id, xi, cluster FROM {prev}),
+acc1 AS MATERIALIZED (SELECT vec_id, xi, cluster FROM a0)"""
+    parts = []
+    for t in range(1, BDET_CHUNKS):
+        parts.append(f""", mom{t} AS MATERIALIZED (
+  SELECT cluster, d.pos, count(*) AS n, sum(xi[d.pos + 1]) AS s,
+         sum(xi[d.pos + 1] * xi[d.pos + 1]) AS q
+  FROM acc{t} CROSS JOIN dims d GROUP BY cluster, d.pos
+), par{t} AS MATERIALIZED (
+  SELECT cluster,
+         list(s / n / {S} ORDER BY pos) AS mu,
+         list(greatest(q / n / {S} / {S} - (s / n / {S}) * (s / n / {S}), {BDET_EPS}) ORDER BY pos) AS sg
+  FROM mom{t} GROUP BY cluster
+), g{t} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster, maha FROM (
+    SELECT vec_id, xi, cluster, maha,
+           row_number() OVER (PARTITION BY vec_id ORDER BY maha, cluster) AS rk
+    FROM (
+      SELECT p.vec_id, p.xi, k.cluster,
+             list_sum(list_transform(list_zip(p.xi, k.mu, k.sg),
+               q -> (q[1] / {S} - q[2]) * (q[1] / {S} - q[2]) / q[3])) AS maha
+      FROM pts p CROSS JOIN par{t} k WHERE p.chunk = {t}
+    )
+  ) WHERE rk = 1
+), a{t} AS MATERIALIZED (
+  SELECT vec_id, xi,
+         CASE WHEN maha <= {BDET_THRESH} THEN cluster ELSE -1 END AS cluster
+  FROM g{t}
+), acc{t + 1} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster FROM acc{t}
+  UNION ALL
+  SELECT vec_id, xi, cluster FROM a{t} WHERE cluster >= 0
+)""")
+    tail = "\nSELECT vec_id, cluster FROM (\n  SELECT vec_id, cluster FROM a0"
+    for t in range(1, BDET_CHUNKS):
+        tail += f"\n  UNION ALL SELECT vec_id, cluster FROM a{t}"
+    tail += "\n) ORDER BY vec_id"
+    return head + "".join(parts) + tail
+
+
+BFR_LLOYD_DET_SQL = _bdet_oracle_sql()
+
+
 QUERIES = {
     "silhouette_eval": silhouette_eval,
     "cluster_profile": cluster_profile,
@@ -729,6 +1030,7 @@ QUERIES = {
     "bfr_fit": bfr_fit,
     "kmeans_fit": kmeans_fit,
     "kmeans_lloyd_det": kmeans_lloyd_det,
+    "bfr_lloyd_det": bfr_lloyd_det,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -743,6 +1045,7 @@ ORACLES = {
     "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
     "nmi_eval": NMI_EVAL_SQL,
     "kmeans_lloyd_det": KMEANS_LLOYD_DET_SQL,
+    "bfr_lloyd_det": BFR_LLOYD_DET_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

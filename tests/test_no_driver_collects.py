@@ -29,7 +29,7 @@ WHITELIST = {
     "ml/bfr.py": (4, "1-row id-range agg; 1-row dim probe; seeded init sample; O(k*d) per-chunk suffstats feedback"),
     "ml/kmeans.py": (2, "seeded init sample; O(k*d) centroid frame per round"),
     "ml/metrics.py": (1, "O(k^2) contingency table for NMI"),
-    "plans/ml_queries.py": (1, "O(k*d) centroids per Lloyd round (documented production k-means shape)"),
+    "plans/ml_queries.py": (5, "O(k*d) centroids per Lloyd round (kmeans_lloyd_det); bfr_lloyd_det: K one-row farthest-point TakeOrdereds (2 head sites), O(k*d) init-Lloyd centroid collect, O(k*d) per-chunk moment folds — all bounded by k*d, never n"),
     "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),
     "plans/tpch_ext.py": (2, "per-returnflag counts (3 rows) for rank medians; q_asof_grouped hot-group gate: <= total/group_cap over-cap user ids (map-side-combined count agg, empty on production-shaped corpora)"),
     "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),

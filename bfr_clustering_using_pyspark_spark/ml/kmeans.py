@@ -25,8 +25,16 @@ from pyspark.sql import functions as F
 
 
 def mllib_kmeans(points: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
-                 features_col: str = "features") -> tuple[DataFrame, np.ndarray]:
+                 features_col: str = "features",
+                 n_seeds: int = 1) -> tuple[DataFrame, np.ndarray]:
     """MLlib KMeans over (id, features array<double>).
+
+    ``n_seeds`` mirrors sklearn's ``n_init`` (and the reference's
+    ``num_seeds = 10`` restart loop, /root/reference/code/
+    test_sklearn.py:16): fit once per seed ``seed+i`` and keep the
+    run with the lowest within-cluster SSE (``summary.trainingCost``
+    — the reference's ``get_inertia``, test_sklearn.py:50). Ties →
+    the lower seed, so the selection is deterministic.
 
     Returns (assignments DataFrame (id, cluster), centers ndarray).
     """
@@ -34,10 +42,45 @@ def mllib_kmeans(points: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
     from pyspark.ml.functions import array_to_vector
 
     vecs = points.withColumn("_vec", array_to_vector(F.col(features_col)))
-    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="_vec", predictionCol="cluster").fit(vecs)
-    assigned = model.transform(vecs).select("id", "cluster")
-    centers = np.array(model.clusterCenters())
+    # cache: n_seeds fits re-scan the same frame
+    if n_seeds > 1:
+        vecs = vecs.persist()
+    best_model, best_cost = None, None
+    for i in range(max(n_seeds, 1)):
+        model = KMeans(
+            k=k, maxIter=max_iter, seed=seed + i, featuresCol="_vec", predictionCol="cluster"
+        ).fit(vecs)
+        cost = model.summary.trainingCost
+        if best_cost is None or cost < best_cost:
+            best_model, best_cost = model, cost
+    assigned = best_model.transform(vecs).select("id", "cluster")
+    centers = np.array(best_model.clusterCenters())
+    if n_seeds > 1:
+        vecs.unpersist()
     return assigned, centers
+
+
+def get_inertia(points: DataFrame, centers: np.ndarray,
+                features_col: str = "features") -> float:
+    """Within-cluster SSE of ``points`` against ``centers`` —
+    distributed parity of reference ``get_inertia``
+    (/root/reference/code/test_sklearn.py:50). One Arrow-batched
+    mapInPandas pass emitting ONE partial sum per batch; the driver
+    collect is O(num_batches)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = centers
+        c_sq = (c**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pts = np.stack(pdf[features_col].to_numpy())
+            d2 = (pts**2).sum(axis=1)[:, None] - 2.0 * pts @ c.T + c_sq[None, :]
+            yield pd.DataFrame({"sse": [float(np.maximum(d2.min(axis=1), 0.0).sum())]})
+
+    partials = points.select(features_col).mapInPandas(fn, schema="sse double")
+    row = partials.agg(F.sum("sse").alias("sse")).head()
+    return float(row["sse"] or 0.0)
 
 
 def _assign_and_partials(centers: np.ndarray):
@@ -64,16 +107,35 @@ def _assign_and_partials(centers: np.ndarray):
 
 
 def dataframe_kmeans(points: DataFrame, k: int, n_iterations: int = 5, seed: int = 42,
-                     sample_cap: int = 100_000) -> tuple[DataFrame, np.ndarray]:
+                     sample_cap: int = 100_000,
+                     n_seeds: int = 1) -> tuple[DataFrame, np.ndarray]:
     """DataFrame-native Lloyd's with the reference's semantics
     (farthest-point init — ref bfr.py:18-40; fixed iterations with
     empty-cluster carry-over — ref bfr.py:60-90).
+
+    ``n_seeds > 1`` restarts the whole fit with seeds ``seed+i`` and
+    keeps the run with the lowest inertia (reference restart loop,
+    test_sklearn.py:16/:50; ties → lower seed — deterministic).
 
     Init runs on a driver-side sample capped at ``sample_cap``;
     iterations are fully distributed: broadcast centers → one
     mapInPandas pass emitting per-batch partial sums → tiny collect
     (num_batches × k rows) → NumPy center update.
     """
+    if n_seeds > 1:
+        cached = points.persist()
+        best = None
+        for i in range(n_seeds):
+            assigned, centers = dataframe_kmeans(
+                cached, k, n_iterations=n_iterations, seed=seed + i,
+                sample_cap=sample_cap, n_seeds=1,
+            )
+            sse = get_inertia(cached, centers)
+            if best is None or sse < best[0]:
+                best = (sse, assigned, centers)
+        cached.unpersist()
+        return best[1], best[2]
+
     from .local_kmeans import LocalKMeans
 
     spark = points.sparkSession

@@ -509,8 +509,13 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side's partition count, and a single-file scan would
     run the whole O(n²·d) fold on ONE core (r10 sf1 catch: 20k
     vectors in one task ground for >20 min; spread, the same work is
-    32-way). Hash-safe: the 1e-6-unit integer sums below are
-    partition-order-independent."""
+    32-way). Hash-safe TWICE over (r13): coordinates are quantized
+    to 1e-4 integer units FIRST, so every pairwise squared distance
+    is an EXACT BIGINT (≤ ~7e9 « 2^53) — summation-order-free, and
+    sqrt(exact int)/1e4 is the same correctly-rounded double in any
+    engine. This is also what makes the sf1 scalable replay a plain
+    BLAS matmul (tools/scalable_oracles.py) instead of a 484-second
+    per-dim fold: exact integers need no fold-order discipline."""
     emb = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < min(par, 8):
@@ -518,17 +523,21 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000.0).cast("long")
+        ).alias("xi"),
     )
     other = base.select(
-        F.col("vec_id").alias("o_id"), F.col("label").alias("o_label"), F.col("v").alias("o_v")
+        F.col("vec_id").alias("o_id"), F.col("label").alias("o_label"), F.col("xi").alias("o_xi")
     )
-    d2 = F.aggregate(
-        F.zip_with("v", "o_v", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    d2i = F.aggregate(
+        F.zip_with("xi", "o_xi", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
     pair = (
         base.join(F.broadcast(other), F.col("vec_id") != F.col("o_id"))
-        .select("vec_id", "label", "o_label", F.sqrt(d2).alias("d"))
+        .select("vec_id", "label", "o_label", (F.sqrt(d2i.cast("double")) / 10000.0).alias("d"))
     )
     # Integer 1e-6-unit distance sums: every avg/min/ratio downstream
     # is then a deterministic function of exact BIGINTs (plain double
@@ -565,11 +574,12 @@ def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SILHOUETTE_EVAL_SQL = """
 WITH base AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS xi
   FROM embeddings
 ), pair AS (
   SELECT p.vec_id, p.label, q.label AS o_label,
-         sqrt(list_sum(list_transform(list_zip(p.v, q.v), t -> (t[1] - t[2]) * (t[1] - t[2])))) AS d
+         sqrt(CAST(list_sum(list_transform(list_zip(p.xi, q.xi), t -> (t[1] - t[2]) * (t[1] - t[2]))) AS DOUBLE)) / 1e4 AS d
   FROM base p JOIN base q ON p.vec_id <> q.vec_id
 ), per_cluster AS (
   SELECT vec_id, label, o_label,
@@ -648,8 +658,24 @@ def kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-sized shuffle beyond the dim explode, no RNG, no heap
     buffering. Clusters that empty out drop from the candidate set
     that round on both engines."""
+    pts, assign, _ = _kdet_iterate(spark, sf_dir)
+    result = (
+        pts.withColumn("cluster", assign)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pts.unpersist()
+    return result
+
+
+def _kdet_iterate(spark: SparkSession, sf_dir: str):
+    """The shared KDET Lloyd loop: returns (persisted pts, final
+    assignment expr, the centroid dict that produced it). Callers
+    unpersist pts after materializing."""
     pts = _kdet_points(spark, sf_dir).persist()
     assign = (F.col("vec_id") % KDET_K).cast("int")
+    cents: dict[int, list[float]] = {}
     for _ in range(KDET_ITERS):
         cur = pts.withColumn("cluster", assign)
         # wide 64-column partial aggregation — one map-side-combined
@@ -664,20 +690,83 @@ def kmeans_lloyd_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        cents: dict[int, list[float]] = {}
+        cents = {}
         for r in stats:
             cents[r["cluster"]] = [
                 r[f"s{i}"] / r["n"] / KDET_SCALE for i in range(KDET_DIMS)
             ]
         assign = _kdet_assign_expr(cents)
+    return pts, assign, cents
+
+
+KINERTIA_SCALE = 1_000_000.0  # 1e-6 fixed-point inertia units
+
+
+def kmeans_inertia_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster within-cluster SSE (inertia) of the deterministic
+    Lloyd's fit — the reference's model-selection criterion
+    (``/root/reference/code/test_sklearn.py:50`` ``get_inertia``;
+    sklearn picks best-of-``num_seeds`` by this, :16). Hash-exact:
+    each point's squared distance to its (argmin) centroid is the
+    SAME correctly-rounded double in both engines, and the per-
+    cluster sum is taken over int64 1e-6 fixed-point units (order-
+    free). Returns (cluster, n_points, inertia).
+
+    Scale: one extra map-side-combined aggregation over the KDET
+    loop — no new shuffle shape."""
+    pts, assign, cents = _kdet_iterate(spark, sf_dir)
+    ids = sorted(cents)
+    carr = F.array(*[F.array(*[F.lit(v) for v in cents[c]]) for c in ids])
+    d2s = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(
+                "xi",
+                c,
+                lambda x, cc: (x / F.lit(KDET_SCALE) - cc) * (x / F.lit(KDET_SCALE) - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # distance to the OWN centroid == the argmin distance (assignment
+    # is argmin over the same candidate expression)
+    d2_own = F.array_min(d2s)
     result = (
-        pts.withColumn("cluster", assign)
-        .select("vec_id", "cluster")
-        .orderBy("vec_id")
+        pts.select(assign.alias("cluster"), d2_own.alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.sum(F.round(F.col("d2") * KINERTIA_SCALE).cast("long")) / KINERTIA_SCALE
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
         .localCheckpoint(eager=True)
     )
     pts.unpersist()
     return result
+
+
+def _kinertia_oracle_sql() -> str:
+    """KDET rounds (shared prefix) + dist-to-own-centroid fixed-point
+    per-cluster sum."""
+    base = _kdet_oracle_sql()
+    tail = f"""
+SELECT vec_id, cluster FROM a{KDET_ITERS} ORDER BY vec_id"""
+    assert base.endswith(tail)
+    return (
+        base[: -len(tail)]
+        + f"""
+SELECT a.cluster, count(*) AS n_points,
+       sum(CAST(round(list_sum(list_transform(list_zip(a.xi, k.c),
+         q -> (q[1] / {KDET_SCALE} - q[2]) * (q[1] / {KDET_SCALE} - q[2]))) * {KINERTIA_SCALE}) AS BIGINT)) / {KINERTIA_SCALE} AS inertia
+FROM a{KDET_ITERS} a JOIN c{KDET_ITERS} k USING (cluster)
+GROUP BY a.cluster ORDER BY a.cluster"""
+    )
+
+
+
 
 
 def _kdet_oracle_sql() -> str:
@@ -717,6 +806,7 @@ SELECT vec_id, cluster FROM a{KDET_ITERS} ORDER BY vec_id"""
 
 
 KMEANS_LLOYD_DET_SQL = _kdet_oracle_sql()
+KMEANS_INERTIA_EVAL_SQL = _kinertia_oracle_sql()
 
 
 # ----------------------------------------------------------------- #
@@ -1030,6 +1120,7 @@ QUERIES = {
     "bfr_fit": bfr_fit,
     "kmeans_fit": kmeans_fit,
     "kmeans_lloyd_det": kmeans_lloyd_det,
+    "kmeans_inertia_eval": kmeans_inertia_eval,
     "bfr_lloyd_det": bfr_lloyd_det,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
@@ -1045,6 +1136,7 @@ ORACLES = {
     "mahalanobis_assign": MAHALANOBIS_ASSIGN_SQL,
     "nmi_eval": NMI_EVAL_SQL,
     "kmeans_lloyd_det": KMEANS_LLOYD_DET_SQL,
+    "kmeans_inertia_eval": KMEANS_INERTIA_EVAL_SQL,
     "bfr_lloyd_det": BFR_LLOYD_DET_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,

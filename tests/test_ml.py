@@ -210,3 +210,46 @@ def test_ch_index_matches_numpy(spark):
     assert r["n_points"] == n and r["k"] == k
     assert abs(r["ch_index"] - ch) < 2e-4  # fixed-point at 1e-4
     assert abs(r["ssw"] * 1e6 - ssw) / ssw < 1e-6
+
+
+class TestMultiSeedRestart:
+    """Reference restart-selection parity (test_sklearn.py:16
+    num_seeds, :50 get_inertia): best-of-N by inertia, deterministic."""
+
+    def test_get_inertia_matches_numpy(self, spark):
+        from bfr_clustering_using_pyspark_spark.ml.kmeans import get_inertia
+
+        X, y = make_blobs(n=500, k=4, d=8)
+        centers = np.stack([X[y == c].mean(axis=0) for c in range(4)])
+        want = float(
+            np.min(
+                ((X[:, None, :] - centers[None]) ** 2).sum(axis=2), axis=1
+            ).sum()
+        )
+        got = get_inertia(to_df(spark, X, y), centers)
+        assert abs(got - want) / want < 1e-9
+
+    def test_multiseed_is_deterministic_and_never_worse(self, spark):
+        from bfr_clustering_using_pyspark_spark.ml.kmeans import get_inertia
+
+        X, y = make_blobs(n=800, k=6, d=8, seed=3)
+        df = to_df(spark, X, y).persist()
+        _, c1a = dataframe_kmeans(df, k=6, n_iterations=3, seed=11, n_seeds=3)
+        _, c1b = dataframe_kmeans(df, k=6, n_iterations=3, seed=11, n_seeds=3)
+        assert np.array_equal(c1a, c1b)  # same seeds → same selection
+        single = min(
+            get_inertia(df, dataframe_kmeans(df, k=6, n_iterations=3, seed=11 + i)[1])
+            for i in range(3)
+        )
+        multi = get_inertia(df, c1a)
+        assert multi <= single + 1e-6  # best-of-3 == min over the 3 runs
+        df.unpersist()
+
+    def test_mllib_multiseed_never_worse(self, spark):
+        X, y = make_blobs(n=600, k=5, d=8, seed=9)
+        df = to_df(spark, X, y)
+        from bfr_clustering_using_pyspark_spark.ml.kmeans import get_inertia
+
+        _, c_multi = mllib_kmeans(df, k=5, max_iter=5, seed=2, n_seeds=3)
+        _, c_single = mllib_kmeans(df, k=5, max_iter=5, seed=2, n_seeds=1)
+        assert get_inertia(df, c_multi) <= get_inertia(df, c_single) + 1e-6

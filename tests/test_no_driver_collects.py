@@ -27,7 +27,7 @@ WHITELIST = {
     "cli.py": (1, "reference output contract: point->cluster JSON map (bfr.py:453-468 parity)"),
     "sources/sinks.py": (1, "same reference output contract, library face"),
     "ml/bfr.py": (4, "1-row id-range agg; 1-row dim probe; seeded init sample; O(k*d) per-chunk suffstats feedback"),
-    "ml/kmeans.py": (2, "seeded init sample; O(k*d) centroid frame per round"),
+    "ml/kmeans.py": (3, "seeded init sample; O(k*d) centroid frame per round; O(num_batches) inertia partial-sum fold (get_inertia)"),
     "ml/metrics.py": (1, "O(k^2) contingency table for NMI"),
     "plans/ml_queries.py": (5, "O(k*d) centroids per Lloyd round (kmeans_lloyd_det); bfr_lloyd_det: K one-row farthest-point TakeOrdereds (2 head sites), O(k*d) init-Lloyd centroid collect, O(k*d) per-chunk moment folds — all bounded by k*d, never n"),
     "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),

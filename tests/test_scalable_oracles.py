@@ -114,3 +114,67 @@ def test_seq_pack_fold_equals_recursive_cte(seed):
     cols, rows = _seq_pack_rows(con)
     rec = con.sql(SEQ_PACK_SQL).fetchall()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rec))
+
+
+# ------------------------------------------------------ r13 variants
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_bloom_inverted_equals_quadratic(seed):
+    """The distinct-key inverted bloom oracle must equal the
+    per-order list_has_all original on randomized customer/orders
+    corpora (keys chosen so some collide into set buckets → real
+    false positives)."""
+    from scalable_oracles import _bloom_inverted_sql
+    from bfr_clustering_using_pyspark_spark.operators.sketches import (
+        Q_BLOOM_FILTER_JOIN_SQL,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_cust = 400
+    custkeys = np.arange(1, n_cust + 1, dtype=np.int64)
+    segs = rng.choice(
+        ["AUTOMOBILE", "BUILDING", "MACHINERY"], size=n_cust, p=[0.3, 0.4, 0.3]
+    )
+    customer = pd.DataFrame({"c_custkey": custkeys, "c_mktsegment": segs})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 2001, dtype=np.int64),
+            "o_custkey": rng.choice(custkeys, size=2000),
+        }
+    )
+    con = duckdb.connect()
+    con.register("customer", customer)
+    con.register("orders", orders)
+    a = con.execute(Q_BLOOM_FILTER_JOIN_SQL).fetchall()
+    b = con.execute(_bloom_inverted_sql()).fetchall()
+    assert a == b
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_silhouette_blas_replay_equals_sql(seed):
+    """The exact-integer BLAS replay must equal the pair-join SQL
+    oracle bit-for-bit on randomized labeled embeddings (including
+    near-tie b-vs-a configurations)."""
+    from scalable_oracles import _silhouette_rows
+    from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+        SILHOUETTE_EVAL_SQL,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d, k = 150, 16, 4
+    labels = rng.integers(0, k, size=n)
+    X = rng.normal(0, 0.3, size=(n, d)) + labels[:, None] * 0.05
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+            "label": labels.astype(np.int32),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    want = [tuple(r) for r in con.execute(SILHOUETTE_EVAL_SQL).fetchall()]
+    cols, got = _silhouette_rows(con)
+    assert cols == ["label", "n_points", "mean_silhouette"]
+    assert [tuple(r) for r in got] == want

@@ -145,6 +145,59 @@ def _seq_pack_rows(con) -> tuple[list[str], list[tuple]]:
     return cols, sorted(out)
 
 
+# ------------------------------------------------------- bloom (inverted)
+
+
+def _bloom_inverted_sql() -> str:
+    """Scalable q_bloom_filter_join oracle: probe each DISTINCT
+    o_custkey once (the per-order formulation hashes + list_has_all's
+    every ORDER row — 728 s at sf1), decide bloom_pass via an
+    equi-join on bit (a key passes iff ALL of its distinct hash bits
+    are set), then fan the per-key verdict back onto orders with one
+    join. Same values as Q_BLOOM_FILTER_JOIN_SQL by construction:
+    list_has_all(bits, hashes) ≡ count(distinct hash bits ∩ bits) =
+    count(distinct hash bits)."""
+    from bfr_clustering_using_pyspark_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        _md5_bucket_sql,
+    )
+
+    build_bits = " UNION ALL ".join(
+        f"SELECT {_md5_bucket_sql('CAST(c_custkey AS VARCHAR)', s, BLOOM_M)} AS bit FROM build"
+        for s in range(BLOOM_K)
+    )
+    probe_hashes = ", ".join(
+        _md5_bucket_sql("CAST(o_custkey AS VARCHAR)", s, BLOOM_M) for s in range(BLOOM_K)
+    )
+    return f"""
+WITH build AS MATERIALIZED (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+), bits AS MATERIALIZED (
+  SELECT DISTINCT bit FROM ({build_bits})
+), pk AS MATERIALIZED (
+  SELECT DISTINCT o_custkey FROM orders
+), kh AS MATERIALIZED (
+  SELECT o_custkey, unnest(list_distinct([{probe_hashes}])) AS bit FROM pk
+), khn AS (
+  SELECT o_custkey, count(*) AS nb FROM kh GROUP BY 1
+), hit AS (
+  SELECT k.o_custkey, count(*) AS nhit FROM kh k JOIN bits b USING (bit) GROUP BY 1
+), keyverdict AS MATERIALIZED (
+  SELECT n.o_custkey,
+         CASE WHEN coalesce(h.nhit, 0) = n.nb AND b.c_custkey IS NOT NULL THEN 'true_positive'
+              WHEN coalesce(h.nhit, 0) = n.nb THEN 'false_positive'
+              ELSE 'rejected' END AS verdict
+  FROM khn n
+  LEFT JOIN hit h USING (o_custkey)
+  LEFT JOIN build b ON n.o_custkey = b.c_custkey
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN keyverdict kv USING (o_custkey)
+GROUP BY 1 ORDER BY verdict
+"""
+
+
 # ------------------------------------------------------------- silhouette
 
 
@@ -154,19 +207,25 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
-def _silhouette_rows(con, block: int = 2048) -> tuple[list[str], list[tuple]]:
-    """Blocked numpy replay of the exact pairwise silhouette. The
-    distance fold accumulates PER DIM in order (acc += (x_d - y_d)^2)
-    — the same left-fold sequence as Spark's F.aggregate/zip_with and
-    DuckDB's list_sum — so the float64 results are bit-identical, and
-    the 1e-6-unit half-up integer quantization downstream is safe."""
+def _silhouette_rows(con, block: int = 4096) -> tuple[list[str], list[tuple]]:
+    """Blocked numpy replay of the exact pairwise silhouette.
+
+    Since r13 the engine quantizes coordinates to 1e-4 INTEGER units
+    before the distance, so every pairwise squared distance is an
+    exact BIGINT (≤ ~7e9 « 2^53). Exact integers represented in
+    float64 stay exact through ‖a‖² + ‖b‖² − 2a·b — including inside
+    a BLAS dgemm, whose reassociation only ever reorders EXACT
+    additions — so the replay is one matmul per block (seconds at
+    sf1) instead of the old per-dim left fold (484 s at sf1), with
+    bit-identical results."""
     data = con.sql(
-        "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "SELECT vec_id, label,"
+        " list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS xi"
         " FROM embeddings ORDER BY vec_id"
     ).fetchall()
     vec_ids = np.array([r[0] for r in data], dtype=np.int64)
     labels = np.array([r[1] for r in data], dtype=np.int64)
-    X = np.array([r[2] for r in data], dtype=np.float64)
+    X = np.array([r[2] for r in data], dtype=np.float64)  # int-valued, exact
     n, d = X.shape
     uniq = np.sort(np.unique(labels))
     lab_index = {int(l): i for i, l in enumerate(uniq)}
@@ -177,19 +236,16 @@ def _silhouette_rows(con, block: int = 2048) -> tuple[list[str], list[tuple]]:
     bounds = np.searchsorted(labs_sorted, np.arange(len(uniq) + 1))
     counts = np.diff(bounds)  # points per label
 
+    norms_s = (Xs * Xs).sum(axis=1)  # exact: ≤ 64·(1.1e4)² ≈ 7e9
     a_vals = np.empty(n)
     b_vals = np.empty(n)
-    tmp = np.empty((block, n))
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         B = X[lo:hi]
-        acc = np.zeros((hi - lo, n))
-        t = tmp[: hi - lo]
-        for k in range(d):  # exact left fold over dims, in-place
-            np.subtract(B[:, k, None], Xs[None, :, k], out=t)
-            np.multiply(t, t, out=t)
-            acc += t
-        units = _round_half_away(np.sqrt(acc) * 1e6).astype(np.int64)
+        nb = (B * B).sum(axis=1)
+        acc = nb[:, None] + norms_s[None, :] - 2.0 * (B @ Xs.T)  # exact ints
+        np.maximum(acc, 0.0, out=acc)  # guard the exact-0 diagonal
+        units = _round_half_away(np.sqrt(acc) / 1e4 * 1e6).astype(np.int64)
         # grouped sums per o_label (columns are label-sorted)
         sums = np.add.reduceat(units, bounds[:-1], axis=1)
         cnts = counts[None, :].astype(np.float64).repeat(hi - lo, axis=0)
@@ -238,6 +294,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
     n_lists = _n_ivf_lists(n_emb)
     ivf_sql = _ivf_partitioned_oracle_sql(n_lists)
     return {
+        "q_bloom_filter_join": _bloom_inverted_sql(),
         "dedup_minhash_lsh": DEDUP_MINHASH_LSH_INVERTED_SQL,
         "dedup_components": _components_rows,
         "stream_components": _components_rows,

@@ -512,14 +512,219 @@ WHERE rank <= {RRF_TOP_K} ORDER BY q_id, rank
 """
 
 
+# ----------------------------------------------------- conjunctive BM25
+
+# Multi-term AND queries over the MID-df band (the top-8 terms
+# text_bm25 queries are near-stopwords on any real corpus — r12
+# verdict item 4): terms at df ranks CONJ_BAND_START..+Q·T−1 (df
+# desc, term asc — deterministic, replayed by the oracle), grouped
+# 3-per-query. A doc matches iff it contains ALL of the query's
+# terms; its score is the SUM of the per-term BM25 scores, summed in
+# int64 1e-6 units so the 3-term addition is order-free.
+CONJ_BAND_START = 9   # 1-based df rank where the band begins
+CONJ_QUERIES = 6
+CONJ_TERMS = 3        # AND semantics over 3 terms per query
+CONJ_TOP_K = 10
+CONJ_UNIT = 1_000_000.0
+
+
+def _conj_parts(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for text_bm25_conj / retrieval_conj_eval:
+    (qterms frame, per-(query,doc) matched-count + int-unit score
+    frame). qterms is 18 rows (broadcast); scoring touches only the
+    postings of band terms (inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = _bm25_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot_tokens = dl.agg(F.sum("dl")).first()[0]
+    avgdl = float(tot_tokens) / float(n_docs) if tot_tokens else 1.0
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    band_n = CONJ_BAND_START - 1 + CONJ_QUERIES * CONJ_TERMS
+    # TakeOrderedAndProject bounds the frame to band_n rows; the
+    # unpartitioned rank below therefore runs over <= 27 rows
+    # (GLOBAL_WINDOW_OK in the plan audit), never the vocabulary
+    band = df_.orderBy(F.desc("df"), "term").limit(band_n)
+    wq = W.orderBy(F.desc("df"), "term")
+    qterms = (
+        band.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") >= CONJ_BAND_START)
+        .select(
+            ((F.col("qrank") - CONJ_BAND_START) / CONJ_TERMS)
+            .cast("int")
+            .alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    u = F.round(
+        idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom * F.lit(CONJ_UNIT)
+    ).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", u.alias("u"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("matched"), F.sum("u").alias("su"))
+    )
+    return qterms, per_doc
+
+
+def text_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25: top-10 docs per multi-term mid-df
+    query — the realistic retrieval shape (multi-word queries over
+    non-stopword terms). Returns (query_id, doc_id, score, rank)."""
+    _, per_doc = _conj_parts(spark, sf_dir)
+    conj = per_doc.filter(F.col("matched") == CONJ_TERMS).select(
+        "query_id", "doc_id", (F.col("su") / CONJ_UNIT).alias("score")
+    )
+    return (
+        _salted_topk(conj, "query_id", "score", "doc_id", CONJ_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def retrieval_conj_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the conjunctive (AND) ranking against the
+    disjunctive (OR, same terms / same scores, no all-terms filter)
+    ranking as reference: per query n_conj (AND matches ranked, ≤
+    10), n_hits = |AND∩OR top-10|, recall_at_10, mrr = 1/(smallest
+    AND rank holding an OR-top-10 member). Integer-rank rationals —
+    cross-engine agreement is structural. Empty-conjunction queries
+    still report a row (left join from the 0..Q−1 query-id spine)."""
+    qterms, per_doc = _conj_parts(spark, sf_dir)
+    # four consumers below (conj topk ×2 windows, disj topk ×2) —
+    # materialize the scored frame once (executor-side, O(matched
+    # postings) rows) instead of replaying the tokenize+join lineage
+    per_doc = per_doc.localCheckpoint(eager=True)
+    conj = per_doc.filter(F.col("matched") == CONJ_TERMS).select(
+        "query_id", "doc_id", (F.col("su") / CONJ_UNIT).alias("score")
+    )
+    conj_ranked = _salted_topk(conj, "query_id", "score", "doc_id", CONJ_TOP_K).select(
+        "query_id", "doc_id", F.col("rank").alias("r_conj")
+    )
+    disj = per_doc.select(
+        "query_id", "doc_id", (F.col("su") / CONJ_UNIT).alias("score")
+    )
+    disj_ranked = _salted_topk(disj, "query_id", "score", "doc_id", CONJ_TOP_K).select(
+        "query_id", "doc_id"
+    )
+    hits = (
+        conj_ranked.join(disj_ranked, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"), F.min("r_conj").alias("first_rel"))
+    )
+    n_conj = conj_ranked.groupBy("query_id").agg(F.count("*").alias("n_conj"))
+    spine = qterms.select("query_id").distinct()
+    return (
+        spine.join(n_conj, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_conj"), F.lit(0)).cast("long").alias("n_conj"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(CONJ_TOP_K)), 4
+            ).alias("recall_at_10"),
+            F.round(F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _conj_ctes() -> str:
+    """Shared DuckDB CTE text for the conjunctive family (both
+    oracles splice it, so engine and eval cannot drift)."""
+    band_n = CONJ_BAND_START - 1 + CONJ_QUERIES * CONJ_TERMS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1e0 / (SELECT count(*) FROM documents) AS avgdl
+), df_ AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qterms AS MATERIALIZED (
+  -- floor, not CAST: DuckDB CAST(double AS INT) rounds half-up
+  -- while Spark's cast truncates — floor matches for these
+  -- nonnegative ranks
+  SELECT CAST(floor((qrank - {CONJ_BAND_START}) * 1e0 / {CONJ_TERMS}) AS INT) AS query_id, term, df
+  FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qrank FROM df_
+  ) WHERE qrank >= {CONJ_BAND_START} AND qrank <= {band_n}
+), per_doc AS MATERIALIZED (
+  SELECT query_id, doc_id, count(*) AS matched, sum(u) AS su FROM (
+    SELECT q.query_id, t.doc_id,
+           CAST(round(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * t.tf * {BM25_K1 + 1.0}
+                 / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * d.dl / s.avgdl))
+                 * {CONJ_UNIT}) AS BIGINT) AS u
+    FROM tf t JOIN qterms q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+  ) GROUP BY query_id, doc_id
+), conj_ranked AS MATERIALIZED (
+  SELECT query_id, doc_id, su / {CONJ_UNIT} AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rank
+  FROM per_doc WHERE matched = {CONJ_TERMS}
+)"""
+
+
+TEXT_BM25_CONJ_SQL = f"""{_conj_ctes()}
+SELECT query_id, doc_id, score, rank FROM conj_ranked
+WHERE rank <= {CONJ_TOP_K} ORDER BY query_id, rank
+"""
+
+
+RETRIEVAL_CONJ_EVAL_SQL = f"""{_conj_ctes()},
+disj_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rank
+  FROM per_doc
+), c AS (SELECT query_id, doc_id, rank AS r_conj FROM conj_ranked WHERE rank <= {CONJ_TOP_K}),
+o AS (SELECT query_id, doc_id FROM disj_ranked WHERE rank <= {CONJ_TOP_K}),
+hits AS (
+  SELECT c.query_id, count(*) AS n_hits, min(c.r_conj) AS first_rel
+  FROM c JOIN o ON c.query_id = o.query_id AND c.doc_id = o.doc_id
+  GROUP BY c.query_id
+), nconj AS (
+  SELECT query_id, count(*) AS n_conj FROM c GROUP BY query_id
+), spine AS (SELECT DISTINCT query_id FROM qterms)
+SELECT s.query_id,
+       CAST(coalesce(nc.n_conj, 0) AS BIGINT) AS n_conj,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(CONJ_TOP_K)}, 4) AS recall_at_10,
+       round(coalesce(1.0 / h.first_rel, 0.0), 6) AS mrr
+FROM spine s LEFT JOIN nconj nc USING (query_id) LEFT JOIN hits h ON s.query_id = h.query_id
+ORDER BY s.query_id
+"""
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "q_hybrid_rrf": q_hybrid_rrf,
     "retrieval_eval": retrieval_eval,
+    "text_bm25_conj": text_bm25_conj,
+    "retrieval_conj_eval": retrieval_conj_eval,
 }
 
 ORACLES = {
     "text_bm25": TEXT_BM25_SQL,
     "q_hybrid_rrf": Q_HYBRID_RRF_SQL,
     "retrieval_eval": RETRIEVAL_EVAL_SQL,
+    "text_bm25_conj": TEXT_BM25_CONJ_SQL,
+    "retrieval_conj_eval": RETRIEVAL_CONJ_EVAL_SQL,
 }

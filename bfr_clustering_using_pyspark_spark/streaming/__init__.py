@@ -25,10 +25,12 @@ from .events_stream import (
     stream_stream_join,
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
+from ..operators.similarity import ANN_IVF_PARTITIONED_SQL
 from .docs_stream import (
     STREAM_COUNTMIN_SQL,
     STREAM_QUALITY_FILTER_SQL,
     STREAM_TOKEN_STATS_SQL,
+    stream_ann_index,
     stream_components,
     stream_countmin,
     stream_quality_filter,
@@ -37,6 +39,7 @@ from .docs_stream import (
 
 QUERIES = {
     "stream_countmin": stream_countmin,
+    "stream_ann_index": stream_ann_index,
     "stream_components": stream_components,
     "stream_quality_filter": stream_quality_filter,
     "stream_token_stats": stream_token_stats,
@@ -57,6 +60,10 @@ ORACLES: dict[str, str] = {
     # CMS merge is exact (commutative integer sums), so the drained
     # sketch equals the batch sketch over the same corpus
     "stream_countmin": STREAM_COUNTMIN_SQL,
+    # the quantizer is deterministic and fixed at setup, so the
+    # drained list-partitioned index is row-identical to the batch
+    # layout — same oracle as ann_ivf_partitioned
+    "stream_ann_index": ANN_IVF_PARTITIONED_SQL,
     # incremental discovery is exhaustive over band collisions, so the
     # drained labelling equals batch dedup_components — same oracle
     "stream_components": DEDUP_COMPONENTS_SQL,

@@ -482,6 +482,142 @@ def stream_components(
         )
 
 
+def _chunked_emb_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Chunked embeddings source for the ANN index stream — same
+    fixture contract as ``_chunked_docs_cached``."""
+    from ..sources.fixtures import ensure_fixture
+
+    def stage(d: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb.repartition(n_chunks).write.mode("overwrite").parquet(d)
+
+    return ensure_fixture(
+        spark, "streamann_src", sf_dir, "embeddings.parquet", f"chunks={n_chunks}", stage
+    )
+
+
+def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming IVF index maintenance — the streaming face of
+    ``ann_ivf_partitioned`` (operators/similarity.py), closing the
+    one LLM-pipeline family that had no streaming operator: vectors
+    arrive as a chunked file stream and every micro-batch
+
+    1. assigns the NEW vectors to their inverted list with the same
+       deterministic md5 coarse quantizer the batch layout uses
+       (one map-side JVM fold — no shuffle, no Python), and
+    2. appends them to ONE (batch, list_id)-partitioned parquet
+       index under dynamic partition overwrite — a foreachBatch
+       retry rewrites exactly its own batch=N partitions, so replay
+       is idempotent; a production swap writes Delta/Iceberg MERGE
+       into one partitioned table.
+
+    The quantizer is sized ONCE at stream setup from the expected
+    corpus volume (a deployment config — a streaming index cannot
+    resize its cell grid per batch), so assignment is stable across
+    batches and the drained index is row-identical to the
+    batch-built layout. After the AvailableNow drain the standard
+    probe query (bounded query set, N_PROBE nearest lists, partition
+    pruning on ``list_id``) runs against the ACCUMULATED index —
+    drained ≡ batch-built, so the result hash-matches
+    ``ann_ivf_partitioned``'s own oracle."""
+    from ..operators.similarity import (
+        N_PROBE,
+        TOP_K,
+        _bounded_query_filter,
+        _centroid_rank_expr,
+        _n_ivf_lists,
+        _with_list_id,
+    )
+    from pyspark.sql import Window as W
+
+    src = _chunked_emb_cached(spark, sf_dir, n_chunks)
+    # quantizer sizing = deployment config: expected volume is known
+    # to the index owner before the stream starts (metadata count of
+    # the staged source — NOT read per batch)
+    n_lists = _n_ivf_lists(spark.read.parquet(src).count())
+
+    with tempfile.TemporaryDirectory(prefix="streamann_") as tmp:
+        idx_path = f"{tmp}/index"
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            n_part = max(sp.sparkContext.defaultParallelism, 8)
+            v = F.transform("embedding", lambda x: x.cast("double"))
+            nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+            base = batch_df.repartition(n_part, "vec_id").select(
+                "vec_id", v.alias("v"), nrm.alias("nrm")
+            )
+            listed = _with_list_id(base, _centroid_rank_expr("v", n_lists))
+            # dynamic overwrite: a retried batch rewrites ONLY its
+            # own batch=N partitions — idempotent replay with a
+            # single accumulating index root
+            prev_mode = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                listed.withColumn("batch", F.lit(batch_id)).write.mode(
+                    "overwrite"
+                ).partitionBy("batch", "list_id").parquet(idx_path)
+            finally:
+                sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        with scoped_shuffle_width(
+            spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+        ):
+            with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+                q = (
+                    spark.readStream.schema("vec_id long, embedding array<float>")
+                    .format("parquet")
+                    .option("maxFilesPerTrigger", 1)
+                    .load(src)
+                    .writeStream.foreachBatch(process)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        if not os.path.isdir(idx_path) or not os.listdir(idx_path):
+            return spark.createDataFrame(
+                [], "q_id long, vec_id long, cosine double, rank int"
+            )
+        index = spark.read.parquet(idx_path).drop("batch")
+
+        ranked_q = _centroid_rank_expr("v", n_lists)
+        queries = _bounded_query_filter(index).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.transform(F.slice(ranked_q, 1, N_PROBE), lambda s: s["j"])).alias(
+                "probe_list"
+            ),
+        )
+        # union of probed lists is bounded by n_lists values, never
+        # data size — collecting it drives the partition pruning
+        probe_ids = sorted(r[0] for r in queries.select("probe_list").distinct().collect())
+        data = index.filter(F.col("list_id").isin(probe_ids))
+        dot = F.aggregate(
+            F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        scored = data.join(
+            F.broadcast(queries),
+            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id",
+            "vec_id",
+            F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        # eager checkpoint pins the tiny top-k before the index
+        # tempdir is removed
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "vec_id", "cosine", "rank")
+            .orderBy("q_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+
+
 def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental count-min sketch maintenance over the document
     stream: each micro-batch contributes its own partial CMS cells

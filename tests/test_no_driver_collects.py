@@ -36,10 +36,10 @@ WHITELIST = {
     "operators/dedup.py": (3, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path); 1-row LSH_ORACLE_N guard agg (count+max over the persisted signature store, once per cache entry)"),
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
     "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
-    "operators/retrieval.py": (1, "1-row corpus token-total agg (BM25 avgdl scalar)"),
+    "operators/retrieval.py": (2, "two 1-row corpus token-total aggs (BM25 avgdl scalar; one per query-term family)"),
     "operators/bpe.py": (1, "O(1) top-pair row per merge round (TakeOrderedAndProject limit 1, <= R_MERGES rounds) — the kmeans_lloyd_det per-round driver-feedback contract"),
     "operators/multimodal.py": (1, "1-row max(n_chars) agg sizing the Arrow record cap to the payload byte budget"),
-    "streaming/docs_stream.py": (2, "CMS partial cells per batch (<= d*w counters); stream_components driver-tier fold: <=driver_gate pair rows per batch (counted before the collect; distributed incremental fold beyond the bounds)"),
+    "streaming/docs_stream.py": (3, "CMS partial cells per batch (<= d*w counters); stream_components driver-tier fold: <=driver_gate pair rows per batch (counted before the collect; distributed incremental fold beyond the bounds); stream_ann_index probe-list ids (<= n_lists values, drives partition pruning)"),
     "streaming/events_stream.py": (1, "8-bucket partial aggregates per batch"),
 }
 

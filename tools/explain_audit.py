@@ -166,6 +166,10 @@ GLOBAL_WINDOW_OK = {
     # (<= MAX_BUCKETS rows); the n-sized running sum is the separate
     # per-bucket-partitioned window above it
     "seq_pack_contig": "prefix offsets over the bucket-sums frame (<= MAX_BUCKETS rows)",
+    # the conjunctive-BM25 band rank: input is TakeOrderedAndProject-
+    # bounded to CONJ_BAND_START-1+Q*T (27) rows — never the vocabulary
+    "text_bm25_conj": "df-band rank over a limit-27 frame",
+    "retrieval_conj_eval": "df-band rank over a limit-27 frame",
 }
 
 # grouped-pandas keys where AQE collapsing the stage to one task is

@@ -52,7 +52,11 @@ LOAD5_GATE = 3.0  # ...and this 5-min loadavg (a momentary dip in
 # observed: gate passed at load1 1.09 / load5 5.91 and the record
 # came out 1.85x on byte-identical plans)
 LOAD_WAIT_SEC = 30  # between retries
-LOAD_MAX_WAITS = 10  # give up after ~5 min and record with a note
+# r12's official BENCH was recorded after a mere 5-min wait at
+# load5≈3.3 and came out 20% slower than the same-day quiet-host run
+# — wait up to ~20 min before conceding, and stamp load_gate_passed
+# so a loaded-host record is never mistaken for a regression
+LOAD_MAX_WAITS = 40
 
 
 def _load1() -> float:
@@ -71,7 +75,7 @@ def _load5() -> float:
         return -1.0
 
 
-def _wait_for_quiet_host() -> tuple[float, int]:
+def _wait_for_quiet_host() -> tuple[float, int, bool]:
     """BENCH_r08 was recorded at load1 4.1 on a box where local[32]
     wants every core — per-query times inflated ~1.5x on
     byte-identical plans. Wait (bounded) for a quiet window so the
@@ -89,7 +93,8 @@ def _wait_for_quiet_host() -> tuple[float, int]:
         )
         time.sleep(LOAD_WAIT_SEC)
         waits += 1
-    return _load1(), waits * LOAD_WAIT_SEC
+    passed = _load1() <= LOAD_GATE and _load5() <= LOAD5_GATE
+    return _load1(), waits * LOAD_WAIT_SEC, passed
 
 
 def main() -> None:
@@ -109,7 +114,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("OFF")
     qs = all_queries()
 
-    load_start, load_waited = _wait_for_quiet_host()
+    load_start, load_waited, load_gate_passed = _wait_for_quiet_host()
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -167,6 +172,10 @@ def main() -> None:
                 # run (LOAD_GATE); >0 with load1_start still above
                 # the gate means no clean window existed
                 "load_waited_sec": load_waited,
+                # False => the gate never opened and this record was
+                # taken on a LOADED host: treat per-query deltas as
+                # noise and prefer the round's quiet-host rerun
+                "load_gate_passed": load_gate_passed,
             }
         )
     )

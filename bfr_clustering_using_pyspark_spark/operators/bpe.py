@@ -77,7 +77,7 @@ _BPE_CACHE: dict[tuple, tuple] = {}
 _BPE_CACHE_MAX = 2
 
 
-def _bpe_fit(spark: SparkSession, sf_dir: str):
+def _bpe_fit(spark: SparkSession, sf_dir: str, n_merges: int = R_MERGES):
     """Fit R_MERGES BPE merges on the corpus's distinct-word table.
 
     Returns ``(wf, merges)`` where ``wf`` is the checkpointed frame
@@ -88,12 +88,12 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     import os
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.abspath(sf_dir),
+    key = (app_id, os.path.abspath(sf_dir), n_merges,
            _corpus_version(os.path.join(sf_dir, "documents.parquet")))
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in [k for k in _BPE_CACHE if k[0] != app_id or k[1] == key[1]]:
+    for k in [k for k in _BPE_CACHE if k[0] != app_id or (k[1] == key[1] and k[2] == n_merges)]:
         del _BPE_CACHE[k]
     while len(_BPE_CACHE) >= _BPE_CACHE_MAX:
         del _BPE_CACHE[next(iter(_BPE_CACHE))]
@@ -112,7 +112,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     )
     merges: list[tuple] = []
     sym = F.col("sym")
-    for rnd in range(1, R_MERGES + 1):
+    for rnd in range(1, n_merges + 1):
         # O(1) driver state per round: ONE (lhs, rhs, cnt) row via
         # TakeOrderedAndProject over the map-side-combined pair agg —
         # whitelisted in tests/test_no_driver_collects.py next to the
@@ -325,14 +325,45 @@ FROM toks GROUP BY token ORDER BY token
 )
 
 
+# Deep-merge face: realistic merge counts. R_MERGES=12 exists so the
+# oracle can UNROLL the rounds in SQL; a production tokenizer runs
+# hundreds-to-thousands of the SAME loop. R_DEEP caps the rounds —
+# training terminates earlier on its own when no adjacent pair is
+# left (every word fully merged), which the gate corpora reach well
+# under the cap; the near-flat scale curvature (rounds bounded by
+# vocab, not corpus) is the point of this face.
+R_DEEP = 400
+
+
+def text_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at a REALISTIC merge depth (up to ``R_DEEP``
+    rounds; stops when the pair table empties): the scale face of
+    ``text_bpe_train``, whose 12 rounds exist only to keep the
+    unrolled SQL oracle tractable. Rows-only (an unrolled oracle at
+    this depth is intractable by construction) — pinned instead by
+    conservation/monotonicity/termination property tests
+    (tests/test_bpe.py) and the scale probe. Same per-round cost
+    contract: one map-side-combined pair aggregation over the
+    Zipf-bounded distinct-word table + a top-1 TakeOrdered; driver
+    state O(rounds)."""
+    _wf, merges = _bpe_fit(spark, sf_dir, n_merges=R_DEEP)
+    return spark.createDataFrame(
+        merges, "merge_round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    ).orderBy("merge_round")
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
     "text_bpe_vocab": text_bpe_vocab,
+    "text_bpe_train_deep": text_bpe_train_deep,
 }
 
 ORACLES = {
     "text_bpe_train": TEXT_BPE_TRAIN_SQL,
     "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
     "text_bpe_vocab": TEXT_BPE_VOCAB_SQL,
+    # text_bpe_train_deep: intentionally no oracle (rows-only) — an
+    # unrolled CTE per merge round at R_DEEP depth is intractable;
+    # the key is pinned by property tests + determinism instead
 }

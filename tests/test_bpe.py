@@ -135,3 +135,59 @@ def test_vocab_matches_python_and_conserves_tokens(spark, duck, corpus):
     assert sum(r["total_occurrences"] for r in rows) == sum(
         r["n_bpe_tokens"] for r in enc
     )
+
+
+class TestDeepTraining:
+    """text_bpe_train_deep: the rows-only realistic-depth face —
+    pinned by properties instead of an (intractable) unrolled oracle."""
+
+    def test_deep_properties_and_termination(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.bpe import (
+            R_DEEP,
+            _bpe_fit,
+            text_bpe_train_deep,
+        )
+        from tests.conftest import SF_MED
+
+        rows = text_bpe_train_deep(spark, SF_MED).collect()
+        assert 0 < len(rows) <= R_DEEP
+        # prefix property: the first R_MERGES rounds are EXACTLY the
+        # oracle-gated shallow table (same loop, same tie-break)
+        from bfr_clustering_using_pyspark_spark.operators.bpe import text_bpe_train
+
+        shallow = text_bpe_train(spark, SF_MED).collect()
+        deep_prefix = [tuple(r) for r in rows[: len(shallow)]]
+        assert deep_prefix == [tuple(r) for r in shallow]
+        # monotone selection: each round's chosen pair count never
+        # exceeds the previous round's (standard BPE invariant — a
+        # pair created by a merge inherits at most the merged count)
+        cnts = [r["pair_count"] for r in rows]
+        assert all(a >= b for a, b in zip(cnts, cnts[1:]))
+        # conservation: stripping delimiters from every final symbol
+        # string reproduces the word exactly (no characters created
+        # or destroyed by any number of merges)
+        wf, merges = _bpe_fit(spark, SF_MED, n_merges=R_DEEP)
+        bad = wf.filter(
+            __import__("pyspark").sql.functions.replace(
+                "sym",
+                __import__("pyspark").sql.functions.lit("|"),
+                __import__("pyspark").sql.functions.lit(""),
+            )
+            != __import__("pyspark").sql.functions.col("word")
+        ).count()
+        assert bad == 0
+        # termination: the tiny-vocab gate corpus exhausts its pair
+        # table well under the cap (the break path really runs)
+        assert len(rows) < R_DEEP
+
+    def test_deep_is_deterministic(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.bpe import (
+            _BPE_CACHE,
+            text_bpe_train_deep,
+        )
+        from tests.conftest import SF_MED
+
+        a = [tuple(r) for r in text_bpe_train_deep(spark, SF_MED).collect()]
+        _BPE_CACHE.clear()  # force a re-fit, not a cache hit
+        b = [tuple(r) for r in text_bpe_train_deep(spark, SF_MED).collect()]
+        assert a == b

@@ -1612,7 +1612,124 @@ FROM beam{GS_HOPS} WHERE rank <= {TOP_K} ORDER BY q_id, rank"""
 ANN_GRAPH_SEARCH_SQL = _graph_search_oracle_sql()
 
 
+# ------------------------------------------------ contrastive mining
+
+# Training-set construction for embedding models (the op downstream
+# of ANN in an LLM-data pipeline): for each bounded anchor, mine one
+# POSITIVE (exact-cosine nearest neighbor), N_HARD hard negatives
+# (related-but-not-near: cosine ranks HARD_LO..HARD_LO+N_HARD-1),
+# and N_RANDNEG pseudo-random negatives (portable-md5-ranked among
+# the remaining corpus — deterministic, SQL-replayable, and disjoint
+# from the positive/hard slices by the rank predicate).
+N_HARD = 3
+HARD_LO = 50       # first hard-negative cosine rank
+N_RANDNEG = 3
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/positive/negative mining for contrastive training.
+
+    Plan: the exact per-anchor cosine ranking (bounded broadcast
+    query side — the ann_bruteforce shape; swap the IVF probe in for
+    the 100 TB corpus where exact ranking is the eval-only path),
+    sliced into the positive (rank 1) and hard-negative band, plus a
+    second portable-md5 ranking over the far remainder for the
+    random negatives. Output (q_id, vec_id, role, cosine,
+    pair_rank) — one training tuple group per anchor."""
+    base = _base(spark, sf_dir)
+    queries = _bounded_query_filter(base).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    near = ranked.filter(F.col("crank") < HARD_LO + N_HARD).select(
+        "q_id",
+        "vec_id",
+        "cosine",
+        F.when(F.col("crank") == 1, F.lit("positive"))
+        .when(F.col("crank") >= HARD_LO, F.lit("hard_negative"))
+        .otherwise(F.lit(None))
+        .alias("role"),
+        F.when(F.col("crank") == 1, F.lit(1))
+        .otherwise(F.col("crank") - HARD_LO + 1)
+        .cast("int")
+        .alias("pair_rank"),
+    ).filter(F.col("role").isNotNull())
+    # random negatives: md5-ranked over the far remainder (crank
+    # beyond the hard band) — deterministic, disjoint by predicate
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("q_id").cast("string"), F.lit(":"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    far = ranked.filter(F.col("crank") >= HARD_LO + N_HARD).select(
+        "q_id", "vec_id", "cosine", h.alias("h")
+    )
+    wr = W.partitionBy("q_id").orderBy("h", "vec_id")
+    rand = (
+        far.withColumn("rrank", F.row_number().over(wr))
+        .filter(F.col("rrank") <= N_RANDNEG)
+        .select(
+            "q_id",
+            "vec_id",
+            "cosine",
+            F.lit("random_negative").alias("role"),
+            F.col("rrank").cast("int").alias("pair_rank"),
+        )
+    )
+    return near.unionByName(rand).orderBy("q_id", "role", "pair_rank")
+
+
+CONTRASTIVE_PAIRS_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM base
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX}
+), ranked AS MATERIALIZED (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS crank
+  FROM (
+    SELECT q.q_id, b.vec_id,
+           round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2])) / (b.nrm * q.q_nrm), 4) AS cosine
+    FROM base b CROSS JOIN queries q
+    WHERE b.vec_id <> q.q_id
+  )
+), near AS (
+  SELECT q_id, vec_id, cosine,
+         CASE WHEN crank = 1 THEN 'positive' ELSE 'hard_negative' END AS role,
+         CAST(CASE WHEN crank = 1 THEN 1 ELSE crank - {HARD_LO} + 1 END AS INT) AS pair_rank
+  FROM ranked
+  WHERE crank = 1 OR (crank >= {HARD_LO} AND crank < {HARD_LO + N_HARD})
+), rand AS (
+  SELECT q_id, vec_id, cosine, 'random_negative' AS role, CAST(rrank AS INT) AS pair_rank
+  FROM (
+    SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             ('0x' || substr(md5(q_id || ':' || vec_id), 1, 15))::BIGINT, vec_id) AS rrank
+    FROM ranked WHERE crank >= {HARD_LO + N_HARD}
+  ) WHERE rrank <= {N_RANDNEG}
+)
+SELECT q_id, vec_id, role, cosine, pair_rank FROM (
+  SELECT * FROM near UNION ALL SELECT * FROM rand
+) ORDER BY q_id, role, pair_rank
+"""
+
+
 QUERIES = {
+    "contrastive_pairs": contrastive_pairs,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1628,6 +1745,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "contrastive_pairs": CONTRASTIVE_PAIRS_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,

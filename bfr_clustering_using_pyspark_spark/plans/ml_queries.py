@@ -598,6 +598,123 @@ GROUP BY label ORDER BY label
 """
 
 
+def davies_bouldin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality components per label — the
+    third of sklearn's classic internal-validity trio next to
+    ``silhouette_eval`` and ``ch_index_eval`` (the reference's eval
+    workflow is sklearn-based, /root/reference/code/test_sklearn.py).
+    For each label i: S_i = mean distance of members to their
+    centroid, R_i = max_{j≠i} (S_i+S_j)/M_ij with M_ij the centroid
+    separation; the DB index is the mean of R_i.
+
+    Hash-exact recipe: coordinates quantized to 1e-4 integer units →
+    centroids are correctly-rounded doubles of exact BIGINT sums
+    (s/n/1e4); per-point distances fold sequentially over the
+    centroid LIST in both engines; the intra-cluster mean sums
+    round(d·1e6) BIGINTs (order-free). O(n·d + k²·d) — one explode
+    shuffle on (label, dim), a broadcast k-row join, a k² self-join.
+    Returns (label, n_points, s_intra, db_r)."""
+    S = 10000.0
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * S).cast("long")
+    )
+    pts = emb.select("vec_id", "label", xi.alias("xi"))
+    ex = pts.select("label", F.posexplode("xi").alias("pos", "u"))
+    lp = ex.groupBy("label", "pos").agg(F.count("*").alias("n"), F.sum("u").alias("s"))
+    cent = (
+        lp.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("s") * F.lit(1e0) / F.col("n") / F.lit(S)).alias("cv"),
+                    )
+                )
+            ).alias("cs")
+        )
+        .select("label", F.transform("cs", lambda t: t["cv"]).alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "xi", "c", lambda x, cc: (x / F.lit(S) - cc) * (x / F.lit(S) - cc)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    u = F.round(F.sqrt(d2) * F.lit(1e6)).cast("long")
+    si = (
+        pts.join(F.broadcast(cent), "label")
+        .select("label", u.alias("u"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            (F.sum("u") * F.lit(1e0) / F.count("*") / F.lit(1e6)).alias("s_intra"),
+        )
+    )
+    ca = cent.select(F.col("label").alias("la"), F.col("c").alias("cca"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("c").alias("ccb"))
+    m = F.sqrt(
+        F.aggregate(
+            F.zip_with("cca", "ccb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    sia = si.select(F.col("label").alias("la"), F.col("s_intra").alias("sa"), "n_points")
+    sib = si.select(F.col("label").alias("lb"), F.col("s_intra").alias("sb"))
+    r = (
+        ca.join(cb, F.col("la") != F.col("lb"))
+        .select("la", "lb", m.alias("m"))
+        .join(F.broadcast(sia), "la")
+        .join(F.broadcast(sib), "lb")
+        .select("la", "n_points", "sa", ((F.col("sa") + F.col("sb")) / F.col("m")).alias("r"))
+    )
+    return (
+        r.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.min("n_points").cast("long").alias("n_points"),
+            F.min("sa").alias("s_intra"),
+            F.round(F.max("r"), 6).alias("db_r"),
+        )
+        .orderBy("label")
+    )
+
+
+DAVIES_BOULDIN_EVAL_SQL = """
+WITH pts AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS xi
+  FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS pos, xi[i] AS u
+  FROM pts, UNNEST(generate_series(1, len(xi))) AS t(i)
+), lp AS (
+  SELECT label, pos, count(*) AS n, sum(u) AS s FROM ex GROUP BY label, pos
+), cent AS MATERIALIZED (
+  SELECT label, list(s * 1e0 / n / 1e4 ORDER BY pos) AS c FROM lp GROUP BY label
+), si AS MATERIALIZED (
+  SELECT p.label, count(*) AS n_points,
+         sum(CAST(round(sqrt(list_sum(list_transform(list_zip(p.xi, k.c),
+           q -> (q[1] / 1e4 - q[2]) * (q[1] / 1e4 - q[2])))) * 1e6) AS BIGINT))
+           * 1e0 / count(*) / 1e6 AS s_intra
+  FROM pts p JOIN cent k USING (label) GROUP BY p.label
+), m AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(list_sum(list_transform(list_zip(a.c, b.c),
+           q -> (q[1] - q[2]) * (q[1] - q[2])))) AS m
+  FROM cent a JOIN cent b ON a.label <> b.label
+), r AS (
+  SELECT m.la, sa.n_points, sa.s_intra, (sa.s_intra + sb.s_intra) / m.m AS r
+  FROM m JOIN si sa ON sa.label = m.la JOIN si sb ON sb.label = m.lb
+)
+SELECT la AS label, CAST(min(n_points) AS BIGINT) AS n_points,
+       min(s_intra) AS s_intra, round(max(r), 6) AS db_r
+FROM r GROUP BY la ORDER BY label
+"""
+
+
 KDET_K = 8        # clusters
 KDET_ITERS = 3    # Lloyd rounds (fixed — the oracle unrolls them)
 KDET_SCALE = 1_000_000.0  # micro-unit quantization for exact sums
@@ -1121,6 +1238,7 @@ QUERIES = {
     "kmeans_fit": kmeans_fit,
     "kmeans_lloyd_det": kmeans_lloyd_det,
     "kmeans_inertia_eval": kmeans_inertia_eval,
+    "davies_bouldin_eval": davies_bouldin_eval,
     "bfr_lloyd_det": bfr_lloyd_det,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
@@ -1137,6 +1255,7 @@ ORACLES = {
     "nmi_eval": NMI_EVAL_SQL,
     "kmeans_lloyd_det": KMEANS_LLOYD_DET_SQL,
     "kmeans_inertia_eval": KMEANS_INERTIA_EVAL_SQL,
+    "davies_bouldin_eval": DAVIES_BOULDIN_EVAL_SQL,
     "bfr_lloyd_det": BFR_LLOYD_DET_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,

@@ -314,6 +314,53 @@ FROM packed GROUP BY shard, bin ORDER BY shard, bin
 """
 
 
+def seq_pack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over ``seq_pack``'s bins — the eval
+    face of the packing family (the dataloader-utilization numbers a
+    training team actually reviews before committing a packing
+    strategy): per shard, bin count, docs, token mass, PADDING tokens
+    (budget minus fill over non-oversize bins), oversize-bin count
+    (single docs past the budget, truncated downstream), and the
+    padding fraction in scale-0 fixed point.
+
+    Pure aggregation of the packer output — integer-only inputs, no
+    new scale surface."""
+    bins = seq_pack(spark, sf_dir)
+    pad = F.greatest(F.lit(PACK_BUDGET) - F.col("bin_tokens"), F.lit(0))
+    over = (F.col("bin_tokens") > PACK_BUDGET).cast("long")
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.sum(pad).alias("padding_tokens"),
+            F.sum(over).alias("oversize_bins"),
+            (
+                F.round(
+                    F.sum(pad) * F.lit(10000.0) / (F.count("*") * F.lit(PACK_BUDGET))
+                ).cast("long")
+                / 10000.0
+            ).alias("padding_frac"),
+        )
+        .orderBy("shard")
+    )
+
+
+SEQ_PACK_EVAL_SQL = f"""
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest({PACK_BUDGET} - bin_tokens, 0)) AS BIGINT) AS padding_tokens,
+       CAST(sum(CASE WHEN bin_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS oversize_bins,
+       CAST(round(sum(greatest({PACK_BUDGET} - bin_tokens, 0)) * 1e4
+                  / (count(*) * {PACK_BUDGET})) AS BIGINT) / 1e4 AS padding_frac
+FROM ({{inner}}) p
+GROUP BY shard ORDER BY shard
+""".format(inner=SEQ_PACK_SQL)
+
+
 def seq_pack_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk packing — the OTHER industry packing
     mode next to ``seq_pack``'s greedy next-fit: conceptually
@@ -499,6 +546,7 @@ QUERIES = {
     "sample_train_split": sample_train_split,
     "decontaminate": decontaminate,
     "seq_pack": seq_pack,
+    "seq_pack_eval": seq_pack_eval,
     "seq_pack_contig": seq_pack_contig,
 }
 
@@ -510,5 +558,6 @@ ORACLES = {
     "sample_train_split": SAMPLE_TRAIN_SPLIT_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "seq_pack": SEQ_PACK_SQL,
+    "seq_pack_eval": SEQ_PACK_EVAL_SQL,
     "seq_pack_contig": SEQ_PACK_CONTIG_SQL,
 }

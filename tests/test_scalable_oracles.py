@@ -178,3 +178,17 @@ def test_silhouette_blas_replay_equals_sql(seed):
     cols, got = _silhouette_rows(con)
     assert cols == ["label", "n_points", "mean_silhouette"]
     assert [tuple(r) for r in got] == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_seq_pack_eval_iterative_equals_recursive(seed):
+    from scalable_oracles import _seq_pack_eval_rows
+    from bfr_clustering_using_pyspark_spark.operators.sampling import (
+        SEQ_PACK_EVAL_SQL,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", _corpus(seed, n=200))
+    want = [tuple(r) for r in con.execute(SEQ_PACK_EVAL_SQL).fetchall()]
+    cols, got = _seq_pack_eval_rows(con)
+    assert [tuple(r) for r in got] == want

@@ -198,6 +198,34 @@ GROUP BY 1 ORDER BY verdict
 """
 
 
+def _seq_pack_eval_rows(con) -> tuple[list[str], list[tuple]]:
+    """seq_pack_eval's scalable oracle: aggregate the iterative
+    packer replay (same bins as _seq_pack_rows) into the per-shard
+    efficiency report, replicating the engine's integer padding sums
+    and scale-0 HALF_UP padding fraction."""
+    import math as _math
+
+    _cols, bins = _seq_pack_rows(con)
+    agg: dict = {}
+    for shard, _bin, n_docs, fill, _frac, _chk in bins:
+        a = agg.setdefault(shard, [0, 0, 0, 0, 0])
+        a[0] += 1                                  # n_bins
+        a[1] += int(n_docs)                        # n_docs
+        a[2] += int(fill)                          # total_tokens
+        a[3] += max(PACK_BUDGET - int(fill), 0)    # padding_tokens
+        a[4] += 1 if int(fill) > PACK_BUDGET else 0  # oversize
+    out = []
+    for shard in sorted(agg):
+        n_bins, n_docs, tok, pad, over = agg[shard]
+        frac = _math.floor(pad * 1e4 / (n_bins * PACK_BUDGET) + 0.5) / 1e4
+        out.append((shard, n_bins, n_docs, tok, pad, over, frac))
+    return (
+        ["shard", "n_bins", "n_docs", "total_tokens", "padding_tokens",
+         "oversize_bins", "padding_frac"],
+        out,
+    )
+
+
 # ------------------------------------------------------------- silhouette
 
 
@@ -299,6 +327,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         "dedup_components": _components_rows,
         "stream_components": _components_rows,
         "seq_pack": _seq_pack_rows,
+        "seq_pack_eval": _seq_pack_eval_rows,
         "silhouette_eval": _silhouette_rows,
         "ann_ivf": ivf_sql,
         "ann_ivf_partitioned": ivf_sql,

@@ -331,6 +331,9 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         "silhouette_eval": _silhouette_rows,
         "ann_ivf": ivf_sql,
         "ann_ivf_partitioned": ivf_sql,
+        # the streaming index face shares the batch layout's oracle,
+        # so it shares its list-count regime too
+        "stream_ann_index": ivf_sql,
         "ann_ivf_rerank": _ivf_rerank_oracle_sql(n_lists),
         "ann_ivfpq": _ivfpq_oracle_sql(n_lists),
         # the graph search's IVF-routed entries (r11) inherit the

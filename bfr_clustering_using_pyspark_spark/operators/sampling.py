@@ -352,11 +352,14 @@ SELECT shard,
        CAST(count(*) AS BIGINT) AS n_bins,
        CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
-       CAST(sum(greatest({PACK_BUDGET} - bin_tokens, 0)) AS BIGINT) AS padding_tokens,
+       CAST(sum(pad_t) AS BIGINT) AS padding_tokens,
        CAST(sum(CASE WHEN bin_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS oversize_bins,
-       CAST(round(sum(greatest({PACK_BUDGET} - bin_tokens, 0)) * 1e4
-                  / (count(*) * {PACK_BUDGET})) AS BIGINT) / 1e4 AS padding_frac
-FROM ({{inner}}) p
+       -- scale-0 round of an exact-integer ratio: a tie quotient
+       -- k+0.5 is binary-exact, and both engines round it HALF_UP
+       CAST(round(sum(pad_t) * 1e4 / (count(*) * {PACK_BUDGET})) AS BIGINT) / 1e4 AS padding_frac
+FROM (
+  SELECT p.*, greatest({PACK_BUDGET} - bin_tokens, 0) AS pad_t FROM ({{inner}}) p
+) b
 GROUP BY shard ORDER BY shard
 """.format(inner=SEQ_PACK_SQL)
 

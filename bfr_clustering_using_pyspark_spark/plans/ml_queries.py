@@ -877,7 +877,7 @@ SELECT vec_id, cluster FROM a{KDET_ITERS} ORDER BY vec_id"""
         + f"""
 SELECT a.cluster, count(*) AS n_points,
        sum(CAST(round(list_sum(list_transform(list_zip(a.xi, k.c),
-         q -> (q[1] / {KDET_SCALE} - q[2]) * (q[1] / {KDET_SCALE} - q[2]))) * {KINERTIA_SCALE}) AS BIGINT)) / {KINERTIA_SCALE} AS inertia
+         q -> (q[1] / {KDET_SCALE} - q[2]) * (q[1] / {KDET_SCALE} - q[2]))) * 1e6) AS BIGINT)) / 1e6 AS inertia
 FROM a{KDET_ITERS} a JOIN c{KDET_ITERS} k USING (cluster)
 GROUP BY a.cluster ORDER BY a.cluster"""
     )

@@ -143,7 +143,9 @@ _INT_VALUED = (
     r"l_quantity|n_orders|n_events|n_tokens|n_chars|new_session|cnt|"
     r"count|\bn\b|\bt\b|steps?|c_custkey|grouping|rank\(\)|"
     r"CASE WHEN bucket|date_diff\(|coalesce\(n_orders|"
-    r"CAST\(json_extract_string|c\) \*|is_boiler"
+    r"CAST\(json_extract_string|c\) \*|is_boiler|pad_t"  # pad_t:
+    # greatest(BUDGET - bin_tokens, 0) — integer by construction
+    # (seq_pack_eval)
 )
 
 # keys whose round(sum(...)) hits were hand-vetted as exact-int

@@ -60,6 +60,10 @@ DOC_KEYS = [
     "chunk_boilerplate",
     "text_bm25",
     "corpus_train_shuffle",
+    # r13: conjunctive retrieval family + packing-efficiency eval
+    "text_bm25_conj",
+    "retrieval_conj_eval",
+    "seq_pack_eval",
 ]
 EMB_KEYS = [
     "embedding_normalize",
@@ -72,6 +76,11 @@ EMB_KEYS = [
     # probabilistic blocking
     "q_hybrid_rrf",
     "retrieval_eval",
+    # r13: deterministic ML-eval + contrastive mining keys
+    "kmeans_inertia_eval",
+    "davies_bouldin_eval",
+    "silhouette_eval",
+    "contrastive_pairs",
 ]
 
 _VOCAB = (

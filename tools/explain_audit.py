@@ -178,6 +178,8 @@ GLOBAL_WINDOW_OK = {
 GROUPED_PANDAS_NARROW_OK = {
     "model_per_key": "5 market segments",
     "seq_pack": "shard count, fixed by contract",
+    # aggregates seq_pack's bins — same shard-count-bounded stage
+    "seq_pack_eval": "shard count, fixed by contract (seq_pack's stage)",
 }
 
 # keys whose Filter legitimately evaluates a heavy kernel: a GENUINE

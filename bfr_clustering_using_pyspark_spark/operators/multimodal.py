@@ -1038,7 +1038,83 @@ ORDER BY h.doc_id
 """
 
 
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE hash (dHash) over the same binary PGM path as
+    ``mm_image_ahash`` — the other standard perceptual fingerprint
+    (per-row gradient: sample a 9×8 grid, bit = left pixel >
+    right neighbor). dHash survives global brightness shifts that
+    flip aHash bits (the mean moves, gradients don't); production
+    image dedup runs both and unions the collision candidates.
+
+    Bits are exact integer comparisons of closed-form pixels, so the
+    oracle recomputes the full 9×8 sample grid, every gradient bit,
+    and the dup counts in SQL. Same plan shape as aHash: two
+    Arrow-batched stages + ONE shuffle on the 8-byte fingerprint."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pin_arrow_batch_for_payload(spark, 256)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_pgm_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r8 = np.arange(8)
+        c9 = np.arange(9)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _pgm_decode(bytes(payload))
+                samp = px[(r8 * h) // 8][:, (c9 * w) // 9].astype(np.int64)
+                bits = (samp[:, :8] > samp[:, 1:]).astype(np.uint8)
+                byts = (bits << (7 - r8)[None, :]).sum(axis=1)
+                rows.append((doc_id, w, h, "".join(f"{int(b):02x}" for b in byts)))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "dhash"])
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    hashed = encoded.mapInPandas(
+        dhash, schema="doc_id long, width int, height int, dhash string"
+    )
+    dups = hashed.groupBy("dhash").agg(F.count("*").alias("n_dups"))
+    return (
+        hashed.join(dups, "dhash")
+        .select("doc_id", "width", "height", "dhash", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+MM_IMAGE_DHASH_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h FROM documents
+), bits AS (
+  SELECT g.doc_id, g.w, g.h, i.i, j.j,
+         CASE WHEN (g.doc_id + 31 * ((i.i * g.h) // 8) + 7 * ((j.j * g.w) // 9)) % 256
+                 > (g.doc_id + 31 * ((i.i * g.h) // 8) + 7 * (((j.j + 1) * g.w) // 9)) % 256
+              THEN 1 ELSE 0 END AS b
+  FROM g, generate_series(0, 7) AS i(i), generate_series(0, 7) AS j(j)
+), bytes AS (
+  SELECT doc_id, i, sum(b * (1 << (7 - j))) AS byte FROM bits GROUP BY doc_id, i
+), hashes AS (
+  SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY i) AS dhash
+  FROM bytes GROUP BY doc_id
+), dups AS (
+  SELECT dhash, count(*) AS n_dups FROM hashes GROUP BY dhash
+)
+SELECT h.doc_id, CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+       h.dhash, CAST(d.n_dups AS BIGINT) AS n_dups
+FROM hashes h JOIN g USING (doc_id) JOIN dups d USING (dhash)
+ORDER BY h.doc_id
+"""
+
+
 QUERIES = {
+    "mm_image_dhash": mm_image_dhash,
     "mm_decode": mm_decode,
     "mm_image_ahash": mm_image_ahash,
     "mm_audio_fingerprint": mm_audio_fingerprint,
@@ -1052,6 +1128,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "mm_pgm_resize": MM_PGM_RESIZE_SQL,
     "mm_image_ahash": MM_IMAGE_AHASH_SQL,
+    "mm_image_dhash": MM_IMAGE_DHASH_SQL,
     "mm_audio_fingerprint": MM_AUDIO_FINGERPRINT_SQL,
     "mm_decode": MM_DECODE_SQL,
     "mm_pipeline": MM_PIPELINE_SQL,

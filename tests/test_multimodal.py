@@ -281,3 +281,40 @@ def test_audio_fingerprint_semantics(spark):
         for f in range(n_fr - 1):
             val = (val << 1) | int(e[f + 1] > e[f])
         assert f"{val:03x}" == r["fingerprint"]
+
+
+def test_image_dhash_semantics_and_brightness_invariance(spark):
+    """dHash: 16-hex fingerprints with consistent dup counts, and the
+    property that justifies it next to aHash — a global brightness
+    shift (constant added to every pixel, no wrap) leaves every
+    gradient bit unchanged while aHash bits can flip."""
+    import re
+
+    import numpy as np
+
+    from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+        mm_image_dhash,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = mm_image_dhash(spark, SF_SMALL).collect()
+    assert rows
+    by_hash = {}
+    for r in rows:
+        assert re.fullmatch("[0-9a-f]{16}", r["dhash"])
+        by_hash.setdefault(r["dhash"], []).append(r)
+    for r in rows:
+        assert r["n_dups"] == len(by_hash[r["dhash"]])
+
+    # kernel property on synthetic pixels (same sampling arithmetic
+    # as the operator): dhash(px) == dhash(px + c) when px + c
+    # doesn't saturate; ahash's threshold can flip under the shift
+    def dhash_bits(px):
+        r8, c9 = np.arange(8), np.arange(9)
+        h, w = px.shape
+        samp = px[(r8 * h) // 8][:, (c9 * w) // 9].astype(np.int64)
+        return (samp[:, :8] > samp[:, 1:]).astype(np.uint8)
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 200, size=(13, 17))
+    assert np.array_equal(dhash_bits(px), dhash_bits(px + 40))

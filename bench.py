@@ -43,6 +43,9 @@ EXTRAS = [
     "text_bm25",
     "q_hybrid_rrf",
     "corpus_train_shuffle",
+    # r13: the namesake hash gate + the streaming IVF index fold
+    "bfr_lloyd_det",
+    "stream_ann_index",
 ]
 
 

@@ -38,6 +38,13 @@ RISK_KEYS = [
     "graph_pagerank",         # scaled-integer rank iteration
     "dedup_components",       # label propagation convergence
     "silhouette_eval",        # per-point mean distances
+    # r13 risk-class keys
+    "bfr_lloyd_det",          # iterative gated assignment, integer moments
+    "kmeans_inertia_eval",    # fixed-point SSE over the KDET loop
+    "davies_bouldin_eval",    # centroid folds + intra-mean sums
+    "text_bm25_conj",         # float BM25 units summed per doc
+    "contrastive_pairs",      # two rankings over a broadcast join
+    "seq_pack_eval",          # grouped-pandas fold + padding sums
 ]
 
 WIDTHS = ["1", "8", "19"]

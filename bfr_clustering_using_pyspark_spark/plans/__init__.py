@@ -130,6 +130,9 @@ _CHANGED_THIS_ROUND = (
     # seeds + Lloyd init + integer-moment Mahalanobis gate; unrolled
     # materialized-CTE oracle) — the namesake algorithm's hash gate
     "bfr_lloyd_det", "kmeans_inertia_eval",
+    # kmeans_lloyd_det refactored onto the shared _kdet_iterate loop
+    # (same values, new build path) — re-verify first per convention
+    "kmeans_lloyd_det",
     # round 13: conjunctive BM25 retrieval face + its eval; streaming
     # IVF index maintenance (drained == batch layout)
     "text_bm25_conj", "retrieval_conj_eval", "stream_ann_index",

@@ -1728,8 +1728,134 @@ SELECT q_id, vec_id, role, cosine, pair_rank FROM (
 """
 
 
+# --------------------------------------------- truncated-dim eval
+
+# Matryoshka-style dimension-truncation audit: how much top-k
+# retrieval quality survives scoring on the first TRUNC_EVAL_DIMS
+# dims instead of all 64 — the measurement behind shipping truncated
+# embeddings (or a truncated first stage, cf. ann_ivf_rerank) at a
+# fraction of the storage/FLOPs.
+TRUNC_EVAL_DIMS = 16
+
+
+def emb_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval-quality retention under dimension
+    truncation: exact cosine top-{k} on the FULL vectors (reference)
+    vs exact cosine top-{k} on the first {td} dims (candidate
+    system). Emits (q_id, n_hits, recall_at_k, mrr) — integer-rank
+    rationals, the family's eval contract (ann_recall_eval's shape,
+    with dimension truncation as the approximation under test
+    instead of an index structure).
+
+    Plan: ONE corpus scan serves both rankings (full + truncated
+    norms and dots computed from the same broadcast-joined frame);
+    two salted-free per-query windows over the bounded query set."""
+    base = _base(spark, sf_dir)
+    tnrm = F.sqrt(
+        F.aggregate(
+            F.slice("v", 1, TRUNC_EVAL_DIMS), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    both = base.select("vec_id", "v", "nrm", tnrm.alias("tnrm"))
+    queries = _bounded_query_filter(both).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tnrm").alias("q_tnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    tdot = F.aggregate(
+        F.zip_with(
+            F.slice("v", 1, TRUNC_EVAL_DIMS),
+            F.slice("q_v", 1, TRUNC_EVAL_DIMS),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = both.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
+        F.round(tdot / (F.col("tnrm") * F.col("q_tnrm")), 4).alias("tcosine"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    wt = W.partitionBy("q_id").orderBy(F.desc("tcosine"), "vec_id")
+    full_k = (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    trunc_k = (
+        scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", F.col("rank").alias("r_trunc"))
+    )
+    hits = trunc_k.join(full_k, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits"), F.min("r_trunc").alias("first_rel")
+    )
+    spine = queries.select("q_id").distinct()
+    return (
+        spine.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+EMB_TRUNCATE_EVAL_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         sqrt(list_sum(list_transform(embedding[1:{TRUNC_EVAL_DIMS}],
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS tnrm
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, tnrm AS q_tnrm FROM base
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX}
+), scored AS MATERIALIZED (
+  SELECT q.q_id, b.vec_id,
+         round(list_sum(list_transform(list_zip(b.v, q.q_v), p -> p[1] * p[2]))
+               / (b.nrm * q.q_nrm), 4) AS cosine,
+         round(list_sum(list_transform(list_zip(b.v[1:{TRUNC_EVAL_DIMS}], q.q_v[1:{TRUNC_EVAL_DIMS}]),
+               p -> p[1] * p[2])) / (b.tnrm * q.q_tnrm), 4) AS tcosine
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.q_id
+), full_k AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {TOP_K}
+), trunc_k AS (
+  SELECT q_id, vec_id, rank AS r_trunc FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY tcosine DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {TOP_K}
+), hits AS (
+  SELECT t.q_id, count(*) AS n_hits, min(t.r_trunc) AS first_rel
+  FROM trunc_k t JOIN full_k f ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+  GROUP BY t.q_id
+), spine AS (SELECT DISTINCT q_id FROM queries)
+SELECT s.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k,
+       round(coalesce(1.0 / h.first_rel, 0.0), 6) AS mrr
+FROM spine s LEFT JOIN hits h USING (q_id)
+ORDER BY s.q_id
+"""
+
+
 QUERIES = {
     "contrastive_pairs": contrastive_pairs,
+    "emb_truncate_eval": emb_truncate_eval,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1746,6 +1872,7 @@ QUERIES = {
 
 ORACLES = {
     "contrastive_pairs": CONTRASTIVE_PAIRS_SQL,
+    "emb_truncate_eval": EMB_TRUNCATE_EVAL_SQL,
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,

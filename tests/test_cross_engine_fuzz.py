@@ -81,6 +81,7 @@ EMB_KEYS = [
     "davies_bouldin_eval",
     "silhouette_eval",
     "contrastive_pairs",
+    "emb_truncate_eval",
 ]
 
 _VOCAB = (

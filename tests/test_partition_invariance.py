@@ -45,6 +45,7 @@ RISK_KEYS = [
     "text_bm25_conj",         # float BM25 units summed per doc
     "contrastive_pairs",      # two rankings over a broadcast join
     "seq_pack_eval",          # grouped-pandas fold + padding sums
+    "emb_truncate_eval",      # dual float rankings over one scan
 ]
 
 WIDTHS = ["1", "8", "19"]

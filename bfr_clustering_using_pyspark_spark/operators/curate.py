@@ -251,11 +251,114 @@ ORDER BY s.source_a, s.source_b
 """
 
 
+# Quality-staged epoch weighting ("data-constrained scaling" plan):
+# high-quality long docs are worth several epochs, marginal docs one,
+# gate failures zero. The per-stage token budgets + effective epochs
+# are the artifact a pretraining data plan actually ships next to
+# corpus_mix's source weights.
+EPOCH_STAGES = (
+    # (stage, epochs): 0 = high (quality AND >= EPOCH_MIN_TOKS), 1 =
+    # mid (quality, shorter), 2 = dropped (fails the gate)
+    (0, 3),
+    (1, 1),
+    (2, 0),
+)
+EPOCH_MIN_TOKS = 50
+
+
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage epoch plan over the corpus: stage each document by
+    the composite quality gate + token-count threshold, attach the
+    stage's epoch multiplier, and report per-stage doc/token masses,
+    effective (epoch-weighted) tokens, and each stage's share of the
+    total effective budget (scale-0 fixed point).
+
+    One scan + one 3-row aggregation + a broadcast total join —
+    embarrassingly parallel at any corpus size."""
+    from ..operators.textstats import quality_flag_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_toks = F.size(_tokens(F.col("text")))
+    q = quality_flag_expr(F.col("text"))
+    stage = (
+        F.when(q & (n_toks >= EPOCH_MIN_TOKS), F.lit(0))
+        .when(q, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    epochs_map = {s: e for s, e in EPOCH_STAGES}
+    epochs = F.create_map(
+        *[F.lit(x) for kv in epochs_map.items() for x in kv]
+    )[stage]
+    staged = docs.select(
+        stage.alias("stage"), epochs.alias("epochs"), n_toks.alias("t")
+    )
+    per = staged.groupBy("stage", "epochs").agg(
+        F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
+    )
+    per = per.withColumn(
+        "effective_tokens", (F.col("epochs") * F.col("n_tokens")).cast("long")
+    )
+    tot = per.agg(F.sum("effective_tokens").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            F.col("epochs").cast("int").alias("epochs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "effective_tokens",
+            (
+                F.round(
+                    F.col("effective_tokens") * F.lit(10000.0) / F.col("tot")
+                ).cast("long")
+                / 10000.0
+            ).alias("token_share"),
+        )
+        .orderBy("stage")
+    )
+
+
+CORPUS_EPOCH_PLAN_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t,
+         (length(text) >= 50
+          AND len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                              x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
+              / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1) > 0.05
+          AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0
+              / greatest(length(text), 1) < 0.3) AS q
+  FROM documents
+), staged AS (
+  SELECT CASE WHEN q AND t >= {EPOCH_MIN_TOKS} THEN 0
+              WHEN q THEN 1 ELSE 2 END AS stage, t
+  FROM base
+), per AS (
+  SELECT stage,
+         CASE stage WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS epochs,
+         count(*) AS n_docs, sum(t) AS n_tokens
+  FROM staged GROUP BY stage
+), eff AS (
+  SELECT stage, epochs, n_docs, n_tokens,
+         CAST(epochs * n_tokens AS BIGINT) AS effective_tokens
+  FROM per
+), tot AS (SELECT sum(effective_tokens) AS tot FROM eff)
+SELECT CAST(stage AS INT) AS stage, CAST(epochs AS INT) AS epochs,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       effective_tokens,
+       CAST(round(effective_tokens * 1e4 / t.tot) AS BIGINT) / 1e4 AS token_share
+FROM eff CROSS JOIN tot t
+ORDER BY stage
+"""
+
+
 QUERIES = {
+    "corpus_epoch_plan": corpus_epoch_plan,
     "corpus_curate": corpus_curate,
     "corpus_source_overlap": corpus_source_overlap,
 }
 ORACLES = {
+    "corpus_epoch_plan": CORPUS_EPOCH_PLAN_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     "corpus_source_overlap": CORPUS_SOURCE_OVERLAP_SQL,
 }

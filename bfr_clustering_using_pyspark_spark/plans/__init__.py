@@ -98,7 +98,7 @@ _COST_S = {
     "text_bpe_train": 12.0, "text_bpe_encode": 13.0,
     "text_bigram_logprob": 4.0, "seq_pack_contig": 2.0,
     "mm_image_ahash": 2.5, "mm_audio_fingerprint": 2.5, "corpus_source_overlap": 3.0, "ann_ivfpq": 7.0, "text_bpe_vocab": 12.0, "stream_token_stats": 3.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "bfr_lloyd_det": 16.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 12.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "q_join_strategies": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "bfr_lloyd_det": 16.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 12.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
@@ -137,7 +137,7 @@ _CHANGED_THIS_ROUND = (
     # IVF index maintenance (drained == batch layout)
     "text_bm25_conj", "retrieval_conj_eval", "stream_ann_index",
     # round 13: realistic-depth BPE face (rows-only, property-pinned)
-    "text_bpe_train_deep", "contrastive_pairs", "davies_bouldin_eval", "seq_pack_eval", "mm_image_dhash", "emb_truncate_eval",
+    "text_bpe_train_deep", "contrastive_pairs", "davies_bouldin_eval", "seq_pack_eval", "mm_image_dhash", "emb_truncate_eval", "corpus_epoch_plan",
     # round 13: silhouette_eval requantized to 1e-4 integer
     # coordinates (exact-integer pair distances → order-free sums;
     # unlocks the BLAS sf1 replay) — VALUES CHANGED, oracle in

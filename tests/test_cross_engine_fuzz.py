@@ -64,6 +64,7 @@ DOC_KEYS = [
     "text_bm25_conj",
     "retrieval_conj_eval",
     "seq_pack_eval",
+    "corpus_epoch_plan",
 ]
 EMB_KEYS = [
     "embedding_normalize",

@@ -56,6 +56,10 @@ def mllib_kmeans(points: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
     assigned = best_model.transform(vecs).select("id", "cluster")
     centers = np.array(best_model.clusterCenters())
     if n_seeds > 1:
+        # materialize the winner BEFORE dropping the cache — otherwise
+        # the returned lazy frame recomputes the full input lineage
+        # when the caller finally collects (ADVICE r13)
+        assigned = assigned.localCheckpoint(eager=True)
         vecs.unpersist()
     return assigned, centers
 
@@ -133,8 +137,12 @@ def dataframe_kmeans(points: DataFrame, k: int, n_iterations: int = 5, seed: int
             sse = get_inertia(cached, centers)
             if best is None or sse < best[0]:
                 best = (sse, assigned, centers)
+        # materialize the winning assignments while the input is still
+        # cached — the lazy mapInPandas would otherwise replay the
+        # whole lineage post-unpersist (ADVICE r13)
+        winner = best[1].localCheckpoint(eager=True)
         cached.unpersist()
-        return best[1], best[2]
+        return winner, best[2]
 
     from .local_kmeans import LocalKMeans
 

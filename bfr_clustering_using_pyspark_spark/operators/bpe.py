@@ -76,6 +76,14 @@ def _pair_counts(wf: DataFrame, sym) -> DataFrame:
 _BPE_CACHE: dict[tuple, tuple] = {}
 _BPE_CACHE_MAX = 2
 
+# Fold the accumulated merge ``replace`` chain into the checkpointed
+# word table every N rounds: without this, round r's pair count
+# re-evaluates r nested replaces (O(R²) total replays) and a deep run
+# risks Catalyst expression-depth/codegen fallback (ADVICE r13). 24
+# keeps the 12-round hash-gated face on its original single-segment
+# plan while bounding deep-face expression depth at a constant.
+_BPE_CKPT_EVERY = 24
+
 
 def _bpe_fit(spark: SparkSession, sf_dir: str, n_merges: int = R_MERGES):
     """Fit R_MERGES BPE merges on the corpus's distinct-word table.
@@ -127,6 +135,13 @@ def _bpe_fit(spark: SparkSession, sf_dir: str, n_merges: int = R_MERGES):
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
         merges.append((rnd, lhs, rhs, int(cnt)))
         sym = F.replace(sym, F.lit(f"{_D}{lhs}{_D}{_D}{rhs}{_D}"), F.lit(f"{_D}{lhs}{rhs}{_D}"))
+        if rnd % _BPE_CKPT_EVERY == 0:
+            # bound expression depth: materialize the merged symbols
+            # and restart the replace chain from the stored column
+            wf = wf.select("word", "wcount", sym.alias("sym")).localCheckpoint(
+                eager=True
+            )
+            sym = F.col("sym")
     wf_final = wf.select("word", "wcount", sym.alias("sym")).localCheckpoint(eager=True)
     _BPE_CACHE[key] = (wf_final, merges)
     return _BPE_CACHE[key]
@@ -342,9 +357,12 @@ def text_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled SQL oracle tractable. Rows-only (an unrolled oracle at
     this depth is intractable by construction) — pinned instead by
     conservation/monotonicity/termination property tests
-    (tests/test_bpe.py) and the scale probe. Same per-round cost
-    contract: one map-side-combined pair aggregation over the
-    Zipf-bounded distinct-word table + a top-1 TakeOrdered; driver
+    (tests/test_bpe.py) and the scale probe. Per-round cost: one
+    map-side-combined pair aggregation over the Zipf-bounded
+    distinct-word table + a top-1 TakeOrdered, with the accumulated
+    merge chain folded into the checkpointed table every
+    ``_BPE_CKPT_EVERY`` rounds so expression depth (and per-round
+    replay cost) stays bounded by a constant at any depth; driver
     state O(rounds)."""
     _wf, merges = _bpe_fit(spark, sf_dir, n_merges=R_DEEP)
     return spark.createDataFrame(

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .sampling import DECON_N, _DECON_SHINGLE, _ngram_shingles
-from .textstats import CHUNK_STRIDE, TOKEN_RE, _tokens, quality_flag_expr
+from .textstats import (
+    CHUNK_STRIDE,
+    TOKEN_RE,
+    _tokens,
+    quality_flag_expr,
+    quality_gate_sql,
+)
 
 
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,12 +117,7 @@ WITH base AS (
   SELECT doc_id, text,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
          md5(coalesce(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE}'), ' '), '')) AS k_canon,
-         (length(text) >= 50
-          AND len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
-                              x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
-              / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1) > 0.05
-          AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0
-              / greatest(length(text), 1) < 0.3) AS q
+         {quality_gate_sql('text')} AS q
   FROM documents
 ), flagged AS (
   SELECT *, len(toks) AS n_toks,
@@ -309,7 +310,9 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_tokens",
             (
                 F.round(
-                    F.col("effective_tokens") * F.lit(10000.0) / F.col("tot")
+                    F.col("effective_tokens")
+                    * F.lit(10000.0)
+                    / F.greatest(F.col("tot"), F.lit(1))
                 ).cast("long")
                 / 10000.0
             ).alias("token_share"),
@@ -322,12 +325,7 @@ CORPUS_EPOCH_PLAN_SQL = f"""
 WITH base AS (
   SELECT doc_id,
          len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t,
-         (length(text) >= 50
-          AND len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
-                              x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
-              / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1) > 0.05
-          AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1e0
-              / greatest(length(text), 1) < 0.3) AS q
+         {quality_gate_sql('text')} AS q
   FROM documents
 ), staged AS (
   SELECT CASE WHEN q AND t >= {EPOCH_MIN_TOKS} THEN 0
@@ -346,7 +344,7 @@ WITH base AS (
 SELECT CAST(stage AS INT) AS stage, CAST(epochs AS INT) AS epochs,
        CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        effective_tokens,
-       CAST(round(effective_tokens * 1e4 / t.tot) AS BIGINT) / 1e4 AS token_share
+       CAST(round(effective_tokens * 1e4 / greatest(t.tot, 1)) AS BIGINT) / 1e4 AS token_share
 FROM eff CROSS JOIN tot t
 ORDER BY stage
 """

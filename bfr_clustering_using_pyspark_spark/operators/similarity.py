@@ -1751,10 +1751,17 @@ def emb_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms and dots computed from the same broadcast-joined frame);
     two salted-free per-query windows over the bounded query set."""
     base = _base(spark, sf_dir)
-    tnrm = F.sqrt(
-        F.aggregate(
-            F.slice("v", 1, TRUNC_EVAL_DIMS), F.lit(0.0), lambda a, x: a + x * x
-        )
+    # floor the truncated norm: a vector whose first TRUNC_EVAL_DIMS
+    # dims are all zero would otherwise divide by 0.0, and NULL/NaN
+    # ordering is NOT cross-engine stable (ADVICE r13). The floor is
+    # mirrored verbatim in EMB_TRUNCATE_EVAL_SQL.
+    tnrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.slice("v", 1, TRUNC_EVAL_DIMS), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ),
+        F.lit(1e-12),
     )
     both = base.select("vec_id", "v", "nrm", tnrm.alias("tnrm"))
     queries = _bounded_query_filter(both).select(
@@ -1817,8 +1824,8 @@ EMB_TRUNCATE_EVAL_SQL = f"""
 WITH base AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
-         sqrt(list_sum(list_transform(embedding[1:{TRUNC_EVAL_DIMS}],
-           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS tnrm
+         greatest(sqrt(list_sum(list_transform(embedding[1:{TRUNC_EVAL_DIMS}],
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS tnrm
   FROM embeddings
 ), queries AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, tnrm AS q_tnrm FROM base

@@ -76,6 +76,23 @@ def quality_flag_expr(text_col):
     )
 
 
+def quality_gate_sql(text: str = "text", toks_expr: str | None = None) -> str:
+    """The quality gate as a DuckDB boolean fragment — the SQL twin
+    of ``quality_flag_expr``, spliced into every oracle that applies
+    the gate (TEXT_QUALITY_SQL, CORPUS_EPOCH_PLAN_SQL) so a future
+    gate change can't silently desync one copy (ADVICE r13).
+    ``toks_expr`` lets callers reuse a precomputed token-list column."""
+    stop_list = ",".join(f"'{s}'" for s in STOPWORDS)
+    toks = toks_expr or f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
+    return (
+        f"(length({text}) >= 50"
+        f" AND len(list_filter({toks}, x -> x IN ({stop_list}))) * 1e0"
+        f" / greatest(len({toks}), 1) > 0.05"
+        f" AND len(regexp_extract_all({text}, '[^a-zA-Z0-9 ]')) * 1e0"
+        f" / greatest(length({text}), 1) < 0.3)"
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, punctuation /
     stopword / digit ratios, composite score."""
@@ -98,7 +115,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-TEXT_QUALITY_SQL = """
+TEXT_QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
@@ -114,10 +131,7 @@ SELECT doc_id,
        CAST(round((n_digit * 1e0 / greatest(length(text), 1)) * 1e4) AS BIGINT) / 1e4 AS digit_ratio,
        CAST(round((len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
              / greatest(len(toks), 1)) * 1e4) AS BIGINT) / 1e4 AS stopword_ratio,
-       CAST(length(text) >= 50
-            AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','on'))) * 1e0
-                / greatest(len(toks), 1) > 0.05
-            AND n_punct * 1e0 / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
+       CAST({quality_gate_sql('text', toks_expr='toks')} AS INT) AS passes_quality
 FROM t ORDER BY doc_id
 """
 

@@ -98,7 +98,15 @@ _COST_S = {
     "text_bpe_train": 12.0, "text_bpe_encode": 13.0,
     "text_bigram_logprob": 4.0, "seq_pack_contig": 2.0,
     "mm_image_ahash": 2.5, "mm_audio_fingerprint": 2.5, "corpus_source_overlap": 3.0, "ann_ivfpq": 7.0, "text_bpe_vocab": 12.0, "stream_token_stats": 3.0,
-    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0, "bfr_lloyd_det": 16.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 12.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
+    "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0,
+    # bfr det-epoch family: REAL standalone first-touch (whichever key
+    # runs first in a session pays the epoch; siblings ride the epoch
+    # cache at ~0.5-1.5s — never encode the discount)
+    "bfr_lloyd_det": 13.0, "bfr_lloyd_stats": 13.0,
+    "bfr_lloyd_cs": 9.0, "bfr_lloyd_cs_stats": 9.0,
+    # streaming replay: re-stages chunk files + one epoch per drain
+    # (no cache share with the batch epoch — different build path)
+    "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 12.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
@@ -126,25 +134,28 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 13: NEW — deterministic chunked-BFR epoch (farthest-point
-    # seeds + Lloyd init + integer-moment Mahalanobis gate; unrolled
-    # materialized-CTE oracle) — the namesake algorithm's hash gate
-    "bfr_lloyd_det", "kmeans_inertia_eval",
-    # kmeans_lloyd_det refactored onto the shared _kdet_iterate loop
-    # (same values, new build path) — re-verify first per convention
-    "kmeans_lloyd_det",
-    # round 13: conjunctive BM25 retrieval face + its eval; streaming
-    # IVF index maintenance (drained == batch layout)
-    "text_bm25_conj", "retrieval_conj_eval", "stream_ann_index",
-    # round 13: realistic-depth BPE face (rows-only, property-pinned)
-    "text_bpe_train_deep", "contrastive_pairs", "davies_bouldin_eval", "seq_pack_eval", "mm_image_dhash", "emb_truncate_eval", "corpus_epoch_plan",
-    # round 13: silhouette_eval requantized to 1e-4 integer
-    # coordinates (exact-integer pair distances → order-free sums;
-    # unlocks the BLAS sf1 replay) — VALUES CHANGED, oracle in
-    # lockstep
-    "silhouette_eval",
+    # round 14: NEW — per-round DS/RS accounting of the det epoch
+    # (the reference intermediate-CSV contract, hash-gated); the CS
+    # tier (capped retain → pool re-cluster → singleton fallback →
+    # Mahalanobis CC merge) + its reference-CSV stats face
+    "bfr_lloyd_stats", "bfr_lloyd_cs", "bfr_lloyd_cs_stats",
+    # round 14: NEW — chunk-ordered streaming replay of the det epoch,
+    # hash-gated by bfr_lloyd_stats' oracle (stream ≡ batch pinned in
+    # tests/test_streaming.py)
+    "stream_bfr_rounds",
+    # round 14: det-epoch refactor (shared cached epoch, per-chunk
+    # checkpoints, SQL-text literal matrices — same values, new build
+    # path; first-touch cost 16→9s) — re-verify first per convention
+    "bfr_lloyd_det", "kmeans_lloyd_det", "kmeans_inertia_eval",
+    # round 14 ADVICE fixes (oracle/impl touched in lockstep):
+    # zero-prefix norm floor; shared quality-gate SQL fragment +
+    # token_share tot guard; BPE deep-face periodic symbol fold
+    "emb_truncate_eval", "corpus_epoch_plan", "corpus_curate",
+    "text_quality", "text_bpe_train_deep",
+    # ml/kmeans.py winner materialization (rows-only face)
+    "kmeans_fit",
 )
-# round 13: no fixed-point conversions this round
+# round 14: no fixed-point conversions this round
 _CONVERTED_THIS_ROUND = ()
 
 

@@ -11,6 +11,7 @@ from .events_stream import (
     STREAM_SESSIONIZE_STATEFUL_SQL,
     STREAM_STATIC_JOIN_SQL,
     STREAM_STREAM_JOIN_SQL,
+    stream_bfr_rounds,
     stream_bfr_update,
     stream_dedup,
     stream_events_window,
@@ -26,6 +27,7 @@ from .events_stream import (
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
 from ..operators.similarity import ANN_IVF_PARTITIONED_SQL
+from ..plans.ml_queries import BFR_LLOYD_STATS_SQL
 from .docs_stream import (
     STREAM_COUNTMIN_SQL,
     STREAM_QUALITY_FILTER_SQL,
@@ -55,6 +57,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_static_join": stream_static_join,
     "stream_bfr_update": stream_bfr_update,
+    "stream_bfr_rounds": stream_bfr_rounds,
 }
 ORACLES: dict[str, str] = {
     # CMS merge is exact (commutative integer sums), so the drained
@@ -89,4 +92,8 @@ ORACLES: dict[str, str] = {
     # mode agg ≡ the batch join + agg
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
     "stream_bfr_update": STREAM_BFR_UPDATE_SQL,
+    # the chunk-ordered replay reproduces the batch det epoch exactly
+    # (same init, same gate, same integer moments), so the drained
+    # per-round accounting shares bfr_lloyd_stats' oracle verbatim
+    "stream_bfr_rounds": BFR_LLOYD_STATS_SQL,
 }

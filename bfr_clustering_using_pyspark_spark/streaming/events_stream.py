@@ -445,6 +445,113 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def stream_bfr_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic BFR epoch's per-round accounting as a REAL
+    file-source stream — the streaming face of ``bfr_lloyd_stats``
+    (plans/ml_queries.py), hash-gated by the SAME oracle. The
+    embeddings table is re-staged into ``BDET_CHUNKS`` files by
+    ``vec_id % chunks`` (exactly the reference's sorted chunk-file
+    directory, bfr.py:431-437) and replayed in chunk order
+    (``maxFilesPerTrigger=1``, mtime-pinned); each micro-batch runs
+    the SAME per-chunk step as the batch epoch inside
+    ``foreachBatch`` — batch 0: farthest-point seeds + Lloyd init
+    (the shared ``_bdet_init_assign``); later batches: the
+    Mahalanobis α-gate against the accumulated exact integer moments
+    — and appends its per-cluster counts. Drained output ≡
+    ``bfr_lloyd_stats`` bit-for-bit (asserted in
+    tests/test_streaming.py), tying the streaming DS-update face to
+    the hash-gated accounting contract.
+
+    Scale: per batch ONE map-side-combined K×(1+2d) integer-moment
+    aggregation (O(k·d) driver state) — the ``stream_bfr_update``
+    cost shape with the real gate."""
+    from ..plans.ml_queries import (
+        _BDET_MOM_STRUCT,
+        _bdet_gate_parts,
+        _bdet_init_assign,
+        BDET_CHUNKS,
+        BDET_THRESH,
+        KDET_DIMS,
+        BDET_SCALE,
+    )
+    from ..sources.readers import load_table
+
+    root = tempfile.mkdtemp(prefix="bfr_rounds_")
+    try:
+        src = os.path.join(root, "src")
+        base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        for b in range(BDET_CHUNKS):
+            p = os.path.join(src, f"batch_{b:03d}.parquet")
+            base.filter(
+                F.pmod("vec_id", F.lit(BDET_CHUNKS)) == b
+            ).coalesce(1).write.mode("overwrite").parquet(p)
+            _pin_batch_mtime(p, b)
+        schema = spark.read.parquet(os.path.join(src, "batch_000.parquet")).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(os.path.join(src, "batch_*.parquet"))
+        )
+
+        xi = F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * BDET_SCALE).cast("long"),
+        )
+        mom: dict[int, tuple[int, list[int], list[int]]] = {}
+        per_round: list[tuple[int, dict[int, int]]] = []
+
+        def step(bdf: DataFrame, bid: int) -> None:
+            ch = bdf.select("vec_id", xi.alias("xi"))
+            if not mom:
+                assign = _bdet_init_assign(ch)
+            else:
+                bc, best = _bdet_gate_parts(mom)
+                assign = F.when(best <= F.lit(BDET_THRESH), bc).otherwise(
+                    F.lit(-1).cast("int")
+                )
+            grouped = (
+                ch.select("vec_id", "xi", assign.alias("cluster"))
+                .groupBy("cluster")
+                .agg(F.expr(_BDET_MOM_STRUCT))
+                .collect()
+            )
+            counts: dict[int, int] = {}
+            for row in grouped:
+                c, r = row["cluster"], row["m"]
+                counts[c] = r["n"]
+                if c < 0:
+                    continue
+                n0, s0, q0 = mom.get(c, (0, [0] * KDET_DIMS, [0] * KDET_DIMS))
+                mom[c] = (
+                    n0 + r["n"],
+                    [s0[i] + r[f"s{i}"] for i in range(KDET_DIMS)],
+                    [q0[i] + r[f"q{i}"] for i in range(KDET_DIMS)],
+                )
+            per_round.append((bid, counts))
+
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                raw.writeStream.foreachBatch(step)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        rows = []
+        cum: dict[int, int] = {}
+        for bid, counts in sorted(per_round):
+            for c in sorted(counts):
+                cum[c] = cum.get(c, 0) + counts[c]
+                rows.append((bid + 1, int(c), int(counts[c]), int(cum[c])))
+        return spark.createDataFrame(
+            rows, "round_id int, cluster int, n_round long, n_cum long"
+        ).orderBy("round_id", "cluster")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------- batch-equivalent oracles ----------------
 #
 # Every drain above uses Trigger.AvailableNow over a static file, so

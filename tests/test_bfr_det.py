@@ -158,3 +158,127 @@ def test_chunks_partition_points(spark):
     n = df.count()
     assert df.select("vec_id").distinct().count() == n
     assert df.filter("cluster < -1 or cluster >= %d" % BDET_K).count() == 0
+
+
+# ----------------------------------------------------------------- #
+# CS-tier faces (bfr_lloyd_cs / bfr_lloyd_cs_stats): the driver
+# corpus exercises capped retain + full merge (6 stage-1 clusters →
+# 1 CS set); these synthetic corpora pin the paths it can't reach —
+# singleton fallback to RS, DISTINCT (partial) merged sets, and the
+# empty-pool degenerate — each checked against the DuckDB oracle
+# directly, the same comparison the external gate runs.
+# ----------------------------------------------------------------- #
+
+import duckdb
+
+from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+    BFR_LLOYD_CS_SQL,
+    BFR_LLOYD_CS_STATS_SQL,
+    bfr_lloyd_cs,
+    bfr_lloyd_cs_stats,
+)
+
+
+def _oracle_rows(sql: str, pq_path: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pq_path}'")
+    return con.sql(sql).fetchall()
+
+
+def _cs_corpus(tmp_path):
+    """Blob inliers + two tight far groups (distinct CS sets) + one
+    lone extreme point (RS singleton), all in gated chunks."""
+    rng = np.random.default_rng(11)
+    n = 480
+    ids = np.arange(n)
+    X = rng.normal(0.0, 0.05, size=(n, KD))
+    blob = (ids // BDET_CHUNKS) % 8
+    for b in range(8):
+        X[blob == b, b] += 2.0
+    group_a = [21, 25, 29, 33, 37]     # %4==1 → chunk 1
+    group_b = [22, 26, 30, 34]         # %4==2 → chunk 2
+    lone = 23                          # %4==3 → chunk 3
+    for j, o in enumerate(group_a):
+        X[o] = 0.0
+        X[o, 0] = 20.0
+        X[o, 1] = 0.01 * j
+    for j, o in enumerate(group_b):
+        X[o] = 0.0
+        X[o, 0] = -20.0
+        X[o, 2] = 0.01 * j
+    X[lone] = 0.0
+    X[lone, 5] = 40.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+        }
+    )
+    pq = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(pq)
+    return str(tmp_path), str(pq), group_a, group_b, lone
+
+
+def test_cs_singleton_and_distinct_sets(spark, tmp_path):
+    sf_dir, pq, group_a, group_b, lone = _cs_corpus(tmp_path)
+    rows = bfr_lloyd_cs(spark, sf_dir).collect()
+    got = {r["vec_id"]: (r["cluster"], r["tier"]) for r in rows}
+    # lone extreme point: own stage-1 cluster → singleton → RS
+    assert got[lone] == (-1, "RS"), got[lone]
+    # each tight far group forms ONE compressed set; the two sets do
+    # NOT merge (their σ² is tiny, center distance huge)
+    tags_a = {got[o] for o in group_a}
+    tags_b = {got[o] for o in group_b}
+    assert len(tags_a) == 1 and next(iter(tags_a))[1] == "CS", tags_a
+    assert len(tags_b) == 1 and next(iter(tags_b))[1] == "CS", tags_b
+    assert tags_a != tags_b
+    # full bit-exact agreement with the DuckDB oracle on this corpus
+    want = sorted(_oracle_rows(BFR_LLOYD_CS_SQL, pq))
+    assert sorted((r["vec_id"], r["cluster"], r["tier"]) for r in rows) == want
+
+
+def test_cs_stats_match_membership_and_oracle(spark, tmp_path):
+    sf_dir, pq, _a, _b, _lone = _cs_corpus(tmp_path)
+    mem = bfr_lloyd_cs(spark, sf_dir).collect()
+    st = bfr_lloyd_cs_stats(spark, sf_dir).collect()
+    by_tier = {}
+    for r in mem:
+        by_tier[r["tier"]] = by_tier.get(r["tier"], 0) + 1
+    last = st[-1]
+    assert last["nof_point_discard"] == by_tier.get("DS", 0)
+    assert last["nof_point_compression"] == by_tier.get("CS", 0)
+    assert last["nof_point_retained"] == by_tier.get("RS", 0)
+    assert last["nof_cluster_compression"] == len(
+        {r["cluster"] for r in mem if r["tier"] == "CS"}
+    )
+    # rounds 1..3 report zero compression and raw cumulative retained
+    for r in st[:-1]:
+        assert r["nof_cluster_compression"] == 0
+        assert r["nof_point_compression"] == 0
+    want = sorted(_oracle_rows(BFR_LLOYD_CS_STATS_SQL, pq))
+    assert sorted(tuple(r) for r in st) == want
+
+
+def test_cs_empty_pool(spark, tmp_path):
+    """All points in chunk 0 (vec_id % chunks == 0) → nothing is ever
+    gated → empty retained pool → pure-DS output, and the oracle's
+    empty-CTE cascade agrees."""
+    rng = np.random.default_rng(3)
+    ids = np.arange(0, 480, BDET_CHUNKS)  # all ≡ 0 (mod chunks)
+    X = rng.normal(0.0, 1.0, size=(len(ids), KD))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+        }
+    )
+    pq = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(pq)
+    rows = bfr_lloyd_cs(spark, str(tmp_path)).collect()
+    assert len(rows) == len(ids)
+    assert all(r["tier"] == "DS" and r["cluster"] >= 0 for r in rows)
+    want = sorted(_oracle_rows(BFR_LLOYD_CS_SQL, str(pq)))
+    assert sorted((r["vec_id"], r["cluster"], r["tier"]) for r in rows) == want
+    st = bfr_lloyd_cs_stats(spark, str(tmp_path)).collect()
+    assert st[-1]["nof_point_compression"] == 0
+    assert st[-1]["nof_point_retained"] == 0

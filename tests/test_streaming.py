@@ -496,3 +496,23 @@ def test_stream_token_stats_matches_batch(spark):
         # mean within half a unit of the exact rational (scaled round)
         exact = r["n_tokens"] / r["n_docs"]
         assert abs(r["avg_tokens_per_doc"] - exact) <= 0.005 + 1e-9
+
+
+def test_stream_bfr_rounds_matches_batch_stats(spark):
+    """VERDICT r13 item 8: the chunk-ordered streaming replay of the
+    deterministic BFR epoch must reproduce the hash-gated batch
+    accounting (bfr_lloyd_stats) BIT-FOR-BIT — same rounds, same
+    per-cluster counts, same cumulative totals. The two faces share
+    one oracle (BFR_LLOYD_STATS_SQL); this pins them to each other
+    directly, chunking included."""
+    from bfr_clustering_using_pyspark_spark.plans.ml_queries import bfr_lloyd_stats
+    from bfr_clustering_using_pyspark_spark.streaming.events_stream import (
+        stream_bfr_rounds,
+    )
+
+    got = [tuple(r) for r in stream_bfr_rounds(spark, SF_SMALL).collect()]
+    want = [tuple(r) for r in bfr_lloyd_stats(spark, SF_SMALL).collect()]
+    assert got == want
+    # the accounting is total: per-round counts sum to the table size
+    n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert sum(r[2] for r in got) == n

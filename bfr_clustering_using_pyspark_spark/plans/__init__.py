@@ -106,7 +106,7 @@ _COST_S = {
     "bfr_lloyd_cs": 9.0, "bfr_lloyd_cs_stats": 9.0,
     # streaming replay: re-stages chunk files + one epoch per drain
     # (no cache share with the batch epoch — different build path)
-    "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 12.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
+    "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 10.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
@@ -154,6 +154,10 @@ _CHANGED_THIS_ROUND = (
     "text_quality", "text_bpe_train_deep",
     # ml/kmeans.py winner materialization (rows-only face)
     "kmeans_fit",
+    # round 14: index write re-keyed on list_id at session shuffle
+    # width (one file per list per batch) + probe under the scoped
+    # width — same rows/hashes, ~40% gate-cost cut
+    "stream_ann_index",
 )
 # round 14: no fixed-point conversions this round
 _CONVERTED_THIS_ROUND = ()

@@ -541,13 +541,21 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             sp = batch_df.sparkSession
-            n_part = max(sp.sparkContext.defaultParallelism, 8)
+            # write width follows the SESSION shuffle width (not raw
+            # core count) and the shuffle key is the PARTITION COLUMN:
+            # every inverted list lands in exactly one task, so each
+            # batch adds ONE file per (batch, list_id) directory
+            # instead of one per task per directory — the same
+            # fewer-small-files discipline sink_compact_small_files
+            # gates, and the reason the accumulated index stays
+            # scan-cheap as batches pile up
+            n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
             v = F.transform("embedding", lambda x: x.cast("double"))
             nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-            base = batch_df.repartition(n_part, "vec_id").select(
-                "vec_id", v.alias("v"), nrm.alias("nrm")
+            base = batch_df.select("vec_id", v.alias("v"), nrm.alias("nrm"))
+            listed = _with_list_id(base, _centroid_rank_expr("v", n_lists)).repartition(
+                min(n_part, n_lists), "list_id"
             )
-            listed = _with_list_id(base, _centroid_rank_expr("v", n_lists))
             # dynamic overwrite: a retried batch rewrites ONLY its
             # own batch=N partitions — idempotent replay with a
             # single accumulating index root
@@ -560,6 +568,10 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
             finally:
                 sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+        # the scoped width covers BOTH the drain and the probe: the
+        # per-query window and final sort are over a bounded result
+        # (queries × top-k), so the narrow width costs nothing at
+        # scale while removing idle-task overhead at gate SFs
         with scoped_shuffle_width(
             spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
         ):
@@ -576,46 +588,51 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
                 )
                 q.awaitTermination()
 
-        if not os.path.isdir(idx_path) or not os.listdir(idx_path):
-            return spark.createDataFrame(
-                [], "q_id long, vec_id long, cosine double, rank int"
-            )
-        index = spark.read.parquet(idx_path).drop("batch")
+            if not os.path.isdir(idx_path) or not os.listdir(idx_path):
+                return spark.createDataFrame(
+                    [], "q_id long, vec_id long, cosine double, rank int"
+                )
+            index = spark.read.parquet(idx_path).drop("batch")
 
-        ranked_q = _centroid_rank_expr("v", n_lists)
-        queries = _bounded_query_filter(index).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("q_v"),
-            F.col("nrm").alias("q_nrm"),
-            F.explode(F.transform(F.slice(ranked_q, 1, N_PROBE), lambda s: s["j"])).alias(
-                "probe_list"
-            ),
-        )
-        # union of probed lists is bounded by n_lists values, never
-        # data size — collecting it drives the partition pruning
-        probe_ids = sorted(r[0] for r in queries.select("probe_list").distinct().collect())
-        data = index.filter(F.col("list_id").isin(probe_ids))
-        dot = F.aggregate(
-            F.zip_with("v", "q_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        scored = data.join(
-            F.broadcast(queries),
-            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
-        ).select(
-            "q_id",
-            "vec_id",
-            F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
-        )
-        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-        # eager checkpoint pins the tiny top-k before the index
-        # tempdir is removed
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("q_id", "vec_id", "cosine", "rank")
-            .orderBy("q_id", "rank")
-            .localCheckpoint(eager=True)
-        )
+            ranked_q = _centroid_rank_expr("v", n_lists)
+            queries = _bounded_query_filter(index).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("q_v"),
+                F.col("nrm").alias("q_nrm"),
+                F.explode(
+                    F.transform(F.slice(ranked_q, 1, N_PROBE), lambda s: s["j"])
+                ).alias("probe_list"),
+            )
+            # union of probed lists is bounded by n_lists values, never
+            # data size — collecting it drives the partition pruning
+            probe_ids = sorted(
+                r[0] for r in queries.select("probe_list").distinct().collect()
+            )
+            data = index.filter(F.col("list_id").isin(probe_ids))
+            dot = F.aggregate(
+                F.zip_with("v", "q_v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored = data.join(
+                F.broadcast(queries),
+                (F.col("list_id") == F.col("probe_list"))
+                & (F.col("vec_id") != F.col("q_id")),
+            ).select(
+                "q_id",
+                "vec_id",
+                F.round(dot / (F.col("nrm") * F.col("q_nrm")), 4).alias("cosine"),
+            )
+            w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+            # eager checkpoint pins the tiny top-k before the index
+            # tempdir is removed
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K)
+                .select("q_id", "vec_id", "cosine", "rank")
+                .orderBy("q_id", "rank")
+                .localCheckpoint(eager=True)
+            )
 
 
 def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:

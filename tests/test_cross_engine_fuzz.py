@@ -481,6 +481,14 @@ ML_MM_KEYS = [
     # k-means / BFR deterministic faces
     "kmeans_assign",
     "kmeans_lloyd_det",
+    # r14: det-BFR family — deterministic epoch + accounting + CS tier
+    # (on 150-row corpora the 32-per-chunk cap retains ~86% of every
+    # gated chunk, so the compression pass is stressed far harder
+    # than on the driver corpus)
+    "bfr_lloyd_det",
+    "bfr_lloyd_stats",
+    "bfr_lloyd_cs",
+    "bfr_lloyd_cs_stats",
     "mahalanobis_assign",
     "suffstats",
     "cluster_profile",

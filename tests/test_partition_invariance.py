@@ -46,6 +46,10 @@ RISK_KEYS = [
     "contrastive_pairs",      # two rankings over a broadcast join
     "seq_pack_eval",          # grouped-pandas fold + padding sums
     "emb_truncate_eval",      # dual float rankings over one scan
+    # r14 risk-class keys
+    "bfr_lloyd_stats",        # windowed cumulative counts off the epoch
+    "bfr_lloyd_cs",           # rank-based capped retain (top-R TakeOrdered)
+    "stream_bfr_rounds",      # chunk-ordered replay, per-batch moment folds
 ]
 
 WIDTHS = ["1", "8", "19"]

@@ -147,9 +147,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # frozen comparators (see BASELINE.md): r1 total at sf0.1,
-    # r10 total at sf1 — the decade that actually stresses plans
+    # r14 total at sf1 — the decade that actually stresses plans
+    # (re-frozen from r10's 16.879 after two rounds of plan wins;
+    # BENCH_sf1_r14.json, load-gate-clean)
     baseline_total = 13.838
-    baseline_sf1 = 16.879
+    baseline_sf1 = 14.900
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
     ratios = {"vs_baseline_total": round(total / baseline_total, 3)}
     if sf_num == 1.0:

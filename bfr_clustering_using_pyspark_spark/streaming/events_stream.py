@@ -333,6 +333,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The per-key state schema IS the cardinality contract of the
+# stateful sessionizer: a FIXED-WIDTH tuple per user (groups
+# partition horizontally; state never grows with a user's event
+# count). tools/explain_audit.py's grouped-pandas contract probe
+# asserts this stays fixed-width.
+SESSIONIZE_STATE_SCHEMA = (
+    "start_ms long, end_ms long, n_events int, session_value double"
+)
+
+
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via
     ``applyInPandasWithState``: per-user session tracking with a
@@ -377,7 +387,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
         track,
         outputStructType="user_id long, start_ms long, end_ms long, n_events int, session_value double",
-        stateStructType="start_ms long, end_ms long, n_events int, session_value double",
+        stateStructType=SESSIONIZE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

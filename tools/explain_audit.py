@@ -182,6 +182,89 @@ GROUPED_PANDAS_NARROW_OK = {
     "seq_pack_eval": "shard count, fixed by contract (seq_pack's stage)",
 }
 
+
+# ----- executable grouped-pandas cardinality contracts (r14) ------ #
+# Every grouped-Python stage's boundedness claim is RUN against the
+# audit corpus, not just whitelisted: each probe returns
+# (observed, bound, desc) and the audit FAILS when observed > bound.
+# The bounds are the stages' own constants — a drive-by change to a
+# grouping key or cap that breaks the contract breaks the audit.
+
+
+def _probe_model_per_key(spark, sf_dir):
+    # grouping key = c_mktsegment: catalog-bounded (TPC-H has 5)
+    n = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_mktsegment")
+        .distinct()
+        .count()
+    )
+    return n, 5, "distinct c_mktsegment groups"
+
+
+def _probe_seq_pack(spark, sf_dir):
+    # grouping key = md5(doc_id) % PACK_SHARDS, computed with the
+    # stage's OWN constant — observed shard cardinality can never
+    # exceed it, and the probe pins the constant against drift
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.operators.sampling import PACK_SHARDS
+
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+                .cast("long")
+                % PACK_SHARDS
+            ).alias("shard")
+        )
+        .distinct()
+        .count()
+    )
+    return n, PACK_SHARDS, "independent packing shards"
+
+
+def _probe_asof_grouped(spark, sf_dir):
+    # contract: every group the pandas path receives holds at most
+    # ASOF_GROUP_CAP rows (hotter users take the spill-safe window
+    # fallback) — re-derive the gate from the data and assert the
+    # pandas-path maximum against the stage's own cap
+    from pyspark.sql import functions as F
+
+    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import ASOF_GROUP_CAP
+
+    per_user = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view", "click"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    row = per_user.filter(F.col("n") <= ASOF_GROUP_CAP).agg(F.max("n")).head()
+    return int(row[0] or 0), ASOF_GROUP_CAP, "max rows in a pandas-path as-of group"
+
+
+def _probe_sessionize_state(spark, sf_dir):
+    # contract: per-key state is a FIXED-WIDTH tuple (horizontal
+    # partitioning carries the key count; state must not grow with a
+    # user's event volume)
+    from bfr_clustering_using_pyspark_spark.streaming.events_stream import (
+        SESSIONIZE_STATE_SCHEMA,
+    )
+
+    return len(SESSIONIZE_STATE_SCHEMA.split(",")), 4, "stateful-session state fields"
+
+
+GROUPED_PANDAS_CONTRACTS = {
+    "model_per_key": _probe_model_per_key,
+    "seq_pack": _probe_seq_pack,
+    # seq_pack_eval / seq_pack_contig aggregate seq_pack's shard
+    # stage — one probe covers the shared grouping key
+    "seq_pack_eval": _probe_seq_pack,
+    "q_asof_grouped": _probe_asof_grouped,
+    "stream_sessionize_stateful": _probe_sessionize_state,
+}
+
 # keys whose Filter legitimately evaluates a heavy kernel: a GENUINE
 # single-branch semantic predicate evaluated once per row in one scan
 # pass (the tokenizer runs in Filter + Project of the SAME pass — a
@@ -375,6 +458,25 @@ def run_audit(
                 failures.append(name)
                 if verbose and only:
                     print(plan)
+        # executable grouped-pandas cardinality contracts: run each
+        # stage's boundedness probe against the audit corpus — no
+        # grouped-Python stage is whitelist-only
+        for name, probe in GROUPED_PANDAS_CONTRACTS.items():
+            if name not in qs or (only and name not in only):
+                continue
+            observed, bound, desc = probe(spark, sf_dir)
+            ok = observed <= bound
+            if verbose:
+                print(
+                    f"{'OK ' if ok else 'BAD'} {name}: grouped-pandas contract "
+                    f"{desc}: observed={observed} bound={bound}",
+                    flush=True,
+                )
+            if not ok:
+                failures.append(
+                    f"{name}: grouped-pandas contract '{desc}' violated: "
+                    f"{observed} > {bound}"
+                )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     if verbose:

@@ -1024,6 +1024,23 @@ _BDET_LLOYD_STRUCT = (
 )
 
 
+def _bdet_params(mom: dict[int, tuple[int, list[int], list[int]]]):
+    """(cluster, μ, σ²) triples from the exact integer moments, in
+    the oracle's op order (s/n/S; q/n/S/S − μ·μ floored at ε) —
+    Python floats and SQL DOUBLEs are both correctly-rounded IEEE754,
+    so these values match the oracle's computed columns bit-for-bit.
+    Shared by the literal gate expression and the driver-side regate
+    scoring."""
+    S = BDET_SCALE
+    params = []
+    for c in sorted(mom):
+        n, s, q = mom[c]
+        mu = [s[i] / n / S for i in range(KDET_DIMS)]
+        sg = [max(q[i] / n / S / S - mu[i] * mu[i], BDET_EPS) for i in range(KDET_DIMS)]
+        params.append((c, mu, sg))
+    return params
+
+
 def _bdet_gate_parts(mom: dict[int, tuple[int, list[int], list[int]]]):
     """Mahalanobis assignment over DS-moment literals: returns
     ``(best_cluster_expr, best_dist_expr)`` so callers can apply
@@ -1035,14 +1052,7 @@ def _bdet_gate_parts(mom: dict[int, tuple[int, list[int], list[int]]]):
     (s/n/S, q/n/S/S − μ·μ, greatest(·, ε)) — Python floats and SQL
     DOUBLEs are both correctly-rounded IEEE754, so the literals match
     the oracle's computed columns bit-for-bit."""
-    ids = sorted(mom)
-    S = BDET_SCALE
-    params = []
-    for c in ids:
-        n, s, q = mom[c]
-        mu = [s[i] / n / S for i in range(KDET_DIMS)]
-        sg = [max(q[i] / n / S / S - mu[i] * mu[i], BDET_EPS) for i in range(KDET_DIMS)]
-        params.append((c, mu, sg))
+    params = _bdet_params(mom)
     # two array<array<double>> literal matrices rendered as SQL text
     # (one JVM parse — see _sql_darr) — identical VALUES; the inner
     # fold walks dims ascending via get(·, i), the same left-to-right
@@ -1050,7 +1060,7 @@ def _bdet_gate_parts(mom: dict[int, tuple[int, list[int], list[int]]]):
     mus = _sql_dmat([mu for _, mu, _ in params])
     sgs = _sql_dmat([sg for _, _, sg in params])
     ids_arr = "array(" + ",".join(str(int(c)) for c, _, _ in params) + ")"
-    sl = f"{float(S)!r}D"
+    sl = f"{float(BDET_SCALE)!r}D"
     d2s = (
         f"zip_with({mus}, {sgs}, (mu, sg) -> aggregate(sequence(0, {KDET_DIMS - 1}), "
         f"CAST(0.0 AS DOUBLE), (acc, i) -> acc + "
@@ -1531,14 +1541,158 @@ def bfr_lloyd_cs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round_id")
 
 
-def _bdet_ctes(retain: str = "gate") -> str:
-    """Unrolled chunked-BFR epoch as a CTE prefix: farthest-point
-    seeds + Lloyd init on chunk 0, then per-chunk moment CTEs → μ/σ²
-    lists → nearest-cluster distances → retain rule → moment
-    accumulation (UNION ALL of assigned rows). ``retain`` picks the
-    rule: 'gate' = α-threshold (bfr_lloyd_det/_stats), 'cap' =
-    row_number(maha DESC, vec_id) ≤ cap → −1 (the CS faces). Tails
-    appended by the per-key SQL builders."""
+# int_rs_to_ds parity (ref bfr.py:322-334, invoked every non-final
+# round at :451): retained points are RE-gated against the UPDATED
+# DS statistics with the reference's looser α=4 and absorbed if they
+# now fit. The det face bounds the absorption at the closest
+# BDET_REGATE_TAKE pool members per round (ties → smaller vec_id) so
+# the pool stays within its cap discipline and the selection is
+# rank-deterministic in both engines.
+BDET_REGATE_THRESH = 16.0 * KDET_DIMS  # α²·d with α=4 (ref :323)
+BDET_REGATE_TAKE = BDET_CS_RETAIN // 2
+
+
+def _bdet_maha_best(x: list[int], params) -> tuple[float, int]:
+    """Driver-side nearest-DS scoring of one pool point: the exact
+    left-fold op order of the oracle's list_sum gate (see
+    ``_bdet_cs_pass`` for the doctrine). Returns (d², cluster) with
+    ties to the smaller cluster id."""
+    S = BDET_SCALE
+    best = None
+    for c, mu, sg in params:
+        acc = 0.0
+        for i in range(KDET_DIMS):
+            d = x[i] / S - mu[i]
+            acc += d * d / sg[i]
+        if best is None or (acc, c) < best:
+            best = (acc, c)
+    return best
+
+
+def bfr_lloyd_regate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic BFR epoch WITH mid-epoch RS re-gating — the
+    hash-gated face of the reference's ``int_rs_to_ds``
+    (/root/reference/code/bfr.py:322-334, run after every non-final
+    chunk at :451): after a chunk's accepted points fold into the DS
+    moments, the retained pool is re-scored against the UPDATED
+    statistics and the closest ``BDET_REGATE_TAKE`` members under the
+    reference's α=4 threshold are absorbed into their nearest DS
+    cluster (their exact integer moments folding in before the next
+    chunk). Returns (vec_id, cluster, entry_round, via) where via ∈
+    {'init','gate','regate','retained'} and entry_round is the round
+    the point joined the DS (−1/cluster −1 for points still retained
+    at epoch end).
+
+    Scale: the epoch is the capped-retain ``_bdet_epoch`` contract;
+    the pool is CONSTANT size by construction, so re-gating is a
+    bounded driver computation in the oracle's exact float op order
+    (``_bdet_maha_best``) — no extra Spark jobs beyond the per-chunk
+    checkpoint + fold."""
+    pts = _bdet_points(spark, sf_dir).persist()
+    chunk0 = pts.where(F.col("chunk") == 0)
+    a0 = _bdet_init_assign(chunk0)
+
+    mom: dict[int, tuple[int, list[int], list[int]]] = {}
+
+    def _fold_rows(grouped: DataFrame) -> None:
+        for row in grouped.collect():
+            c = row["cluster"]
+            r = row["m"]
+            n0, s0, q0 = mom.get(c, (0, [0] * KDET_DIMS, [0] * KDET_DIMS))
+            mom[c] = (
+                n0 + r["n"],
+                [s0[i] + r[f"s{i}"] for i in range(KDET_DIMS)],
+                [q0[i] + r[f"q{i}"] for i in range(KDET_DIMS)],
+            )
+
+    f0 = chunk0.select("vec_id", "xi", a0.alias("cluster")).localCheckpoint(eager=True)
+    _fold_rows(f0.groupBy("cluster").agg(F.expr(_BDET_MOM_STRUCT)))
+    out = f0.select(
+        "vec_id",
+        "cluster",
+        F.lit(1).cast("int").alias("entry_round"),
+        F.lit("init").alias("via"),
+    )
+    pool: list[tuple[int, list[int]]] = []
+    extra_rows: list[tuple[int, int, int, str]] = []
+    for t in range(1, BDET_CHUNKS):
+        bc, best = _bdet_gate_parts(mom)
+        ch = pts.where(F.col("chunk") == t)
+        g = ch.select(
+            "vec_id", "xi", bc.alias("bcluster"), best.alias("maha")
+        ).localCheckpoint(eager=True)
+        # the retained rows (top-R by distance) join the pool WITH
+        # their integer coordinates — O(cap) driver rows per chunk
+        ret = (
+            g.orderBy(F.desc("maha"), F.asc("vec_id"))
+            .select("vec_id", "xi")
+            .limit(BDET_CS_RETAIN)
+            .collect()
+        )
+        rids = [r["vec_id"] for r in ret]
+        pool.extend((r["vec_id"], list(r["xi"])) for r in ret)
+        asg = g.select(
+            "vec_id",
+            "xi",
+            F.when(F.col("vec_id").isin(rids), F.lit(-1))
+            .otherwise(F.col("bcluster"))
+            .cast("int")
+            .alias("cluster"),
+        )
+        kept = asg.where(F.col("cluster") >= 0)
+        _fold_rows(kept.groupBy("cluster").agg(F.expr(_BDET_MOM_STRUCT)))
+        out = out.unionByName(
+            kept.select(
+                "vec_id",
+                "cluster",
+                F.lit(t + 1).cast("int").alias("entry_round"),
+                F.lit("gate").alias("via"),
+            )
+        )
+        if t < BDET_CHUNKS - 1 and pool:
+            params = _bdet_params(mom)
+            # rank by (distance, vec_id) — the oracle's row_number
+            # order exactly (NOT by cluster; the cluster is just the
+            # argmin attached to the point)
+            scored = sorted(
+                ((*_bdet_maha_best(x, params), vid, x) for vid, x in pool),
+                key=lambda r: (r[0], r[2]),
+            )
+            absorbed = [
+                (d, c, vid, x)
+                for d, c, vid, x in scored
+                if d <= BDET_REGATE_THRESH
+            ][:BDET_REGATE_TAKE]
+            taken = {vid for _, _, vid, _ in absorbed}
+            for _d, c, vid, x in absorbed:
+                n0, s0, q0 = mom[c]
+                mom[c] = (
+                    n0 + 1,
+                    [s0[i] + x[i] for i in range(KDET_DIMS)],
+                    [q0[i] + x[i] * x[i] for i in range(KDET_DIMS)],
+                )
+                extra_rows.append((int(vid), int(c), t + 1, "regate"))
+            pool = [(vid, x) for vid, x in pool if vid not in taken]
+    extra_rows.extend((int(vid), -1, -1, "retained") for vid, _ in pool)
+    pool_df = (
+        spark.createDataFrame(
+            sorted(extra_rows),
+            "vec_id long, cluster int, entry_round int, via string",
+        )
+        if extra_rows
+        else spark.createDataFrame(
+            [], "vec_id long, cluster int, entry_round int, via string"
+        )
+    )
+    result = out.unionByName(pool_df).orderBy("vec_id")
+    pts.unpersist()
+    return result
+
+
+def _bdet_head() -> str:
+    """The shared epoch-CTE head: micro-unit points, dims, chunk-0
+    farthest-point seeds, Lloyd init, a0/acc1. Used verbatim by every
+    det-BFR oracle builder."""
     S, K, D = BDET_SCALE, BDET_K, KDET_DIMS
 
     def assign_cte(name: str, src: str, cent: str) -> str:
@@ -1590,6 +1744,125 @@ sd1 AS MATERIALIZED (SELECT 0 AS sid, vec_id, xi FROM i0 ORDER BY vec_id LIMIT 1
         prev = f"r{it}"
     head += f""", a0 AS MATERIALIZED (SELECT vec_id, xi, cluster FROM {prev}),
 acc1 AS MATERIALIZED (SELECT vec_id, xi, cluster FROM a0)"""
+    return head
+
+
+def _bdet_mompar_ctes(t: int, src: str, prefix: str = "") -> str:
+    """Moment + μ/σ² CTEs ({prefix}mom{t}/{prefix}par{t} naming) over
+    accumulator ``src`` — the one copy of the DS-parameter
+    derivation."""
+    S = BDET_SCALE
+    return f""", {prefix}mom{t} AS MATERIALIZED (
+  SELECT cluster, d.pos, count(*) AS n, sum(xi[d.pos + 1]) AS s,
+         sum(xi[d.pos + 1] * xi[d.pos + 1]) AS q
+  FROM {src} CROSS JOIN dims d GROUP BY cluster, d.pos
+), {prefix}par{t} AS MATERIALIZED (
+  SELECT cluster,
+         list(s / n / {S} ORDER BY pos) AS mu,
+         list(greatest(q / n / {S} / {S} - (s / n / {S}) * (s / n / {S}), {BDET_EPS}) ORDER BY pos) AS sg
+  FROM {prefix}mom{t} GROUP BY cluster
+)"""
+
+
+def _bdet_gscore_cte(name: str, src: str, par: str) -> str:
+    """Nearest-DS scoring CTE (the g-pattern): per point the argmin
+    (maha, cluster) against parameter table ``par``."""
+    S = BDET_SCALE
+    return f""", {name} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster, maha FROM (
+    SELECT vec_id, xi, cluster, maha,
+           row_number() OVER (PARTITION BY vec_id ORDER BY maha, cluster) AS rk
+    FROM (
+      SELECT p.vec_id, p.xi, k.cluster,
+             list_sum(list_transform(list_zip(p.xi, k.mu, k.sg),
+               q -> (q[1] / {S} - q[2]) * (q[1] / {S} - q[2]) / q[3])) AS maha
+      FROM {src} p CROSS JOIN {par} k
+    )
+  ) WHERE rk = 1
+)"""
+
+
+def _bdet_regate_sql() -> str:
+    """bfr_lloyd_regate: capped-retain epoch with per-round pool
+    re-gating (ref int_rs_to_ds) — after each non-final chunk folds,
+    the pool is re-scored against the UPDATED moments (gmom/gpar over
+    the post-fold accumulator), α=4-filtered, and its
+    ``BDET_REGATE_TAKE`` closest members (maha, vec_id order) are
+    absorbed into the accumulator before the next chunk."""
+    R, TAKE, THR = BDET_CS_RETAIN, BDET_REGATE_TAKE, BDET_REGATE_THRESH
+    sql = _bdet_head() + ", accR1 AS (SELECT vec_id, xi, cluster FROM acc1)"
+    for t in range(1, BDET_CHUNKS):
+        sql += _bdet_mompar_ctes(t, f"accR{t}")
+        sql += _bdet_gscore_cte(
+            f"g{t}", f"(SELECT vec_id, xi FROM pts WHERE chunk = {t})", f"par{t}"
+        )
+        sql += f""", rk{t} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster,
+         row_number() OVER (ORDER BY maha DESC, vec_id) AS rk
+  FROM g{t}
+), a{t} AS MATERIALIZED (
+  SELECT vec_id, xi,
+         CASE WHEN rk <= {R} THEN -1 ELSE cluster END AS cluster
+  FROM rk{t}
+), accg{t} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster FROM accR{t}
+  UNION ALL
+  SELECT vec_id, xi, cluster FROM a{t} WHERE cluster >= 0
+), plin{t} AS MATERIALIZED ("""
+        if t == 1:
+            sql += f"""
+  SELECT vec_id, xi FROM a1 WHERE cluster = -1
+)"""
+        else:
+            sql += f"""
+  SELECT vec_id, xi FROM poolR{t - 1}
+  UNION ALL
+  SELECT vec_id, xi FROM a{t} WHERE cluster = -1
+)"""
+        if t < BDET_CHUNKS - 1:
+            sql += _bdet_mompar_ctes(t, f"accg{t}", prefix="g")
+            sql += _bdet_gscore_cte(f"rsc{t}", f"plin{t}", f"gpar{t}")
+            sql += f""", rg{t} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster FROM (
+    SELECT vec_id, xi, cluster, row_number() OVER (ORDER BY maha, vec_id) AS rr
+    FROM rsc{t} WHERE maha <= {THR}
+  ) WHERE rr <= {TAKE}
+), accR{t + 1} AS MATERIALIZED (
+  SELECT vec_id, xi, cluster FROM accg{t}
+  UNION ALL
+  SELECT vec_id, xi, cluster FROM rg{t}
+), poolR{t} AS MATERIALIZED (
+  SELECT vec_id, xi FROM plin{t}
+  WHERE vec_id NOT IN (SELECT vec_id FROM rg{t})
+)"""
+    last = BDET_CHUNKS - 1
+    tail = (
+        "\nSELECT vec_id, CAST(cluster AS INT) AS cluster,"
+        " CAST(entry_round AS INT) AS entry_round, via FROM (\n"
+        "  SELECT vec_id, cluster, 1 AS entry_round, 'init' AS via FROM a0"
+    )
+    for t in range(1, BDET_CHUNKS):
+        tail += (
+            f"\n  UNION ALL SELECT vec_id, cluster, {t + 1}, 'gate'"
+            f" FROM a{t} WHERE cluster >= 0"
+        )
+    for t in range(1, BDET_CHUNKS - 1):
+        tail += f"\n  UNION ALL SELECT vec_id, cluster, {t + 1}, 'regate' FROM rg{t}"
+    tail += f"\n  UNION ALL SELECT vec_id, -1, -1, 'retained' FROM plin{last}"
+    tail += "\n) ORDER BY vec_id"
+    return sql + tail
+
+
+def _bdet_ctes(retain: str = "gate") -> str:
+    """Unrolled chunked-BFR epoch as a CTE prefix: farthest-point
+    seeds + Lloyd init on chunk 0, then per-chunk moment CTEs → μ/σ²
+    lists → nearest-cluster distances → retain rule → moment
+    accumulation (UNION ALL of assigned rows). ``retain`` picks the
+    rule: 'gate' = α-threshold (bfr_lloyd_det/_stats), 'cap' =
+    row_number(maha DESC, vec_id) ≤ cap → −1 (the CS faces). Tails
+    appended by the per-key SQL builders."""
+    S = BDET_SCALE
+    head = _bdet_head()
     parts = []
     for t in range(1, BDET_CHUNKS):
         if retain == "gate":
@@ -1608,16 +1881,7 @@ acc1 AS MATERIALIZED (SELECT vec_id, xi, cluster FROM a0)"""
          CASE WHEN rk <= {BDET_CS_RETAIN} THEN -1 ELSE cluster END AS cluster
   FROM rk{t}
 )"""
-        parts.append(f""", mom{t} AS MATERIALIZED (
-  SELECT cluster, d.pos, count(*) AS n, sum(xi[d.pos + 1]) AS s,
-         sum(xi[d.pos + 1] * xi[d.pos + 1]) AS q
-  FROM acc{t} CROSS JOIN dims d GROUP BY cluster, d.pos
-), par{t} AS MATERIALIZED (
-  SELECT cluster,
-         list(s / n / {S} ORDER BY pos) AS mu,
-         list(greatest(q / n / {S} / {S} - (s / n / {S}) * (s / n / {S}), {BDET_EPS}) ORDER BY pos) AS sg
-  FROM mom{t} GROUP BY cluster
-), g{t} AS MATERIALIZED (
+        parts.append(_bdet_mompar_ctes(t, f"acc{t}") + f""", g{t} AS MATERIALIZED (
   SELECT vec_id, xi, cluster, maha FROM (
     SELECT vec_id, xi, cluster, maha,
            row_number() OVER (PARTITION BY vec_id ORDER BY maha, cluster) AS rk
@@ -1823,6 +2087,7 @@ BFR_LLOYD_DET_SQL = _bdet_oracle_sql()
 BFR_LLOYD_STATS_SQL = _bdet_stats_sql()
 BFR_LLOYD_CS_SQL = _bdet_cs_sql()
 BFR_LLOYD_CS_STATS_SQL = _bdet_cs_stats_sql()
+BFR_LLOYD_REGATE_SQL = _bdet_regate_sql()
 
 
 QUERIES = {
@@ -1841,6 +2106,7 @@ QUERIES = {
     "bfr_lloyd_stats": bfr_lloyd_stats,
     "bfr_lloyd_cs": bfr_lloyd_cs,
     "bfr_lloyd_cs_stats": bfr_lloyd_cs_stats,
+    "bfr_lloyd_regate": bfr_lloyd_regate,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -1861,6 +2127,7 @@ ORACLES = {
     "bfr_lloyd_stats": BFR_LLOYD_STATS_SQL,
     "bfr_lloyd_cs": BFR_LLOYD_CS_SQL,
     "bfr_lloyd_cs_stats": BFR_LLOYD_CS_STATS_SQL,
+    "bfr_lloyd_regate": BFR_LLOYD_REGATE_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

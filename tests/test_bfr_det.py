@@ -282,3 +282,57 @@ def test_cs_empty_pool(spark, tmp_path):
     st = bfr_lloyd_cs_stats(spark, str(tmp_path)).collect()
     assert st[-1]["nof_point_compression"] == 0
     assert st[-1]["nof_point_retained"] == 0
+
+
+# ----------------------------------------------------------------- #
+# regate face (bfr_lloyd_regate): the driver corpus exercises the
+# rank-capped absorption (all pool distances are far below the α=4
+# threshold, so 16 closest absorb per non-final round); this corpus
+# pins the path it can't reach — the α=4 filter REFUSING extreme
+# outliers even when rank alone would admit them — plus full oracle
+# agreement.
+# ----------------------------------------------------------------- #
+
+from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+    BDET_REGATE_TAKE,
+    BDET_REGATE_THRESH,
+    BFR_LLOYD_REGATE_SQL,
+    bfr_lloyd_regate,
+)
+
+
+def test_regate_alpha_filter_and_oracle(spark, tmp_path):
+    """Chunk-1/2 extreme outliers land in the retained pool and must
+    STAY retained (or RS) through every re-gate round — their maha
+    against any DS cluster is orders of magnitude past α²·d=1024 —
+    while ordinary boundary points do get re-absorbed."""
+    rng = np.random.default_rng(17)
+    n = 480
+    ids = np.arange(n)
+    X = rng.normal(0.0, 0.05, size=(n, KD))
+    blob = (ids // BDET_CHUNKS) % 8
+    for b in range(8):
+        X[blob == b, b] += 2.0
+    far = [21, 25, 22, 26]  # chunks 1,1,2,2
+    for o in far:
+        X[o] = 0.0
+        X[o, 0] = 50.0  # ~1000σ: maha >> threshold vs every blob
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype(np.float32).tolist() for r in X]}
+    )
+    pq = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(pq)
+    rows = bfr_lloyd_regate(spark, str(tmp_path)).collect()
+    got = {r["vec_id"]: (r["cluster"], r["entry_round"], r["via"]) for r in rows}
+    for o in far:
+        assert got[o][0] == -1 and got[o][2] == "retained", got[o]
+    # re-gating really happened for ordinary pool members
+    n_regate = sum(1 for v in got.values() if v[2] == "regate")
+    assert 0 < n_regate <= 2 * BDET_REGATE_TAKE
+    # every point exactly once; full oracle agreement
+    assert len(got) == n
+    want = sorted(_oracle_rows(BFR_LLOYD_REGATE_SQL, str(pq)))
+    assert (
+        sorted((r["vec_id"], r["cluster"], r["entry_round"], r["via"]) for r in rows)
+        == want
+    )

@@ -489,6 +489,7 @@ ML_MM_KEYS = [
     "bfr_lloyd_stats",
     "bfr_lloyd_cs",
     "bfr_lloyd_cs_stats",
+    "bfr_lloyd_regate",
     "mahalanobis_assign",
     "suffstats",
     "cluster_profile",

@@ -50,6 +50,7 @@ RISK_KEYS = [
     "bfr_lloyd_stats",        # windowed cumulative counts off the epoch
     "bfr_lloyd_cs",           # rank-based capped retain (top-R TakeOrdered)
     "stream_bfr_rounds",      # chunk-ordered replay, per-batch moment folds
+    "bfr_lloyd_regate",       # rank-based retain + driver re-gate folds
 ]
 
 WIDTHS = ["1", "8", "19"]

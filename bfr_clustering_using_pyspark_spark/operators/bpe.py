@@ -248,6 +248,65 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by (lang, source): BPE tokens per
+    word and chars per token for every corpus segment — the standard
+    pre-flight check before committing a tokenizer to a multilingual/
+    multi-source training mix (a segment with outlier fertility gets
+    under-trained at a fixed token budget). Emits (lang, source,
+    n_docs, n_words, n_bpe_tokens, fertility, chars_per_token); the
+    ratios are floored at 4dp from exact integer sums (floor, not
+    round — tie handling differs per engine).
+
+    Rides the session-cached fit: corpus-side work is one
+    words→vocab broadcast join + a (lang, source) aggregation —
+    segment-count output, corpus-linear scan."""
+    wf, _merges = _bpe_fit(spark, sf_dir)
+    wstats = wf.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        ((F.length("sym") - F.length(F.replace("sym", F.lit(_D), F.lit("")))) / 2)
+        .cast("long")
+        .alias("n_sym"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", "source", F.explode(word_tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(wstats, "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            (
+                F.floor(
+                    F.col("n_bpe_tokens") * F.lit(1e4)
+                    / F.greatest(F.col("n_words"), F.lit(1))
+                )
+                / F.lit(1e4)
+            ).alias("fertility"),
+            (
+                F.floor(
+                    F.col("n_chars") * F.lit(1e4)
+                    / F.greatest(F.col("n_bpe_tokens"), F.lit(1))
+                )
+                / F.lit(1e4)
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def _rounds_ctes() -> str:
     """The unrolled merge rounds as DuckDB CTE text: round r computes
     pair counts p{r} from word state w{r-1}, the top pair t{r}
@@ -323,6 +382,31 @@ ORDER BY d.doc_id
 )
 
 
+TOKENIZER_FERTILITY_SQL = (
+    _rounds_ctes()
+    + f""",
+wstats AS (
+  SELECT word, length(word) AS n_chars_w,
+         (length(sym) - length(replace(sym, '{_D}', ''))) // 2 AS n_sym
+  FROM w{R_MERGES}
+), dw AS (
+  SELECT doc_id, lang, source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       floor(CAST(sum(n_sym) AS DOUBLE) * 1e4 / greatest(count(*), 1)) / 1e4 AS fertility,
+       floor(CAST(sum(n_chars_w) AS DOUBLE) * 1e4 / greatest(sum(n_sym), 1)) / 1e4 AS chars_per_token
+FROM dw JOIN wstats USING (word)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+)
+
+
 TEXT_BPE_VOCAB_SQL = (
     _rounds_ctes()
     + f""",
@@ -375,12 +459,14 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "text_bpe_vocab": text_bpe_vocab,
     "text_bpe_train_deep": text_bpe_train_deep,
+    "tokenizer_fertility": tokenizer_fertility,
 }
 
 ORACLES = {
     "text_bpe_train": TEXT_BPE_TRAIN_SQL,
     "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
     "text_bpe_vocab": TEXT_BPE_VOCAB_SQL,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     # text_bpe_train_deep: intentionally no oracle (rows-only) — an
     # unrolled CTE per merge round at R_DEEP depth is intractable;
     # the key is pinned by property tests + determinism instead

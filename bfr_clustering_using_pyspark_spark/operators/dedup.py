@@ -207,11 +207,11 @@ ORDER BY doc_a, doc_b
 N_SIMHASH_BITS = 16
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-token md5-derived 60-bit hash → per-bit majority
-    vote → 16-bit signature. Docs sharing a signature are near-dup
-    candidates. One explode + one groupBy (map-side combinable)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) signatures: per-token md5-derived 60-bit
+    hash → per-bit majority vote → 16-bit signature. One explode +
+    one map-side-combinable groupBy. Shared by ``dedup_simhash`` and
+    the cascade stage in ``dedup_cascade``."""
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
@@ -226,7 +226,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(N_SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    sigs = votes.select("doc_id", sig.cast("long").alias("simhash"))
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5-derived 60-bit hash → per-bit majority
+    vote → 16-bit signature. Docs sharing a signature are near-dup
+    candidates. One explode + one groupBy (map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _simhash_sigs(docs)
     w = W.partitionBy("simhash")
     return sigs.select(
         "doc_id",
@@ -1616,8 +1624,110 @@ FROM scored ORDER BY method
 """
 
 
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE with per-stage attrition — four
+    progressively-fuzzier stages applied SEQUENTIALLY (each stage
+    sees only the previous stage's survivors, survivor = smallest
+    doc_id per key):
+
+    1. ``exact``   — sha256(text) (byte-identical copies);
+    2. ``canon``   — md5 of the normalized token stream (whitespace/
+       case/punctuation variants);
+    3. ``tokset``  — md5 of the sorted DISTINCT token set (reordered/
+       repeated-content variants);
+    4. ``simhash`` — the 16-bit majority-vote signature
+       (``_simhash_sigs``): near-dup bucket collapse.
+
+    Emits one row per stage: (stage_id, stage, docs_in, docs_removed,
+    docs_out) — the attrition report every corpus-curation run ships.
+
+    Plan: ONE pass computing all four keys, then four chained window
+    minima (min over stage key among prior survivors — each a plain
+    hash-partition window, no n-sized frame), one final flag-sum
+    aggregation; the 1-row agg collect fans out to the 4-row report.
+    Four hash shuffles total, each keyed on a dedup key — linear at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("k_exact"),
+        F.md5(F.array_join(_tokens(F.col("text")), " ")).alias("k_canon"),
+        _tokset_key(F.col("text")).alias("k_tokset"),
+    ).join(_simhash_sigs(docs), "doc_id", "left")
+    stages = ["k_exact", "k_canon", "k_tokset", "simhash"]
+    surv_prev = F.lit(True)
+    flags = keyed
+    for i, k in enumerate(stages, start=1):
+        m = F.min(F.when(surv_prev, F.col("doc_id"))).over(W.partitionBy(k))
+        flags = flags.withColumn(f"surv{i}", surv_prev & (F.col("doc_id") == m))
+        surv_prev = F.col(f"surv{i}")
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(F.col(f"surv{i}").cast("long")).alias(f"n{i}") for i in range(1, 5)],
+    ).head()
+    names = ["exact", "canon", "tokset", "simhash"]
+    rows = []
+    for i, name in enumerate(names, start=1):
+        d_in, d_out = int(agg[f"n{i-1}"]), int(agg[f"n{i}"])
+        rows.append((i, name, d_in, d_in - d_out, d_out))
+    return spark.createDataFrame(
+        rows,
+        "stage_id int, stage string, docs_in long, docs_removed long, docs_out long",
+    ).orderBy("stage_id")
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         sha256(text) AS k_exact,
+         md5(coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '')) AS k_canon,
+         md5(coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '), '')) AS k_tokset
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+{_VOTE_SQL}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({_SIG_SQL} AS BIGINT) AS simhash FROM votes
+), base AS (
+  SELECT k.doc_id, k.k_exact, k.k_canon, k.k_tokset, s.simhash
+  FROM keyed k LEFT JOIN sigs s USING (doc_id)
+), s1 AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY k_exact) AS surv1 FROM base
+), s2 AS (
+  SELECT *, surv1 AND doc_id = min(CASE WHEN surv1 THEN doc_id END)
+                             OVER (PARTITION BY k_canon) AS surv2 FROM s1
+), s3 AS (
+  SELECT *, surv2 AND doc_id = min(CASE WHEN surv2 THEN doc_id END)
+                             OVER (PARTITION BY k_tokset) AS surv3 FROM s2
+), s4 AS (
+  SELECT *, surv3 AND doc_id = min(CASE WHEN surv3 THEN doc_id END)
+                             OVER (PARTITION BY simhash) AS surv4 FROM s3
+), c AS (
+  SELECT count(*) AS n0,
+         sum(CAST(surv1 AS BIGINT)) AS n1, sum(CAST(surv2 AS BIGINT)) AS n2,
+         sum(CAST(surv3 AS BIGINT)) AS n3, sum(CAST(surv4 AS BIGINT)) AS n4
+  FROM s4
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS stage_id, 'exact' AS stage,
+         CAST(n0 AS BIGINT) AS docs_in, CAST(n0 - n1 AS BIGINT) AS docs_removed,
+         CAST(n1 AS BIGINT) AS docs_out FROM c
+  UNION ALL SELECT 2, 'canon', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT), CAST(n2 AS BIGINT) FROM c
+  UNION ALL SELECT 3, 'tokset', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT), CAST(n3 AS BIGINT) FROM c
+  UNION ALL SELECT 4, 'simhash', CAST(n3 AS BIGINT), CAST(n3 - n4 AS BIGINT), CAST(n4 AS BIGINT) FROM c
+) ORDER BY stage_id
+"""
+
+
 QUERIES = {
     "q_survivorship": q_survivorship,
+    "dedup_cascade": dedup_cascade,
     "dedup_recall_eval": dedup_recall_eval,
     "dedup_substring": dedup_substring,
     "dedup_containment": dedup_containment,
@@ -1632,6 +1742,7 @@ QUERIES = {
 
 ORACLES = {
     "q_survivorship": Q_SURVIVORSHIP_SQL,
+    "dedup_cascade": DEDUP_CASCADE_SQL,
     "dedup_recall_eval": DEDUP_RECALL_EVAL_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,

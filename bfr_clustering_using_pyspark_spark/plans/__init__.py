@@ -105,6 +105,10 @@ _COST_S = {
     "bfr_lloyd_det": 13.0, "bfr_lloyd_stats": 13.0,
     "bfr_lloyd_cs": 9.0, "bfr_lloyd_cs_stats": 9.0,
     "bfr_lloyd_regate": 8.0,
+    # rides the BPE session cache when a sibling ran first; standalone
+    # pays the 12-round fit (cache doctrine: record the real cost)
+    "tokenizer_fertility": 13.0,
+    "dedup_cascade": 2.5,
     # streaming replay: re-stages chunk files + one epoch per drain
     # (no cache share with the batch epoch — different build path)
     "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 10.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
@@ -142,6 +146,11 @@ _CHANGED_THIS_ROUND = (
     "bfr_lloyd_stats", "bfr_lloyd_cs", "bfr_lloyd_cs_stats",
     # round 14: NEW — mid-epoch RS re-gating face (ref int_rs_to_ds)
     "bfr_lloyd_regate",
+    # round 14: NEW — per-(lang, source) tokenizer fertility audit;
+    # 4-stage sequential dedup cascade with attrition accounting
+    # (dedup_simhash refactored onto the shared signature helper —
+    # same values, re-verify first per convention)
+    "tokenizer_fertility", "dedup_cascade", "dedup_simhash",
     # round 14: NEW — chunk-ordered streaming replay of the det epoch,
     # hash-gated by bfr_lloyd_stats' oracle (stream ≡ batch pinned in
     # tests/test_streaming.py)

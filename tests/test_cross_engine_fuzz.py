@@ -65,6 +65,11 @@ DOC_KEYS = [
     "retrieval_conj_eval",
     "seq_pack_eval",
     "corpus_epoch_plan",
+    # r14: fertility audit (rides the BPE fit on the random corpus);
+    # sequential 4-stage cascade (the generator's exact + near dups
+    # exercise every stage's attrition)
+    "tokenizer_fertility",
+    "dedup_cascade",
 ]
 EMB_KEYS = [
     "embedding_normalize",

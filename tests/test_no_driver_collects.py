@@ -33,7 +33,7 @@ WHITELIST = {
     "plans/events.py": (1, "per-event-type counts (bounded by distinct types)"),
     "plans/tpch_ext.py": (2, "per-returnflag counts (3 rows) for rank medians; q_asof_grouped hot-group gate: <= total/group_cap over-cap user ids (map-side-combined count agg, empty on production-shaped corpora)"),
     "operators/ranking.py": (1, "bucket-cut sketch: <=MAX_BUCKETS doubles per expression"),
-    "operators/dedup.py": (3, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path); 1-row LSH_ORACLE_N guard agg (count+max over the persisted signature store, once per cache entry)"),
+    "operators/dedup.py": (4, "1-row agg (corpus-level scalars); CC small-edge gate: <=CC_SMALL_PAIRS pair rows collected for driver union-find (counted BEFORE the branch; distributed propagation is the default scale path); 1-row LSH_ORACLE_N guard agg (count+max over the persisted signature store, once per cache entry); dedup_cascade 1-row flag-sum head fanning out to the 4-row attrition report"),
     "operators/similarity.py": (4, "2 dim probes (1 row); bounded probe-id list (<=20 queries); 16 PQ anchor vectors"),
     "operators/embeddings_ops.py": (4, "dim probe; O(d^2) covariance/eigh input for PCA; 64-int mean + d^2-int gram matrix for pca_power_det"),
     "operators/retrieval.py": (2, "two 1-row corpus token-total aggs (BM25 avgdl scalar; one per query-term family)"),

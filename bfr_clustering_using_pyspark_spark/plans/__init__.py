@@ -104,7 +104,7 @@ _COST_S = {
     # cache at ~0.5-1.5s — never encode the discount)
     "bfr_lloyd_det": 13.0, "bfr_lloyd_stats": 13.0,
     "bfr_lloyd_cs": 9.0, "bfr_lloyd_cs_stats": 9.0,
-    "bfr_lloyd_regate": 8.0,
+    "bfr_lloyd_regate": 8.0, "bfr_lloyd_final": 9.0,
     # rides the BPE session cache when a sibling ran first; standalone
     # pays the 12-round fit (cache doctrine: record the real cost)
     "tokenizer_fertility": 13.0,
@@ -151,6 +151,9 @@ _CHANGED_THIS_ROUND = (
     # (dedup_simhash refactored onto the shared signature helper —
     # same values, re-verify first per convention)
     "tokenizer_fertility", "dedup_cascade", "dedup_simhash",
+    # round 14: NEW — the complete reference lifecycle end-to-end
+    # (epoch + CS pass + merge_into_ds final fold)
+    "bfr_lloyd_final",
     # round 14: NEW — chunk-ordered streaming replay of the det epoch,
     # hash-gated by bfr_lloyd_stats' oracle (stream ≡ batch pinned in
     # tests/test_streaming.py)

@@ -1448,15 +1448,15 @@ def _bdet_cs_state(spark: SparkSession, sf_dir: str):
     """Shared assembly for the CS faces: run the capped-retain epoch,
     collect the bounded pool ((chunks−1)·BDET_CS_RETAIN rows — a
     counted small gate), run the compression pass. Returns
-    (frames, labels, n_cs_clusters, n_cs_points, n_rs)."""
-    frames, _ = _bdet_epoch(spark, sf_dir, retain="cap")
+    (frames, mom, pool, labels, n_cs_clusters, n_cs_points, n_rs)."""
+    frames, mom = _bdet_epoch(spark, sf_dir, retain="cap")
     pooled = None
     for fr in frames[1:]:
         p = fr.where(F.col("cluster") == -1).select("vec_id", "xi")
         pooled = p if pooled is None else pooled.unionByName(p)
     pool = [(r["vec_id"], list(r["xi"])) for r in pooled.collect()]
     labels, ncs, ncsp, nrs = _bdet_cs_pass(pool)
-    return frames, labels, ncs, ncsp, nrs
+    return frames, mom, pool, labels, ncs, ncsp, nrs
 
 
 def bfr_lloyd_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,7 +1476,7 @@ def bfr_lloyd_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the epoch is the ``_bdet_epoch`` contract; the CS pass
     operates on a pool whose size is CONSTANT by construction
     ((chunks−1)·cap), so the driver stage is bounded at any SF."""
-    frames, labels, _ncs, _ncsp, _nrs = _bdet_cs_state(spark, sf_dir)
+    frames, _mom, _pool, labels, _ncs, _ncsp, _nrs = _bdet_cs_state(spark, sf_dir)
     ds = None
     for fr in frames:
         d = fr.where(F.col("cluster") >= 0).select(
@@ -1509,7 +1509,7 @@ def bfr_lloyd_cs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one count aggregation per checkpointed chunk frame
     (bounded output) + the bounded CS pass shared via the epoch
     cache."""
-    frames, _labels, ncs, ncsp, nrs = _bdet_cs_state(spark, sf_dir)
+    frames, _mom, _pool, _labels, ncs, ncsp, nrs = _bdet_cs_state(spark, sf_dir)
     per = []
     for fr in frames:
         r = fr.agg(
@@ -1539,6 +1539,125 @@ def bfr_lloyd_cs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nof_cluster_compression long, nof_point_compression long, "
         "nof_point_retained long",
     ).orderBy("round_id")
+
+
+def bfr_lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference lifecycle, hash-gated end-to-end: the
+    capped-retain epoch + compression pass (``_bdet_cs_state``)
+    followed by the reference's FINAL fold ``merge_into_ds``
+    (/root/reference/code/bfr.py:336-352, invoked on the last round
+    at :448): every merged compressed set's MEAN is assigned to its
+    nearest DS cluster unconditionally (ref α=10¹⁸) and all its
+    members take that label; every remaining RS singleton is re-gated
+    at α=4 — assigned if it fits, −1 (outlier) otherwise. Returns
+    (vec_id, cluster, via) with via ∈ {'init','gate','cs_fold',
+    'rs_fold','outlier'} — the provenance-annotated version of the
+    reference's final ``out_dict`` JSON.
+
+    Departure (documented): the reference folds CS/RS points into the
+    DS statistics SEQUENTIALLY as it assigns them (list-order
+    dependent); this face scores everything against the FIXED
+    post-epoch statistics — order-free, hence SQL-replayable.
+
+    Scale: epoch contract + bounded driver fold (pool and CS-set
+    count are constant by construction; DS params are O(k·d))."""
+    frames, mom, pool, labels, _ncs, _ncsp, _nrs = _bdet_cs_state(spark, sf_dir)
+    params = _bdet_params(mom)
+    S = BDET_SCALE
+    coords = dict(pool)
+    groups: dict[int, list[int]] = {}
+    rs_vids: list[int] = []
+    for vid, lbl in labels.items():
+        if lbl <= -2:
+            groups.setdefault(-(lbl + 2), []).append(vid)
+        else:
+            rs_vids.append(vid)
+    rows: list[tuple[int, int, str]] = []
+    for root in sorted(groups):
+        vids = groups[root]
+        n = len(vids)
+        s = [0] * KDET_DIMS
+        for vid in vids:
+            x = coords[vid]
+            for i in range(KDET_DIMS):
+                s[i] += x[i]
+        gm = [s[i] / n / S for i in range(KDET_DIMS)]
+        best = None
+        for c, mu, sg in params:
+            acc = 0.0
+            for i in range(KDET_DIMS):
+                d = gm[i] - mu[i]
+                acc += d * d / sg[i]
+            if best is None or (acc, c) < best:
+                best = (acc, c)
+        for vid in vids:
+            rows.append((int(vid), int(best[1]), "cs_fold"))
+    for vid in rs_vids:
+        d, c = _bdet_maha_best(coords[vid], params)
+        if d <= BDET_REGATE_THRESH:
+            rows.append((int(vid), int(c), "rs_fold"))
+        else:
+            rows.append((int(vid), -1, "outlier"))
+    ds = None
+    for t, fr in enumerate(frames):
+        d = fr.where(F.col("cluster") >= 0).select(
+            "vec_id",
+            "cluster",
+            F.lit("init" if t == 0 else "gate").alias("via"),
+        )
+        ds = d if ds is None else ds.unionByName(d)
+    pool_df = (
+        spark.createDataFrame(sorted(rows), "vec_id long, cluster int, via string")
+        if rows
+        else spark.createDataFrame([], "vec_id long, cluster int, via string")
+    )
+    return ds.unionByName(pool_df).orderBy("vec_id")
+
+
+def _bdet_final_sql() -> str:
+    """bfr_lloyd_final: the CS-pass CTEs + the merge_into_ds fold —
+    final DS params over the full accumulator, merged-group means
+    from summed member moments, unconditional nearest-DS for CS
+    sets, α=4 re-gate for RS singletons."""
+    S, N = BDET_SCALE, BDET_CHUNKS
+    lpf = f"lp{BDET_CS_K - 1}"
+    sql = _bdet_cs_ctes()
+    sql += _bdet_mompar_ctes(N, f"acc{N}", prefix="f")
+    sql += f""", grpmom AS (
+  SELECT l.lbl, m.pos, sum(m.s) AS s, sum(m.n) AS n
+  FROM csmom m JOIN {lpf} l ON l.id = m.cluster
+  GROUP BY l.lbl, m.pos
+), grpmean AS (
+  SELECT lbl, list(s / n / {S} ORDER BY pos) AS gm FROM grpmom GROUP BY lbl
+), csfold AS (
+  SELECT lbl, cluster FROM (
+    SELECT g.lbl, k.cluster,
+           row_number() OVER (PARTITION BY g.lbl ORDER BY
+             list_sum(list_transform(list_zip(g.gm, k.mu, k.sg),
+               q -> (q[1] - q[2]) * (q[1] - q[2]) / q[3])), k.cluster) AS rk
+    FROM grpmean g CROSS JOIN fpar{N} k
+  ) WHERE rk = 1
+), rsx AS (
+  SELECT a.vec_id, a.xi FROM csa a JOIN cscnt c USING (cluster) WHERE c.n = 1
+)"""
+    sql += _bdet_gscore_cte("rsg", "rsx", f"fpar{N}")
+    ds = "\n  UNION ALL ".join(
+        f"SELECT vec_id, cluster, '{'init' if t == 0 else 'gate'}' AS via"
+        f" FROM a{t} WHERE cluster >= 0"
+        for t in range(N)
+    )
+    sql += f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster, via FROM (
+  {ds}
+  UNION ALL SELECT m.vec_id, f.cluster, 'cs_fold' AS via
+            FROM csmem m JOIN {lpf} l ON l.id = m.cluster
+            JOIN csfold f ON f.lbl = l.lbl
+  UNION ALL SELECT vec_id,
+            CASE WHEN maha <= {BDET_REGATE_THRESH} THEN cluster ELSE -1 END,
+            CASE WHEN maha <= {BDET_REGATE_THRESH} THEN 'rs_fold' ELSE 'outlier' END
+            FROM rsg
+) ORDER BY vec_id"""
+    return sql
 
 
 # int_rs_to_ds parity (ref bfr.py:322-334, invoked every non-final
@@ -2088,6 +2207,7 @@ BFR_LLOYD_STATS_SQL = _bdet_stats_sql()
 BFR_LLOYD_CS_SQL = _bdet_cs_sql()
 BFR_LLOYD_CS_STATS_SQL = _bdet_cs_stats_sql()
 BFR_LLOYD_REGATE_SQL = _bdet_regate_sql()
+BFR_LLOYD_FINAL_SQL = _bdet_final_sql()
 
 
 QUERIES = {
@@ -2107,6 +2227,7 @@ QUERIES = {
     "bfr_lloyd_cs": bfr_lloyd_cs,
     "bfr_lloyd_cs_stats": bfr_lloyd_cs_stats,
     "bfr_lloyd_regate": bfr_lloyd_regate,
+    "bfr_lloyd_final": bfr_lloyd_final,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -2128,6 +2249,7 @@ ORACLES = {
     "bfr_lloyd_cs": BFR_LLOYD_CS_SQL,
     "bfr_lloyd_cs_stats": BFR_LLOYD_CS_STATS_SQL,
     "bfr_lloyd_regate": BFR_LLOYD_REGATE_SQL,
+    "bfr_lloyd_final": BFR_LLOYD_FINAL_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

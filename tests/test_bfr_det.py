@@ -336,3 +336,29 @@ def test_regate_alpha_filter_and_oracle(spark, tmp_path):
         sorted((r["vec_id"], r["cluster"], r["entry_round"], r["via"]) for r in rows)
         == want
     )
+
+
+from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+    BFR_LLOYD_FINAL_SQL,
+    bfr_lloyd_final,
+)
+
+
+def test_final_fold_paths_and_oracle(spark, tmp_path):
+    """merge_into_ds parity on a corpus with an RS singleton: the
+    lone extreme point must come out 'outlier' (α=4 re-gate fails at
+    ~1000σ), the tight far groups fold via 'cs_fold' into SOME DS
+    cluster, every point appears exactly once, and the full result
+    matches the DuckDB oracle."""
+    sf_dir, pq, group_a, group_b, lone = _cs_corpus(tmp_path)
+    rows = bfr_lloyd_final(spark, sf_dir).collect()
+    got = {r["vec_id"]: (r["cluster"], r["via"]) for r in rows}
+    assert got[lone] == (-1, "outlier"), got[lone]
+    for o in group_a + group_b:
+        c, via = got[o]
+        assert via == "cs_fold" and 0 <= c < BDET_K, (o, got[o])
+    vias = {v for _, v in got.values()}
+    assert "gate" in vias and "init" in vias
+    assert len(got) == 480
+    want = sorted(_oracle_rows(BFR_LLOYD_FINAL_SQL, pq))
+    assert sorted((r["vec_id"], r["cluster"], r["via"]) for r in rows) == want

@@ -495,6 +495,7 @@ ML_MM_KEYS = [
     "bfr_lloyd_cs",
     "bfr_lloyd_cs_stats",
     "bfr_lloyd_regate",
+    "bfr_lloyd_final",
     "mahalanobis_assign",
     "suffstats",
     "cluster_profile",

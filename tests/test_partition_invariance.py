@@ -51,6 +51,7 @@ RISK_KEYS = [
     "bfr_lloyd_cs",           # rank-based capped retain (top-R TakeOrdered)
     "stream_bfr_rounds",      # chunk-ordered replay, per-batch moment folds
     "bfr_lloyd_regate",       # rank-based retain + driver re-gate folds
+    "bfr_lloyd_final",        # full lifecycle incl. CS/RS final fold
 ]
 
 WIDTHS = ["1", "8", "19"]

@@ -105,6 +105,7 @@ _COST_S = {
     "bfr_lloyd_det": 13.0, "bfr_lloyd_stats": 13.0,
     "bfr_lloyd_cs": 9.0, "bfr_lloyd_cs_stats": 9.0,
     "bfr_lloyd_regate": 8.0, "bfr_lloyd_final": 9.0,
+    "bfr_nmi_eval": 10.0,
     # rides the BPE session cache when a sibling ran first; standalone
     # pays the 12-round fit (cache doctrine: record the real cost)
     "tokenizer_fertility": 13.0,
@@ -139,42 +140,19 @@ _COST_S = {
 #     budget refreshes r1/r3-era rows instead of re-sampling the
 #     same cheap keys forever.
 _CHANGED_THIS_ROUND = (
-    # round 14: NEW — per-round DS/RS accounting of the det epoch
-    # (the reference intermediate-CSV contract, hash-gated); the CS
-    # tier (capped retain → pool re-cluster → singleton fallback →
-    # Mahalanobis CC merge) + its reference-CSV stats face
-    "bfr_lloyd_stats", "bfr_lloyd_cs", "bfr_lloyd_cs_stats",
-    # round 14: NEW — mid-epoch RS re-gating face (ref int_rs_to_ds)
-    "bfr_lloyd_regate",
-    # round 14: NEW — per-(lang, source) tokenizer fertility audit;
-    # 4-stage sequential dedup cascade with attrition accounting
-    # (dedup_simhash refactored onto the shared signature helper —
-    # same values, re-verify first per convention)
-    "tokenizer_fertility", "dedup_cascade", "dedup_simhash",
-    # round 14: NEW — the complete reference lifecycle end-to-end
-    # (epoch + CS pass + merge_into_ds final fold)
-    "bfr_lloyd_final",
-    # round 14: NEW — chunk-ordered streaming replay of the det epoch,
-    # hash-gated by bfr_lloyd_stats' oracle (stream ≡ batch pinned in
-    # tests/test_streaming.py)
-    "stream_bfr_rounds",
-    # round 14: det-epoch refactor (shared cached epoch, per-chunk
-    # checkpoints, SQL-text literal matrices — same values, new build
-    # path; first-touch cost 16→9s) — re-verify first per convention
-    "bfr_lloyd_det", "kmeans_lloyd_det", "kmeans_inertia_eval",
-    # round 14 ADVICE fixes (oracle/impl touched in lockstep):
-    # zero-prefix norm floor; shared quality-gate SQL fragment +
-    # token_share tot guard; BPE deep-face periodic symbol fold
-    "emb_truncate_eval", "corpus_epoch_plan", "corpus_curate",
-    "text_quality", "text_bpe_train_deep",
-    # ml/kmeans.py winner materialization (rows-only face)
-    "kmeans_fit",
-    # round 14: index write re-keyed on list_id at session shuffle
-    # width (one file per list per batch) + probe under the scoped
-    # width — same rows/hashes, ~40% gate-cost cut
-    "stream_ann_index",
+    # round 15: NEW — the reference's headline metric hash-gated:
+    # NMI of bfr_lloyd_final's labels vs ground truth (get_nmi.py
+    # parity, −1 scored as its own class)
+    "bfr_nmi_eval",
+    # round 15: bfr_lloyd_final's oracle refactored to share its
+    # label CTEs with the NMI tail (finlab MATERIALIZED CTE — same
+    # values, new SQL text; re-verify first per convention), and the
+    # det-epoch cache freshness token switched to _corpus_version
+    # (ADVICE r15 — affects every epoch-cache rider; re-gate the
+    # first-touch face)
+    "bfr_lloyd_final", "bfr_lloyd_det",
 )
-# round 14: no fixed-point conversions this round
+# round 15: no fixed-point conversions this round
 _CONVERTED_THIS_ROUND = ()
 
 

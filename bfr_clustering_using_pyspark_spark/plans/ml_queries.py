@@ -1178,11 +1178,19 @@ def _bdet_epoch(
     workers."""
     import os
 
+    from ..operators.retrieval import _corpus_version
+
+    # Freshness token via _corpus_version (operators/retrieval.py):
+    # for directory-layout corpora (the sf1 layout) an in-place
+    # part-file rewrite leaves the dir mtime unchanged, so plain
+    # getmtime could serve a stale epoch; _corpus_version folds in
+    # every contained file's (name, size, mtime_ns) and degrades to 0
+    # instead of raising when the path is absent (ADVICE r14).
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         retain,
-        os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")),
+        _corpus_version(os.path.join(sf_dir, "embeddings.parquet")),
     )
     hit = _BDET_CACHE.get(key)
     if hit is not None:
@@ -1614,11 +1622,74 @@ def bfr_lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.unionByName(pool_df).orderBy("vec_id")
 
 
-def _bdet_final_sql() -> str:
-    """bfr_lloyd_final: the CS-pass CTEs + the merge_into_ds fold —
-    final DS params over the full accumulator, merged-group means
-    from summed member moments, unconditional nearest-DS for CS
-    sets, α=4 re-gate for RS singletons."""
+def bfr_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference headline metric, hash-gated: normalized mutual
+    information of the complete BFR lifecycle's final labels
+    (``bfr_lloyd_final``) against the ground-truth ``label`` column —
+    the number ``/root/reference/get_nmi.py`` computes over the
+    final ``out_dict`` JSON (README: "NMI score of 0.999").
+
+    Outlier convention matches the reference exactly: cluster −1
+    participates as its own class (``get_nmi.py`` initializes both
+    label vectors to −1 and sklearn's
+    ``normalized_mutual_info_score`` scores −1 as a class); NMI uses
+    the arithmetic mean of the entropies (sklearn's default
+    ``average_method='arithmetic'``). Returns one row:
+    (n_points, n_pred, n_outliers, nmi).
+
+    Scale: rides the shared epoch cache (the lifecycle frames are
+    checkpointed once per session); the NMI tail is a contingency
+    aggregation — one shuffle keyed on (pred, truth), output ≤
+    k_pred·k_truth rows, then O(k²) arithmetic. Works unchanged at
+    any corpus size."""
+    final = bfr_lloyd_final(spark, sf_dir)
+    truth = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("truth")
+    )
+    base = (
+        final.select("vec_id", F.col("cluster").alias("pred"))
+        .join(truth, "vec_id")
+        .select("pred", "truth")
+    )
+    n_total = base.count()
+    cont = base.groupBy("pred", "truth").agg(F.count("*").alias("nij"))
+    pi = cont.groupBy("pred").agg(F.sum("nij").alias("ni"))
+    pj = cont.groupBy("truth").agg(F.sum("nij").alias("nj"))
+    joined = cont.join(F.broadcast(pi), "pred").join(F.broadcast(pj), "truth")
+    mi = joined.select(
+        F.sum(
+            (F.col("nij") / n_total)
+            * F.log((F.col("nij") * F.lit(float(n_total))) / (F.col("ni") * F.col("nj")))
+        ).alias("mi")
+    )
+    hi = pi.select(F.sum(-(F.col("ni") / n_total) * F.log(F.col("ni") / n_total)).alias("h_pred"))
+    hj = pj.select(F.sum(-(F.col("nj") / n_total) * F.log(F.col("nj") / n_total)).alias("h_truth"))
+    st = base.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.countDistinct("pred").cast("long").alias("n_pred"),
+        F.coalesce(F.sum((F.col("pred") == -1).cast("long")), F.lit(0)).cast("long").alias("n_outliers"),
+    )
+    return (
+        st.crossJoin(mi)
+        .crossJoin(hi)
+        .crossJoin(hj)
+        .select(
+            "n_points",
+            "n_pred",
+            "n_outliers",
+            F.round(F.col("mi") / ((F.col("h_pred") + F.col("h_truth")) / 2.0), 6).alias("nmi"),
+        )
+    )
+
+
+def _bdet_final_ctes() -> str:
+    """The complete-lifecycle label CTEs shared by
+    ``bfr_lloyd_final`` and ``bfr_nmi_eval``: CS-pass CTEs + the
+    merge_into_ds fold — final DS params over the full accumulator,
+    merged-group means from summed member moments, unconditional
+    nearest-DS for CS sets, α=4 re-gate for RS singletons — ending
+    in ``finlab(vec_id, cluster, via)`` (MATERIALIZED: the NMI tail
+    reads it twice)."""
     S, N = BDET_SCALE, BDET_CHUNKS
     lpf = f"lp{BDET_CS_K - 1}"
     sql = _bdet_cs_ctes()
@@ -1646,18 +1717,58 @@ def _bdet_final_sql() -> str:
         f" FROM a{t} WHERE cluster >= 0"
         for t in range(N)
     )
-    sql += f"""
-SELECT vec_id, CAST(cluster AS INT) AS cluster, via FROM (
-  {ds}
-  UNION ALL SELECT m.vec_id, f.cluster, 'cs_fold' AS via
-            FROM csmem m JOIN {lpf} l ON l.id = m.cluster
-            JOIN csfold f ON f.lbl = l.lbl
-  UNION ALL SELECT vec_id,
-            CASE WHEN maha <= {BDET_REGATE_THRESH} THEN cluster ELSE -1 END,
-            CASE WHEN maha <= {BDET_REGATE_THRESH} THEN 'rs_fold' ELSE 'outlier' END
-            FROM rsg
-) ORDER BY vec_id"""
+    sql += f""", finlab AS MATERIALIZED (
+  SELECT vec_id, CAST(cluster AS INT) AS cluster, via FROM (
+    {ds}
+    UNION ALL SELECT m.vec_id, f.cluster, 'cs_fold' AS via
+              FROM csmem m JOIN {lpf} l ON l.id = m.cluster
+              JOIN csfold f ON f.lbl = l.lbl
+    UNION ALL SELECT vec_id,
+              CASE WHEN maha <= {BDET_REGATE_THRESH} THEN cluster ELSE -1 END,
+              CASE WHEN maha <= {BDET_REGATE_THRESH} THEN 'rs_fold' ELSE 'outlier' END
+              FROM rsg
+  )
+)"""
     return sql
+
+
+def _bdet_final_sql() -> str:
+    """bfr_lloyd_final: the shared lifecycle CTEs, emitted whole."""
+    return _bdet_final_ctes() + "\nSELECT vec_id, cluster, via FROM finlab ORDER BY vec_id"
+
+
+def _bdet_nmi_sql() -> str:
+    """bfr_nmi_eval: the lifecycle CTEs + the NMI contingency tail
+    (the ``nmi_eval`` formulation) over finlab vs the ground-truth
+    label, with the reference's outlier convention: −1 participates
+    as its own class (``get_nmi.py`` pads unassigned ids with −1 and
+    sklearn scores −1 as a class)."""
+    return (
+        _bdet_final_ctes()
+        + """, base AS MATERIALIZED (
+  SELECT f.cluster AS pred, e.label AS truth
+  FROM finlab f JOIN embeddings e USING (vec_id)
+), tot AS (SELECT count(*) AS n FROM base),
+cont AS MATERIALIZED (SELECT pred, truth, count(*) AS nij FROM base GROUP BY pred, truth),
+pi AS MATERIALIZED (SELECT pred, sum(nij) AS ni FROM cont GROUP BY pred),
+pj AS MATERIALIZED (SELECT truth, sum(nij) AS nj FROM cont GROUP BY truth),
+mi_ AS (
+  SELECT sum((nij * 1e0 / n) * ln(nij * 1e0 * n / (ni * 1e0 * nj))) AS mi
+  FROM cont JOIN pi USING (pred) JOIN pj USING (truth) CROSS JOIN tot
+),
+hi AS (SELECT sum(-(ni * 1e0 / n) * ln(ni * 1e0 / n)) AS h_pred FROM pi CROSS JOIN tot),
+hj AS (SELECT sum(-(nj * 1e0 / n) * ln(nj * 1e0 / n)) AS h_truth FROM pj CROSS JOIN tot),
+st AS (
+  SELECT count(*) AS n_points, count(DISTINCT pred) AS n_pred,
+         sum(CASE WHEN pred = -1 THEN 1 ELSE 0 END) AS n_outliers
+  FROM base
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       round(mi / ((h_pred + h_truth) / 2.0), 6) AS nmi
+FROM st, mi_, hi, hj"""
+    )
 
 
 # int_rs_to_ds parity (ref bfr.py:322-334, invoked every non-final
@@ -2208,6 +2319,7 @@ BFR_LLOYD_CS_SQL = _bdet_cs_sql()
 BFR_LLOYD_CS_STATS_SQL = _bdet_cs_stats_sql()
 BFR_LLOYD_REGATE_SQL = _bdet_regate_sql()
 BFR_LLOYD_FINAL_SQL = _bdet_final_sql()
+BFR_NMI_EVAL_SQL = _bdet_nmi_sql()
 
 
 QUERIES = {
@@ -2228,6 +2340,7 @@ QUERIES = {
     "bfr_lloyd_cs_stats": bfr_lloyd_cs_stats,
     "bfr_lloyd_regate": bfr_lloyd_regate,
     "bfr_lloyd_final": bfr_lloyd_final,
+    "bfr_nmi_eval": bfr_nmi_eval,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -2250,6 +2363,7 @@ ORACLES = {
     "bfr_lloyd_cs_stats": BFR_LLOYD_CS_STATS_SQL,
     "bfr_lloyd_regate": BFR_LLOYD_REGATE_SQL,
     "bfr_lloyd_final": BFR_LLOYD_FINAL_SQL,
+    "bfr_nmi_eval": BFR_NMI_EVAL_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

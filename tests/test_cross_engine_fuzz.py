@@ -496,6 +496,9 @@ ML_MM_KEYS = [
     "bfr_lloyd_cs_stats",
     "bfr_lloyd_regate",
     "bfr_lloyd_final",
+    # r15: headline NMI over the lifecycle labels (contingency tail
+    # stressed on tiny fuzz corpora where the outlier class is big)
+    "bfr_nmi_eval",
     "mahalanobis_assign",
     "suffstats",
     "cluster_profile",

@@ -174,6 +174,46 @@ class TestNMI:
         assert val == pytest.approx(mi / (h / 1.0) * 2 / 2, rel=1e-9)
 
 
+class TestBfrNmiEval:
+    """bfr_nmi_eval = the reference's headline number (get_nmi.py,
+    README NMI 0.999): NMI of the complete lifecycle's labels vs
+    ground truth, −1 scored as its own class."""
+
+    def test_matches_independent_nmi_on_same_labels(self, spark):
+        from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+            bfr_lloyd_final,
+            bfr_nmi_eval,
+        )
+
+        row = bfr_nmi_eval(spark, SF_SMALL).collect()[0]
+        lab = bfr_lloyd_final(spark, SF_SMALL).toPandas().set_index("vec_id")
+        truth = (
+            spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+            .select("vec_id", "label")
+            .toPandas()
+            .set_index("vec_id")
+        )
+        j = lab.join(truth)
+        assert row["n_points"] == len(j) == len(truth)
+        assert row["n_outliers"] == int((j["cluster"] == -1).sum())
+        assert row["n_pred"] == j["cluster"].nunique()
+        # independent replica of sklearn's arithmetic-mean NMI
+        # (ml/metrics.nmi_from_contingency, analytically pinned
+        # above); −1 participates as a class exactly like sklearn
+        # scores get_nmi.py's −1-padded vectors
+        want = local_nmi(j["cluster"].to_numpy(), j["label"].to_numpy())
+        assert row["nmi"] == pytest.approx(want, abs=5.1e-7)  # round(,6)
+        assert 0.0 <= row["nmi"] <= 1.0
+        try:  # true sklearn cross-check when the lib is present
+            from sklearn.metrics import normalized_mutual_info_score
+        except ImportError:
+            return
+        sk = normalized_mutual_info_score(
+            j["label"].to_numpy(), j["cluster"].to_numpy()
+        )
+        assert row["nmi"] == pytest.approx(sk, abs=5.1e-7)
+
+
 def test_silhouette_bounds(spark):
     """Silhouette is bounded in [-1, 1] by construction; on the
     non-separable embeddings it must sit near 0 (|s| < 0.25)."""

@@ -52,6 +52,8 @@ RISK_KEYS = [
     "stream_bfr_rounds",      # chunk-ordered replay, per-batch moment folds
     "bfr_lloyd_regate",       # rank-based retain + driver re-gate folds
     "bfr_lloyd_final",        # full lifecycle incl. CS/RS final fold
+    # r15 risk-class keys
+    "bfr_nmi_eval",           # float entropy sums over the contingency agg
 ]
 
 WIDTHS = ["1", "8", "19"]

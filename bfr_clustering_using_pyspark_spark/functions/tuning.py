@@ -32,6 +32,18 @@ from pyspark.sql import SparkSession
 _CONF = "spark.sql.shuffle.partitions"
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The session shuffle width as an int, guarded: platforms that
+    support it may set ``spark.sql.shuffle.partitions`` to a
+    non-numeric value (e.g. ``auto``), and a bare ``int(...)`` crash
+    inside a ``foreachBatch`` fails the whole drain (ADVICE r14).
+    Falls back to ``defaultParallelism``, which is always numeric."""
+    try:
+        return int(spark.conf.get(_CONF))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def sized_width(
     spark: SparkSession,
     n_rows: int,
@@ -42,7 +54,7 @@ def sized_width(
     per round: ~``rows_per_part`` rows/partition, floored at ``floor``,
     capped at the deployment default so real-scale graphs are
     untouched (the swap only ever NARROWS)."""
-    deployed = int(spark.conf.get(_CONF))
+    deployed = shuffle_width(spark)
     return min(deployed, max(floor, n_rows // rows_per_part + 1))
 
 

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.tuning import scoped_shuffle_width, sized_width
+from ..functions.tuning import scoped_shuffle_width, shuffle_width, sized_width
 from ..sources.readers import load_table
 
 TOKEN_RE = "[a-z0-9]+"
@@ -1431,7 +1431,7 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (universe, truth pairs, candidate pairs), so a narrow shuffle
     # width is scale-correct; the whole eval executes inside the swap
     # via the eager checkpoints and the final count-driven aggregates
-    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
         return _dedup_recall_eval(spark, sf_dir).localCheckpoint(eager=True)
 
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.tuning import shuffle_width
+
 BUCKET_ACC = 1000  # approx_percentile accuracy for the cut sketch
 MAX_BUCKETS = 64
 # Bucket-count cap: correctness never depends on it (any cut set
@@ -57,7 +59,7 @@ def bucket_cuts(df: DataFrame, exprs: list[Column]) -> list[list[float]]:
     # time; 2 buckets (one median cut) is the degenerate-but-valid
     # floor
     n_parts = max(
-        2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), MAX_BUCKETS)
+        2, min(shuffle_width(spark), MAX_BUCKETS)
     )
     probs = F.array(*[F.lit(i / n_parts) for i in range(1, n_parts)])
     row = df.select(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.tuning import scoped_shuffle_width, sized_width
+from ..functions.tuning import scoped_shuffle_width, shuffle_width, sized_width
 from ..sources.readers import load_table
 
 TOP_K = 5
@@ -366,21 +366,27 @@ def _centroid_rank_expr(v_col: str, n_lists: int = N_IVF_LISTS):
     per-centroid form was a codegen-size liability), then an indexed
     transform attaches the list ids; a map-side projection, no
     shuffle."""
-    cents = F.array(
-        *[F.array(*[F.lit(x) for x in _ivf_centroid(j)]) for j in range(n_lists)]
+    # rendered as ONE parsed SQL expression, not a Column build: the
+    # n_lists×dim F.lit matrix cost 1.7-2.7 s of py4j round-trips per
+    # CALL (r15 profile — charged per micro-batch in stream_ann_index
+    # and once per IVF query), vs ~1 ms to parse the text. {x!r}D is
+    # the shortest-repr double round-trip, so the JVM sees the
+    # identical literals and the plan is bit-for-bit the old one
+    # (same recipe as the bfr_lloyd_det literal matrices, r14).
+    cents = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in _ivf_centroid(j)) + ")"
+            for j in range(n_lists)
+        )
+        + ")"
     )
-    d2s = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col(v_col), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    return F.expr(
+        f"array_sort(transform(transform({cents}, "
+        f"c -> aggregate(zip_with({v_col}, c, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), "
+        f"(d, i) -> named_struct('d', d, 'j', CAST(i AS INT))))"
     )
-    structs = F.transform(
-        d2s, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("j"))
-    )
-    return F.array_sort(structs)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,7 +1541,7 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the n-sized side is broadcast-joined above), so a narrow
     # shuffle width is scale-correct — execute eagerly inside the
     # swap; the result is ≤ |queries|·TOP_K rows
-    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
         return run_search(beam).localCheckpoint(eager=True)
 
 

@@ -60,9 +60,9 @@ _COST_S = {
     "seq_pack": 1.6, "text_winnow_fingerprint": 1.6,
     "ann_lsh_multiprobe": 1.7, "stream_events_window": 1.9,
     "stream_dedup": 2.0, "stream_quality_filter": 2.0,
-    "stream_session_window": 2.0, "ann_ivf": 2.5, "mm_wav_roundtrip": 2.1,
+    "stream_session_window": 2.0, "ann_ivf": 1.5, "mm_wav_roundtrip": 2.1,
     "q_approx_distinct": 2.2, "ann_recall_eval": 2.3,
-    "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 2.2,
+    "q_bloom_filter_join": 2.3, "ann_ivf_rerank": 1.5,
     "stream_countmin": 2.5, "q_asof_grouped": 2.7,
     "stream_sessionize_stateful": 2.7, "corpus_mix": 2.8,
     "graph_pagerank": 9.0, "kmeans_fit": 2.8, "intermediate_stats": 3.1,
@@ -70,11 +70,11 @@ _COST_S = {
     "dedup_ngram_jaccard": 5.0, "bfr_fit": 3.9, "dedup_containment": 6.0,
     "dedup_minhash_lsh": 4.8, "dedup_fuzzy_names": 7.0,
     "text_pii_scrub": 1.5, "dedup_components": 7.0, "dedup_recall_eval": 5.0,
-    "stream_components": 15.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
+    "stream_components": 12.0, "silhouette_eval": 2.0, "q_survivorship": 0.7,
     "q_ab_test": 0.7, "q_time_to_convert": 0.6, "q_mv_rollup": 1.0,
     "doc_chunk": 0.4, "corpus_curate": 1.2, "chunk_boilerplate": 0.7,
     "q11_important_stock": 0.9, "q20_potential_promo": 0.8,
-    "ann_ivf_partitioned": 2.6,
+    "ann_ivf_partitioned": 2.0,
     "q_kmv_distinct": 0.6, "q_cdc_snapshot_diff": 0.6, "q_dq_checks": 0.7,
     "q_bucketed_join": 2.4, "stream_late_data": 5.0,
     "q_time_range_agg": 0.6, "mm_pgm_resize": 0.9, "dedup_substring": 7.9, "sink_shard_manifest": 2.0, "q_ks_test": 0.9,
@@ -97,7 +97,7 @@ _COST_S = {
     # cache — never encode the discount)
     "text_bpe_train": 12.0, "text_bpe_encode": 13.0,
     "text_bigram_logprob": 4.0, "seq_pack_contig": 2.0,
-    "mm_image_ahash": 2.5, "mm_audio_fingerprint": 2.5, "corpus_source_overlap": 3.0, "ann_ivfpq": 7.0, "text_bpe_vocab": 12.0, "stream_token_stats": 3.0,
+    "mm_image_ahash": 2.5, "mm_audio_fingerprint": 2.5, "corpus_source_overlap": 3.0, "ann_ivfpq": 6.0, "text_bpe_vocab": 12.0, "stream_token_stats": 3.0,
     "q_mad_outliers_approx": 1.2, "csv_roundtrip": 3.0, "ann_nndescent_graph": 15.0, "q_mad_outliers_dist": 6.0, "kmeans_lloyd_det": 3.0,
     # bfr det-epoch family: REAL standalone first-touch (whichever key
     # runs first in a session pays the epoch; siblings ride the epoch
@@ -112,7 +112,7 @@ _COST_S = {
     "dedup_cascade": 2.5,
     # streaming replay: re-stages chunk files + one epoch per drain
     # (no cache share with the batch epoch — different build path)
-    "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 10.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
+    "stream_bfr_rounds": 17.0, "kmeans_inertia_eval": 4.0, "text_bm25_conj": 10.0, "retrieval_conj_eval": 11.0, "stream_ann_index": 8.0, "text_bpe_train_deep": 30.0, "contrastive_pairs": 2.0, "davies_bouldin_eval": 2.0, "seq_pack_eval": 2.0, "mm_image_dhash": 2.5, "emb_truncate_eval": 2.5, "corpus_epoch_plan": 1.5, "q_join_strategies": 3.0,
     "sink_compact_small_files": 2.4, "q_range_frame": 0.7, "mm_video_frames": 1.5, "q_skew_join": 0.8, "stream_sliding_window": 2.0, "q_generator_funcs": 0.7,
     "q_lateral_join": 0.8, "q_higher_order_funcs": 0.9, "stream_upsert_sink": 6.0, "q_recursive_cte": 1.0, "mm_audio_features": 2.0, "q_complex_types": 0.9, "udf_pandas_scalar": 1.2, "ann_graph_search": 20.0, "q_json_schema_roundtrip": 0.8, "q_schema_evolution": 2.0, "q_set_ops_all": 1.3, "q_variant_type": 0.8, "q_observed_metrics": 1.0, "q_explode_outer": 0.8, "q_ignore_nulls_window": 0.8, "q_try_arithmetic": 0.8, "q_group_by_all": 0.7,
 }
@@ -151,6 +151,18 @@ _CHANGED_THIS_ROUND = (
     # (ADVICE r15 — affects every epoch-cache rider; re-gate the
     # first-touch face)
     "bfr_lloyd_final", "bfr_lloyd_det",
+    # round 15: _centroid_rank_expr rendered as ONE parsed SQL
+    # expression instead of an n_lists×dim F.lit Column build (1.7-
+    # 2.7 s of py4j construction per call → ~20 ms; bit-identical
+    # literals via {x!r}D round-trip) — re-verify every consumer
+    "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned", "ann_ivfpq",
+    "ann_graph_search", "stream_ann_index",
+    # round 15: streaming batch-overhead surgery — stream_ann_index
+    # drains 2 fatter batches + eager-checkpointed probe queries;
+    # stream_components state lands at drain width (4 files per
+    # state subdir, not 32); shuffle-width conf parse guarded
+    # (ADVICE r15). Same rows/hashes, new build path.
+    "stream_components",
 )
 # round 15: no fixed-point conversions this round
 _CONVERTED_THIS_ROUND = ()

@@ -47,7 +47,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tuning import scoped_shuffle_width
+from ..functions.tuning import scoped_shuffle_width, shuffle_width
 from ..operators.dedup import (
     CC_SMALL_PAIRS,
     _minhash_kernel,
@@ -276,9 +276,22 @@ def stream_components(
                 # mode=overwrite so a foreachBatch RETRY of the same
                 # batch_id (task failure after a partial write) replays
                 # idempotently instead of dying on path-already-exists
-                bands.write.mode("overwrite").parquet(f"{sig_path}/b{batch_id:05d}")
+                # state lands at the DRAIN width, not the kernel width:
+                # the kernel stays n_part-wide (the repartition above),
+                # but writing its output from 32 tasks left 32 files
+                # per state subdir and every later b* glob scan paid
+                # for all of them — the repartition here is a trivial
+                # shuffle of (doc_id, band, sig) triples that keeps
+                # the accumulated state scan-cheap (r15 surgery; same
+                # fewer-small-files discipline as the ANN index write)
+                sw = shuffle_width(sp)
+                bands.repartition(sw).write.mode("overwrite").parquet(
+                    f"{sig_path}/b{batch_id:05d}"
+                )
                 _mark("minhash+sig_write")
-                base.write.mode("overwrite").parquet(f"{sh_path}/b{batch_id:05d}")
+                base.repartition(sw).write.mode("overwrite").parquet(
+                    f"{sh_path}/b{batch_id:05d}"
+                )
                 _mark("shingle_write")
                 new_bands = sp.read.parquet(f"{sig_path}/b{batch_id:05d}")
                 all_bands = sp.read.parquet(f"{sig_path}/b*")
@@ -447,7 +460,7 @@ def stream_components(
         # ~1 s/drain faster than 8 at sf0.1 (identical labels): the
         # fold's many small jobs are task-scheduling-bound, not
         # data-bound, at any gate SF
-        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 4)):
+        with scoped_shuffle_width(spark, min(shuffle_width(spark), 4)):
             with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
                 q = (
                     spark.readStream.schema("doc_id long, text string")
@@ -530,11 +543,24 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
     )
     from pyspark.sql import Window as W
 
+    import time as _time
+
+    _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        if _prof:
+            t = _time.time()
+            print(f"[streamann] {phase}: {t - _t0:.2f}s", flush=True)
+            _t0 = t
+
     src = _chunked_emb_cached(spark, sf_dir, n_chunks)
     # quantizer sizing = deployment config: expected volume is known
     # to the index owner before the stream starts (metadata count of
     # the staged source — NOT read per batch)
     n_lists = _n_ivf_lists(spark.read.parquet(src).count())
+    _mark("setup")
 
     with tempfile.TemporaryDirectory(prefix="streamann_") as tmp:
         idx_path = f"{tmp}/index"
@@ -549,7 +575,7 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
             # fewer-small-files discipline sink_compact_small_files
             # gates, and the reason the accumulated index stays
             # scan-cheap as batches pile up
-            n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
+            n_part = shuffle_width(sp)
             v = F.transform("embedding", lambda x: x.cast("double"))
             nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
             base = batch_df.select("vec_id", v.alias("v"), nrm.alias("nrm"))
@@ -567,19 +593,28 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
                 ).partitionBy("batch", "list_id").parquet(idx_path)
             finally:
                 sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            _mark(f"batch{batch_id}_write")
 
         # the scoped width covers BOTH the drain and the probe: the
         # per-query window and final sort are over a bounded result
         # (queries × top-k), so the narrow width costs nothing at
         # scale while removing idle-task overhead at gate SFs
         with scoped_shuffle_width(
-            spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+            spark, min(shuffle_width(spark), 8)
         ):
             with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+                # two chunk files per trigger: the face's contracts
+                # (multi-batch accumulation, per-batch idempotent
+                # retry) need >=2 batches, not one batch per file —
+                # halving the batch count halves the fixed micro-batch
+                # cost (offset commit, plan, write job) the r14 verdict
+                # flagged. In production the trigger size is the
+                # latency/throughput knob; the drained index is
+                # row-identical either way.
                 q = (
                     spark.readStream.schema("vec_id long, embedding array<float>")
                     .format("parquet")
-                    .option("maxFilesPerTrigger", 1)
+                    .option("maxFilesPerTrigger", max(1, n_chunks // 2))
                     .load(src)
                     .writeStream.foreachBatch(process)
                     .option("checkpointLocation", ckpt)
@@ -587,6 +622,7 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
                     .start()
                 )
                 q.awaitTermination()
+            _mark("drain_done")
 
             if not os.path.isdir(idx_path) or not os.listdir(idx_path):
                 return spark.createDataFrame(
@@ -595,19 +631,28 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
             index = spark.read.parquet(idx_path).drop("batch")
 
             ranked_q = _centroid_rank_expr("v", n_lists)
-            queries = _bounded_query_filter(index).select(
-                F.col("vec_id").alias("q_id"),
-                F.col("v").alias("q_v"),
-                F.col("nrm").alias("q_nrm"),
-                F.explode(
-                    F.transform(F.slice(ranked_q, 1, N_PROBE), lambda s: s["j"])
-                ).alias("probe_list"),
+            # eager checkpoint: the bounded query set (queries ×
+            # N_PROBE rows) feeds TWO consumers — the probe-list
+            # collect and the broadcast side of the scored join —
+            # and must not re-scan the index for each
+            queries = (
+                _bounded_query_filter(index)
+                .select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("v").alias("q_v"),
+                    F.col("nrm").alias("q_nrm"),
+                    F.explode(
+                        F.transform(F.slice(ranked_q, 1, N_PROBE), lambda s: s["j"])
+                    ).alias("probe_list"),
+                )
+                .localCheckpoint(eager=True)
             )
             # union of probed lists is bounded by n_lists values, never
             # data size — collecting it drives the partition pruning
             probe_ids = sorted(
                 r[0] for r in queries.select("probe_list").distinct().collect()
             )
+            _mark("probe_ids")
             data = index.filter(F.col("list_id").isin(probe_ids))
             dot = F.aggregate(
                 F.zip_with("v", "q_v", lambda x, y: x * y),
@@ -626,13 +671,15 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
             w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
             # eager checkpoint pins the tiny top-k before the index
             # tempdir is removed
-            return (
+            out = (
                 scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= TOP_K)
                 .select("q_id", "vec_id", "cosine", "rank")
                 .orderBy("q_id", "rank")
                 .localCheckpoint(eager=True)
             )
+            _mark("probe_scored")
+            return out
 
 
 def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,7 +726,7 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in cells:
             state[int(row["seed"]), int(row["bucket"])] += int(row["cnt"])
 
-    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             q = (
                 spark.readStream.schema(

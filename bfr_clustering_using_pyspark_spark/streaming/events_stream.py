@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.tuning import scoped_shuffle_width
+from ..functions.tuning import scoped_shuffle_width, shuffle_width
 
 from ..functions.numeric import fixed_sum
 
@@ -78,7 +78,7 @@ def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") 
     # real cluster sizes this to executor-cores × executors — the
     # partition count is fixed at first checkpoint, so choose per
     # deployment, not per query).
-    with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             q = (
                 stream_df.writeStream.format("memory")
@@ -896,7 +896,7 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .load(src_glob)
         )
-        with scoped_shuffle_width(spark, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)):
+        with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
             q = (
                 _hourly_agg(raw)
                 .writeStream.format("parquet")

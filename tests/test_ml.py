@@ -174,6 +174,84 @@ class TestNMI:
         assert val == pytest.approx(mi / (h / 1.0) * 2 / 2, rel=1e-9)
 
 
+class TestBfrFitContractBridge:
+    """r15 (VERDICT item 6): the production rows-only faces
+    (bfr_fit / intermediate_stats) tied to the hash-gated det
+    contracts — same header, conservation invariants, and the
+    merge_into_ds fold semantics the gated lifecycle pins."""
+
+    def test_intermediate_stats_satisfies_cs_stats_contract(self, spark):
+        from bfr_clustering_using_pyspark_spark.plans.ml_queries import (
+            bfr_lloyd_cs_stats,
+        )
+        from bfr_clustering_using_pyspark_spark.sources.readers import (
+            embeddings_as_points,
+        )
+
+        pts = embeddings_as_points(spark, SF_SMALL)
+        bfr = BFR(BFRConfig(n_clusters=10, n_chunks=5))
+        assigned = bfr.fit(pts).toPandas()
+        st = bfr.intermediate_stats()
+
+        # exact header contract of the hash-gated face (the reference
+        # CSV header, bfr.py:196-198)
+        gated_cols = bfr_lloyd_cs_stats(spark, SF_SMALL).columns
+        assert list(st.columns) == gated_cols
+
+        n_total = len(assigned)
+        n_out = int((assigned["cluster"] == -1).sum())
+        # conservation: every point seen so far sits in exactly one
+        # tier, so the tier sum is nondecreasing round over round and
+        # the DS (discard) count is monotone
+        seen = (
+            st["nof_point_discard"]
+            + st["nof_point_compression"]
+            + st["nof_point_retained"]
+        )
+        assert (seen.diff().dropna() >= 0).all()
+        assert (st["nof_point_discard"].diff().dropna() >= 0).all()
+        assert (st["nof_cluster_discard"] == 10).all()
+        # merge_into_ds fold semantics on the final round: CS and RS
+        # are emptied (members folded or emitted as -1 outliers), and
+        # the final DS count is exactly n_total minus the outliers
+        last = st.iloc[-1]
+        assert last["nof_point_compression"] == 0
+        assert last["nof_point_retained"] == 0
+        assert last["nof_point_discard"] == n_total - n_out
+        prev = st.iloc[-2]
+        # no DS point ever leaves, and the final fold absorbs the
+        # whole CS tier (unconditional nearest-DS, ref bfr.py:336-352)
+        assert (
+            last["nof_point_discard"]
+            >= prev["nof_point_discard"] + prev["nof_point_compression"]
+        )
+
+    def test_bfr_fit_face_recovers_separable_corpus(self, spark, tmp_path):
+        """The REGISTRY face (loader → fit → output) pinned at
+        NMI >= 0.95 end-to-end on a separable corpus staged in the
+        gate-corpus schema (the driver testdata embeddings are
+        deliberately non-separable, so quality pins run on blobs)."""
+        import pyspark.sql.functions as F
+
+        from bfr_clustering_using_pyspark_spark.plans.ml_queries import bfr_fit
+
+        X, y = make_blobs(n=4000, k=10, d=16, seed=11)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(X), dtype=np.int64),
+                "embedding": [row.astype(np.float32) for row in X],
+                "label": y.astype(np.int32),
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/embeddings.parquet"
+        )
+        assigned = bfr_fit(spark, str(tmp_path)).toPandas().set_index("id")
+        j = assigned.join(pdf.set_index("vec_id")["label"])
+        assert len(j) == len(X)
+        assert local_nmi(j["cluster"].to_numpy(), j["label"].to_numpy()) >= 0.95
+
+
 class TestBfrNmiEval:
     """bfr_nmi_eval = the reference's headline number (get_nmi.py,
     README NMI 0.999): NMI of the complete lifecycle's labels vs

@@ -318,3 +318,91 @@ def test_image_dhash_semantics_and_brightness_invariance(spark):
     rng = np.random.default_rng(5)
     px = rng.integers(0, 200, size=(13, 17))
     assert np.array_equal(dhash_bits(px), dhash_bits(px + 40))
+
+
+class TestArrowPayloadCap:
+    """r15 (VERDICT item 7): the Arrow record-cap arithmetic pinned,
+    and a fat-payload probe — ~100x the gate corpus's payload bytes
+    per doc — proving the pin actually bounds what reaches each
+    Python worker batch."""
+
+    def test_cap_math(self, spark):
+        from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+            MM_ARROW_BATCH_BYTES,
+            _ARROW_REC_KEY,
+            pin_arrow_batch_for_payload,
+        )
+
+        prev = spark.conf.get(_ARROW_REC_KEY, None)
+        try:
+            spark.conf.set(_ARROW_REC_KEY, "10000")
+            # small payloads never touch the session (10000 stays)
+            assert pin_arrow_batch_for_payload(spark, 1024) == 10000
+            assert spark.conf.get(_ARROW_REC_KEY) == "10000"
+            # fat payloads lower it to budget // payload
+            want = MM_ARROW_BATCH_BYTES // (10 << 20)
+            assert pin_arrow_batch_for_payload(spark, 10 << 20) == want
+            assert int(spark.conf.get(_ARROW_REC_KEY)) == want
+            # the pin only ever LOWERS: a smaller current cap wins
+            spark.conf.set(_ARROW_REC_KEY, "2")
+            assert pin_arrow_batch_for_payload(spark, 10 << 20) == 2
+        finally:
+            if prev is None:
+                spark.conf.unset(_ARROW_REC_KEY)
+            else:
+                spark.conf.set(_ARROW_REC_KEY, prev)
+
+    def test_fat_payload_batches_respect_cap(self, spark):
+        """256 KB binary payloads (~100x the gate corpus's <=2.3 KB):
+        decode succeeds AND no Arrow batch carries more rows than the
+        pinned cap — observed from inside the worker, not inferred."""
+        import pandas as pd
+
+        from bfr_clustering_using_pyspark_spark.operators.multimodal import (
+            MM_ARROW_BATCH_BYTES,
+            _ARROW_REC_KEY,
+            decode_media,
+        )
+
+        payload_bytes = 256 << 10
+        n_docs = 256
+        prev = spark.conf.get(_ARROW_REC_KEY, None)
+        try:
+            base = (
+                spark.range(n_docs)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("image").alias("media_type"),
+                    # deterministic fat blob: doc-id byte repeated
+                    F.repeat(
+                        F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 8),
+                        payload_bytes // 8,
+                    )
+                    .cast("binary")
+                    .alias("payload"),
+                )
+                .repartition(2)
+            )
+            decoded = decode_media(base, max_payload_bytes=payload_bytes)
+            cap = int(spark.conf.get(_ARROW_REC_KEY))
+            assert cap == MM_ARROW_BATCH_BYTES // payload_bytes  # 256
+
+            # observe real batch sizes from inside the worker
+            def observe(batches):
+                for pdf in batches:
+                    yield pd.DataFrame({"batch_rows": [len(pdf)]})
+
+            sizes = [
+                r["batch_rows"]
+                for r in base.mapInPandas(observe, schema="batch_rows long").collect()
+            ]
+            assert sum(sizes) == n_docs
+            assert max(sizes) <= cap
+            rows = decoded.collect()
+            assert len(rows) == n_docs
+            assert all(r["n_bytes"] == payload_bytes for r in rows)
+        finally:
+            if prev is None:
+                spark.conf.unset(_ARROW_REC_KEY)
+            else:
+                spark.conf.set(_ARROW_REC_KEY, prev)

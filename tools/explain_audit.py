@@ -226,33 +226,83 @@ def _probe_seq_pack(spark, sf_dir):
 
 
 def _probe_asof_grouped(spark, sf_dir):
-    # contract: every group the pandas path receives holds at most
-    # ASOF_GROUP_CAP rows (hotter users take the spill-safe window
-    # fallback) — re-derive the gate from the data and assert the
-    # pandas-path maximum against the stage's own cap
+    # contract: groups hotter than ASOF_GROUP_CAP are routed to the
+    # spill-safe window fallback and the routed union is semantically
+    # identical to the pure pandas path. FALSIFIABLE (r15, ADVICE):
+    # instead of re-filtering the data to n <= cap (which can never
+    # exceed the bound by construction), EXECUTE the stage's own gate
+    # with a cap far below the corpus's hottest user — forcing the
+    # fallback to actually fire — and fail unless (a) the forced run
+    # really routed hot users off the pandas path and (b) its output
+    # is row-identical to the default run. A broken gate expression,
+    # a desync between the gate's frame and the pandas input, or a
+    # wrong fallback formulation all flip observed to nonzero.
     from pyspark.sql import functions as F
 
-    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import ASOF_GROUP_CAP
+    from bfr_clustering_using_pyspark_spark.plans.tpch_ext import q_asof_grouped
 
-    per_user = (
+    forced_cap = 5
+    n_hot = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("event_type").isin("purchase", "view", "click"))
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > forced_cap)
+        .count()
     )
-    row = per_user.filter(F.col("n") <= ASOF_GROUP_CAP).agg(F.max("n")).head()
-    return int(row[0] or 0), ASOF_GROUP_CAP, "max rows in a pandas-path as-of group"
+    if n_hot == 0:
+        return 1, 0, f"vacuous: no user exceeds forced cap {forced_cap}"
+    forced = sorted(map(tuple, q_asof_grouped(spark, sf_dir, group_cap=forced_cap).collect()))
+    default = sorted(map(tuple, q_asof_grouped(spark, sf_dir).collect()))
+    return (
+        0 if forced == default else 1,
+        0,
+        f"window-fallback ≡ pandas path with cap={forced_cap} forced ({n_hot} hot users routed)",
+    )
 
 
 def _probe_sessionize_state(spark, sf_dir):
     # contract: per-key state is a FIXED-WIDTH tuple (horizontal
     # partitioning carries the key count; state must not grow with a
-    # user's event volume)
-    from bfr_clustering_using_pyspark_spark.streaming.events_stream import (
-        SESSIONIZE_STATE_SCHEMA,
+    # user's event volume). FALSIFIABLE (r15, ADVICE): parse the
+    # schema ACTUALLY PASSED at the applyInPandasWithState call site
+    # (not the shared constant it happens to reference today) and
+    # fail on any variable-width / nested field or on field growth —
+    # a drive-by change to an inline "events array<long>" state
+    # breaks this probe even though the constant is untouched.
+    import inspect
+    import re
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        TimestampType,
+        _parse_datatype_string,
     )
 
-    return len(SESSIONIZE_STATE_SCHEMA.split(",")), 4, "stateful-session state fields"
+    import bfr_clustering_using_pyspark_spark.streaming.events_stream as es
+
+    src = inspect.getsource(es.stream_sessionize_stateful)
+    m = re.search(
+        r"stateStructType\s*=\s*([A-Za-z_]\w*|\"[^\"]+\"|'[^']+')", src
+    )
+    if not m:
+        return 99, 4, "stateStructType argument not found at call site"
+    ref = m.group(1)
+    schema_str = ref.strip("\"'") if ref[0] in "\"'" else getattr(es, ref)
+    st = _parse_datatype_string(schema_str)
+    fixed = (BooleanType, IntegerType, LongType, FloatType, DoubleType, TimestampType)
+    n_var = sum(1 for f in st.fields if not isinstance(f.dataType, fixed))
+    # variable-width fields are weighted so ANY of them trips the
+    # 4-field bound regardless of count
+    return (
+        n_var * 100 + len(st.fields),
+        4,
+        f"call-site state fields ({len(st.fields)} fixed-width, {n_var} variable-width)",
+    )
 
 
 GROUPED_PANDAS_CONTRACTS = {

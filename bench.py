@@ -112,7 +112,9 @@ def _wait_for_quiet_host() -> tuple[float, int, bool]:
 # input, so it is SF-independent. vs_baseline_adjusted divides the
 # headline total by the factor before comparing to r1 — judge
 # cross-round deltas against the ADJUSTED ratio.
-CANARY_BASELINE = 1.487  # frozen r15, quiet host (load1 0.2), min-of-3
+CANARY_BASELINE = 0.416  # frozen r15: quiet host (load1 0.1), mean of
+# two fresh-session min-of-5 readings (0.406 / 0.425) in bench's own
+# context (get_spark("bench"), post-warmup)
 
 
 def _canary_sec(spark) -> float:
@@ -133,7 +135,9 @@ def _canary_sec(spark) -> float:
         )
         return time.time() - t0
 
-    return round(min(once() for _ in range(3)), 3)
+    # min-of-5: the canary job JIT-warms over the first few runs —
+    # 5 reps converge within ~5% on a fresh session (measured r15)
+    return round(min(once() for _ in range(5)), 3)
 
 
 def main() -> None:
@@ -184,6 +188,14 @@ def main() -> None:
         extra_timings[name] = round(time.time() - t0, 3)
         print(f"# extra {name}: {extra_timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # second canary reading AFTER the extras: the single-iteration
+    # extras run last, when the bench session itself has loaded the
+    # host for minutes — canary_sec_end tells the reader how much of
+    # an extra's cross-round delta is that heat (r15: a 14.4 s
+    # bfr_lloyd_det extra reading reproduced at 9.3 s on a quiet
+    # host with byte-identical plans)
+    canary_end = _canary_sec(spark)
+
     total = round(sum(timings.values()), 3)
     # frozen comparators (see BASELINE.md): r1 total at sf0.1,
     # r14 total at sf1 — the decade that actually stresses plans
@@ -221,6 +233,7 @@ def main() -> None:
                 # host-drift canary (fixed synthetic job; see
                 # CANARY_BASELINE comment / BASELINE.md)
                 "canary_sec": canary,
+                "canary_sec_end": canary_end,
                 "host_speed_factor": host_speed_factor,
                 # co-tenant load context: same-commit totals have been
                 # observed to swing ~1.5x with host load (SURVEY r6/r7);

@@ -140,16 +140,20 @@ def _plane_values(j: int, d: int = _PLANE_DIMS) -> list[float]:
 
 def _bucket_expr(v_col: str, d: int):
     """8-bit sign bucket as a pure JVM fold — no Python in the path,
-    and bit-identical to the DuckDB oracle's list_sum."""
-    bucket = None
+    and bit-identical to the DuckDB oracle's list_sum. Rendered as
+    ONE parsed SQL expression (N_PLANES×d literals cost ~1 s of py4j
+    Column construction per call; {x!r}D round-trips each double to
+    the identical JVM literal — r15, same recipe as
+    _centroid_rank_expr)."""
+    terms = []
     for j in range(N_PLANES):
-        pl = F.array(*[F.lit(x) for x in _plane_values(j, d)])
-        dot = F.aggregate(
-            F.zip_with(F.col(v_col), pl, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        pl = "array(" + ",".join(f"{float(x)!r}D" for x in _plane_values(j, d)) + ")"
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({v_col}, {pl}, (a, b) -> a * b), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
         )
-        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("long")
+    return F.expr(f"CAST({' + '.join(terms)} AS BIGINT)")
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,30 +727,32 @@ def _pq_anchor_units(spark: SparkSession, sf_dir: str):
     return unit, books
 
 
-def _pq_sub(col: str, m: int):
-    dsub = _PLANE_DIMS // PQ_M
-    return F.slice(col, m * dsub + 1, dsub)
+def _pq_cent_sql(books, m: int) -> str:
+    # array<array<double>> literal SQL: subspace m's K centers —
+    # rendered as text, not Columns (the M·K·dsub F.lit matrix cost
+    # ~3 s of py4j construction per plan build; {x!r}D parses to the
+    # identical double — r15, same recipe as _centroid_rank_expr)
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in books[m]
+        )
+        + ")"
+    )
 
 
-def _pq_cent_lit(books, m: int):
-    # array<array<double>> literal: subspace m's K centers
-    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
-
-
-def _pq_d2s(books, col: str, m: int):
+def _pq_d2s_sql(books, col: str, m: int) -> str:
     # distances to all K centers via ONE higher-order transform —
     # the lambda body exists once in the plan (runtime-evaluated
     # per element), so expression size stays O(M), not O(M·K·d);
     # the naive unrolled form blew whole-stage codegen and ran
     # ~10× slower
-    sub = _pq_sub(col, m)
-    return F.transform(
-        _pq_cent_lit(books, m),
-        lambda c: F.aggregate(
-            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    dsub = _PLANE_DIMS // PQ_M
+    sub = f"slice({col}, {m * dsub + 1}, {dsub})"
+    return (
+        f"transform({_pq_cent_sql(books, m)}, "
+        f"c -> aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
     )
 
 
@@ -754,32 +760,27 @@ def _pq_codes_expr(books, col: str = "u"):
     """PQ encoding expression: argmin_k per subspace;
     array_position finds the FIRST index of the min → ties break to
     the smaller k, matching the oracle's ORDER BY d2, k."""
-    return F.array(
-        *[
-            (
-                F.array_position(_pq_d2s(books, col, m), F.array_min(_pq_d2s(books, col, m)))
-                - 1
-            ).cast("int")
-            for m in range(PQ_M)
-        ]
-    )
+    parts = []
+    for m in range(PQ_M):
+        d2s = _pq_d2s_sql(books, col, m)
+        parts.append(
+            f"CAST(array_position({d2s}, array_min({d2s})) - 1 AS INT)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def _pq_lut_expr(books, col: str = "u"):
     """Per-query ADC lookup table: lut[m][k] = <q_sub_m, c_mk>."""
-
-    def _dots(m: int):
-        sub = _pq_sub(col, m)
-        return F.transform(
-            _pq_cent_lit(books, m),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+    dsub = _PLANE_DIMS // PQ_M
+    parts = []
+    for m in range(PQ_M):
+        sub = f"slice({col}, {m * dsub + 1}, {dsub})"
+        parts.append(
+            f"transform({_pq_cent_sql(books, m)}, "
+            f"c -> aggregate(zip_with({sub}, c, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
         )
-
-    return F.array(*[_dots(m) for m in range(PQ_M)])
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

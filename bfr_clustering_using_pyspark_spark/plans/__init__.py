@@ -53,7 +53,7 @@ _COST_S = {
     "embedding_normalize": 1.0, "mm_pipeline": 1.0, "model_per_key": 1.0,
     "q13_cust_distribution": 1.0, "q21_blame_supplier": 1.0,
     "q5_local_supplier": 1.0, "q_corr_matrix": 1.0,
-    "q_events_retention": 1.0, "q_key_skew_profile": 1.0, "ann_pq": 6.0,
+    "q_events_retention": 1.0, "q_key_skew_profile": 1.0, "ann_pq": 3.0,
     "knn_classify_eval": 1.1, "q8_market_share": 1.1,
     "q_grouping_sets": 1.2, "q_set_ops": 1.3, "stream_static_join": 1.3,
     "ann_lsh": 1.4, "q_market_basket": 1.4, "graph_triangles": 1.6,
@@ -157,6 +157,10 @@ _CHANGED_THIS_ROUND = (
     # literals via {x!r}D round-trip) — re-verify every consumer
     "ann_ivf", "ann_ivf_rerank", "ann_ivf_partitioned", "ann_ivfpq",
     "ann_graph_search", "stream_ann_index",
+    # round 15: same recipe for the LSH plane fold and the PQ
+    # codebook/LUT matrices (~1 s and ~4 s of construction per plan
+    # build respectively) — re-verify the consumers
+    "ann_lsh", "ann_lsh_multiprobe", "ann_pq",
     # round 15: streaming batch-overhead surgery — stream_ann_index
     # drains 2 fatter batches + eager-checkpointed probe queries;
     # stream_components state lands at drain width (4 files per

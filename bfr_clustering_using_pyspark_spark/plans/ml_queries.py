@@ -1622,6 +1622,53 @@ def bfr_lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.unionByName(pool_df).orderBy("vec_id")
 
 
+def bfr_lloyd_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE face of the deterministic BFR lifecycle: score
+    every point against the FROZEN post-epoch DS statistics — the
+    production ``BFR.predict`` contract (ml/bfr.py: broadcast frozen
+    summaries → nearest-DS with an optional α gate, no state update)
+    hash-gated via the det epoch, and the same scoring rule the
+    reference applies when absorbing points into the DS
+    (``assign_to_ss`` gate, /root/reference/code/bfr.py:363-374;
+    ``int_rs_to_ds`` re-scoring, :322-334). Returns (vec_id,
+    cluster, maha): cluster ∈ {0..K−1} iff the Mahalanobis d² clears
+    the α²·d gate, else −1; ``maha`` is the raw nearest-DS distance
+    (bit-identical in both engines — the same literal-fold the gated
+    epoch faces already rely on for comparisons).
+
+    Unlike ``bfr_lloyd_det`` (labels assigned INCREMENTALLY against
+    evolving mid-epoch statistics), every point here is scored
+    against the final model — exactly what serving a fitted BFR
+    model does. Scale: rides the session epoch cache; scoring is one
+    O(k·d)-literal map-side projection in whole-stage codegen, no
+    shuffle beyond the epoch itself."""
+    _frames, mom = _bdet_epoch(spark, sf_dir, retain="gate")
+    bc, best = _bdet_gate_parts(mom)
+    pts = _bdet_points(spark, sf_dir)
+    gate = F.when(best <= F.lit(BDET_THRESH), bc).otherwise(F.lit(-1)).cast("int")
+    return pts.select(
+        "vec_id", gate.alias("cluster"), best.alias("maha")
+    ).orderBy("vec_id")
+
+
+def _bdet_predict_sql() -> str:
+    """bfr_lloyd_predict: gate-epoch CTEs → final params over the
+    full accumulator → gscore of ALL points → α-gated label + raw
+    distance."""
+    N = BDET_CHUNKS
+    sql = _bdet_ctes("gate")
+    sql += _bdet_mompar_ctes(N, f"acc{N}", prefix="f")
+    sql += _bdet_gscore_cte("predg", "pts", f"fpar{N}")
+    return (
+        sql
+        + f"""
+SELECT vec_id,
+       CAST(CASE WHEN maha <= {BDET_THRESH} THEN cluster ELSE -1 END AS INT) AS cluster,
+       maha
+FROM predg ORDER BY vec_id"""
+    )
+
+
 def bfr_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference headline metric, hash-gated: normalized mutual
     information of the complete BFR lifecycle's final labels
@@ -2320,6 +2367,7 @@ BFR_LLOYD_CS_STATS_SQL = _bdet_cs_stats_sql()
 BFR_LLOYD_REGATE_SQL = _bdet_regate_sql()
 BFR_LLOYD_FINAL_SQL = _bdet_final_sql()
 BFR_NMI_EVAL_SQL = _bdet_nmi_sql()
+BFR_LLOYD_PREDICT_SQL = _bdet_predict_sql()
 
 
 QUERIES = {
@@ -2341,6 +2389,7 @@ QUERIES = {
     "bfr_lloyd_regate": bfr_lloyd_regate,
     "bfr_lloyd_final": bfr_lloyd_final,
     "bfr_nmi_eval": bfr_nmi_eval,
+    "bfr_lloyd_predict": bfr_lloyd_predict,
     "points_source": points_source,
     "source_custom_points": source_custom_points,
     "ch_index_eval": ch_index_eval,
@@ -2364,6 +2413,7 @@ ORACLES = {
     "bfr_lloyd_regate": BFR_LLOYD_REGATE_SQL,
     "bfr_lloyd_final": BFR_LLOYD_FINAL_SQL,
     "bfr_nmi_eval": BFR_NMI_EVAL_SQL,
+    "bfr_lloyd_predict": BFR_LLOYD_PREDICT_SQL,
     "points_source": POINTS_SOURCE_SQL,
     "source_custom_points": SOURCE_CUSTOM_POINTS_SQL,
     "ch_index_eval": CH_INDEX_EVAL_SQL,

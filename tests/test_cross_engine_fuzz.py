@@ -499,6 +499,8 @@ ML_MM_KEYS = [
     # r15: headline NMI over the lifecycle labels (contingency tail
     # stressed on tiny fuzz corpora where the outlier class is big)
     "bfr_nmi_eval",
+    # r15: frozen-model inference face (raw maha doubles hash-gated)
+    "bfr_lloyd_predict",
     "mahalanobis_assign",
     "suffstats",
     "cluster_profile",

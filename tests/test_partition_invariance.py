@@ -54,6 +54,7 @@ RISK_KEYS = [
     "bfr_lloyd_final",        # full lifecycle incl. CS/RS final fold
     # r15 risk-class keys
     "bfr_nmi_eval",           # float entropy sums over the contingency agg
+    "bfr_lloyd_predict",      # raw maha doubles from the literal gate fold
 ]
 
 WIDTHS = ["1", "8", "19"]

@@ -26,6 +26,7 @@ from .events_stream import (
     stream_stream_join,
 )
 from ..operators.dedup import DEDUP_COMPONENTS_SQL
+from ..operators.embeddings_ops import Q_DRIFT_DETECT_SQL
 from ..operators.similarity import ANN_IVF_PARTITIONED_SQL
 from ..plans.ml_queries import BFR_LLOYD_STATS_SQL
 from .docs_stream import (
@@ -35,6 +36,7 @@ from .docs_stream import (
     stream_ann_index,
     stream_components,
     stream_countmin,
+    stream_drift_detect,
     stream_quality_filter,
     stream_token_stats,
 )
@@ -58,6 +60,7 @@ QUERIES = {
     "stream_static_join": stream_static_join,
     "stream_bfr_update": stream_bfr_update,
     "stream_bfr_rounds": stream_bfr_rounds,
+    "stream_drift_detect": stream_drift_detect,
 }
 ORACLES: dict[str, str] = {
     # CMS merge is exact (commutative integer sums), so the drained
@@ -96,4 +99,8 @@ ORACLES: dict[str, str] = {
     # (same init, same gate, same integer moments), so the drained
     # per-round accounting shares bfr_lloyd_stats' oracle verbatim
     "stream_bfr_rounds": BFR_LLOYD_STATS_SQL,
+    # exact integer moments are order-free, so the incrementally
+    # maintained state drained over any batch order equals the batch
+    # scan — same oracle as q_drift_detect verbatim
+    "stream_drift_detect": Q_DRIFT_DETECT_SQL,
 }

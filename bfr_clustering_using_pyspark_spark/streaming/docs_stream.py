@@ -495,6 +495,99 @@ def stream_components(
         )
 
 
+def _chunked_emb_labeled_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Chunked (vec_id, embedding, label) source for the drift
+    stream — same fixture contract as ``_chunked_docs_cached``."""
+    from ..sources.fixtures import ensure_fixture
+
+    def stage(d: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        emb.repartition(n_chunks).write.mode("overwrite").parquet(d)
+
+    return ensure_fixture(
+        spark, "streamdrift_src", sf_dir, "embeddings.parquet", f"chunks={n_chunks}", stage
+    )
+
+
+def stream_drift_detect(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> DataFrame:
+    """Streaming face of the embedding-drift monitor
+    (``q_drift_detect``, operators/embeddings_ops.py): embedding
+    batches arrive as a chunked file stream and a STREAMING
+    aggregation maintains the per-(label, half, dim) exact integer
+    moments incrementally in the state store — the shape of a
+    production representation-health monitor that watches every
+    ingest batch instead of re-scanning the corpus. After the
+    AvailableNow drain, the drift tail (join halves → per-label L2
+    centroid shift → threshold flag) runs over the aggregated frame.
+
+    Hash-gated by the BATCH operator's own DuckDB oracle: integer
+    moments are order-free, so drained ≡ batch-computed bit-for-bit
+    (the invariant every face in this module pins).
+
+    Scale: state is labels × 2 × dims integer cells — independent of
+    corpus size; each micro-batch contributes map-side-combined
+    partials, and the post-drain tail touches only the bounded
+    aggregate. No driver-side fold at all (the aggregation lives in
+    the streaming state store)."""
+    from ..operators.embeddings_ops import DRIFT_SCALE, DRIFT_T
+    from .events_stream import _run_to_memory
+
+    src = _chunked_emb_labeled_cached(spark, sf_dir, n_chunks)
+    ev = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    cells = ev.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> cast(round(cast(x as double) * {DRIFT_SCALE}, 0) as bigint))"
+            )
+        ),
+    )
+    agg = cells.groupBy("label", "half", "pos").agg(
+        F.sum("col").alias("s"), F.count("*").alias("n")
+    )
+    sums = _run_to_memory(agg, "stream_drift_sink", mode="complete")
+    # halves paired by conditional aggregation instead of a
+    # self-join of the memory sink (a self-join of the same sink
+    # lineage trips Spark's ambiguous-reference internal error);
+    # semantically identical to the batch operator's inner join —
+    # the isNotNull filter drops (label, pos) cells missing a half,
+    # exactly the rows an inner join would drop
+    paired = (
+        sums.groupBy("label", "pos")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("s"))).alias("s0"),
+            F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        )
+        .filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+    )
+    diff = (
+        F.col("s0").cast("double") / F.col("n0")
+        - F.col("s1").cast("double") / F.col("n1")
+    ) / DRIFT_SCALE
+    per_label = paired.groupBy("label").agg(
+        F.max("n0").alias("n_first"),
+        F.max("n1").alias("n_second"),
+        F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_shift"),
+    )
+    return per_label.select(
+        "label",
+        "n_first",
+        "n_second",
+        "centroid_shift",
+        (F.col("centroid_shift") > DRIFT_T).alias("drifted"),
+    ).orderBy("label")
+
+
 def _chunked_emb_cached(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     """Chunked embeddings source for the ANN index stream — same
     fixture contract as ``_chunked_docs_cached``."""

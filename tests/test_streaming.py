@@ -516,3 +516,21 @@ def test_stream_bfr_rounds_matches_batch_stats(spark):
     # the accounting is total: per-round counts sum to the table size
     n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert sum(r[2] for r in got) == n
+
+
+def test_stream_drift_detect_matches_batch(spark):
+    """The incrementally maintained drift state, drained over the
+    chunked stream, must equal the batch operator row-for-row (the
+    integer moments are order-free, so batch order cannot matter)."""
+    from bfr_clustering_using_pyspark_spark.operators.embeddings_ops import (
+        q_drift_detect,
+    )
+    from bfr_clustering_using_pyspark_spark.streaming.docs_stream import (
+        stream_drift_detect,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = [tuple(r) for r in stream_drift_detect(spark, SF_SMALL).collect()]
+    want = [tuple(r) for r in q_drift_detect(spark, SF_SMALL).collect()]
+    assert got == want
+    assert len(got) > 0

@@ -2155,6 +2155,84 @@ def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view MAINTENANCE — the delta-merge
+    pattern that keeps a lakehouse MV fresh without rescanning
+    history: the standing MV holds per-month mergeable partials
+    (count + integer-cents sum) materialized from the base facts; a
+    new ingest delta (o_orderkey % 10 == 0 — a deterministic 10%
+    "late batch") is aggregated ALONE and folded into the MV with one
+    full-outer join + coalesced sums. The oracle recomputes the view
+    straight from the full fact table, so the hash match PROVES
+    merge-maintenance ≡ full recompute — the algebraic property
+    (commutative mergeable partials) that makes incremental MV
+    correct at any scale.
+
+    Scale: the merge shuffles |months| + |delta months| partial rows
+    — never the base facts; the delta scan is the only fact-table
+    read per refresh. Same discipline as ``q_mv_rollup``: BIGINT
+    cents partials (double partials re-sum in partition order and
+    flip last bits), averages re-derived from merged sums."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date")
+    is_delta = F.col("o_orderkey") % 10 == 0
+    mv0 = (
+        orders.filter(~is_delta)
+        .groupBy(month.alias("month"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("rev_cents"))
+    )
+    mv_dir = tempfile.mkdtemp(prefix="mv_inc_")
+    mv0.write.mode("overwrite").parquet(mv_dir)
+    standing = spark.read.parquet(mv_dir)
+    dp = (
+        orders.filter(is_delta)
+        .groupBy(month.alias("month"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("rev_cents"))
+    )
+    merged = (
+        standing.alias("b")
+        .join(dp.alias("d"), "month", "full_outer")
+        .select(
+            "month",
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias(
+                "n"
+            ),
+            (
+                F.coalesce(F.col("b.rev_cents"), F.lit(0))
+                + F.coalesce(F.col("d.rev_cents"), F.lit(0))
+            ).alias("rev_cents"),
+        )
+    )
+    return merged.select(
+        "month",
+        F.col("n").alias("n_orders"),
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (F.round(F.col("rev_cents") * 100.0 / F.col("n")).cast("long") / 10000.0).alias(
+            "avg_order_value"
+        ),
+    ).orderBy("month")
+
+
+# the oracle IS a full recompute from the facts — identical text to
+# Q_MV_ROLLUP_SQL by design: the key's claim is that delta-merge
+# maintenance produces EXACTLY the recomputed view
+Q_MV_INCREMENTAL_SQL = """
+WITH cents AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(c) / 1e2 AS revenue,
+       CAST(round(sum(c) * 1e2 / count(*)) AS BIGINT) / 1e4 AS avg_order_value
+FROM cents GROUP BY 1 ORDER BY month
+"""
+
+
 Q_MV_ROLLUP_SQL = """
 WITH cents AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -2171,6 +2249,7 @@ FROM cents GROUP BY 1 ORDER BY month
 
 QUERIES = {
     "q_mv_rollup": q_mv_rollup,
+    "q_mv_incremental": q_mv_incremental,
     "q_rfm_segmentation": q_rfm_segmentation,
     "q_market_basket": q_market_basket,
     "q_corr_matrix": q_corr_matrix,
@@ -2221,6 +2300,7 @@ QUERIES = {
 
 ORACLES = {
     "q_mv_rollup": Q_MV_ROLLUP_SQL,
+    "q_mv_incremental": Q_MV_INCREMENTAL_SQL,
     "q_rfm_segmentation": Q_RFM_SEGMENTATION_SQL,
     "q_market_basket": Q_MARKET_BASKET_SQL,
     "q_corr_matrix": Q_CORR_MATRIX_SQL,

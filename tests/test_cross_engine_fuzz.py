@@ -294,6 +294,8 @@ TPCH_KEYS = [
     "q_running_total",
     "q_gap_fill",
     "q_mv_rollup",
+    # r15: delta-merge maintenance ≡ recompute on random orders
+    "q_mv_incremental",
     "q_scd2_history",
     "q_rfm_segmentation",
     "q_market_basket",

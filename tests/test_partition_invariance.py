@@ -28,6 +28,7 @@ RISK_KEYS = [
     "q7_volume_shipping",     # join + revenue sums (r4's flip class)
     "q9_product_profit",      # deep join tree + sums
     "q_mv_rollup",            # rollup over money sums
+    "q_mv_incremental",       # full-outer delta merge of cents partials
     "q_corr_matrix",          # covariance accumulation
     "q_regression",           # OLS normal equations
     "q_ks_test",              # ECDF sup-distance

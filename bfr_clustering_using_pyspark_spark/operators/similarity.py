@@ -405,6 +405,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer — ``ml.kmeans.mllib_kmeans`` — clusters real corpora
     better but is seed-dependent; swap it in where replayability
     isn't required.)"""
+    return _ivf_topk(spark, sf_dir, N_PROBE)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF logical plan at an explicit probe width — ``ann_ivf``
+    is this at ``N_PROBE``; ``ann_recall_curve`` sweeps it."""
     base = _base(spark, sf_dir)
     # one metadata count sizes the quantizer beyond the pinned
     # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
@@ -414,7 +420,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
-        F.explode(F.transform(F.slice(ranked, 1, N_PROBE), lambda s: s["j"])).alias(
+        F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])).alias(
             "probe_list"
         ),
     )
@@ -584,7 +590,7 @@ def _ivf_guard_cte(n_lists: int) -> str:
 )"""
 
 
-def _ivf_partitioned_oracle_sql(n_lists: int = N_IVF_LISTS) -> str:
+def _ivf_partitioned_oracle_sql(n_lists: int = N_IVF_LISTS, nprobe: int = N_PROBE) -> str:
     rows = ", ".join(
         "(" + str(j) + ", [" + ",".join(repr(x) for x in _ivf_centroid(j)) + "])"
         for j in range(n_lists)
@@ -605,7 +611,7 @@ dists AS (
   SELECT vec_id, v, nrm, j AS list_id FROM dists WHERE rk = 1
 ), qprobe AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, j AS probe_list
-  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX} AND rk <= {N_PROBE}
+  FROM dists WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * ANN_Q_MAX} AND rk <= {nprobe}
 ), scored AS (
   SELECT q.q_id, a.vec_id,
          round(list_sum(list_transform(list_zip(a.v, q.q_v), p -> p[1] * p[2])) / (a.nrm * q.q_nrm), 4) AS cosine
@@ -1147,6 +1153,75 @@ SELECT nt.q_id, n_truth,
 FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id
 ORDER BY nt.q_id
 """
+
+
+RECALL_CURVE_NPROBES = (1, 2, 4)
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF OPERATING CURVE: micro-averaged recall@{TOP_K} of the
+    IVF path against brute-force ground truth at nprobe ∈ {1, 2, 4}
+    — the recall/cost trade-off table every ANN deployment tunes
+    before picking its probe width (candidate volume scales linearly
+    with nprobe; this key shows exactly what each step buys). All
+    legs are deterministic, so the WHOLE curve is hash-gated: the
+    oracle replays brute force plus each probe width and joins them
+    like this plan. Output one row per nprobe:
+    (nprobe, n_truth, n_hit, recall).
+
+    Scale: the truth and each IVF leg are the bounded-query-set
+    evals (q ≤ ANN_Q_MAX); the recall join is |q·k| rows per leg.
+    Micro recall sums exact integer hit counts — order-free."""
+    truth = ann_bruteforce(spark, sf_dir).select("q_id", "vec_id").localCheckpoint(
+        eager=True
+    )
+    out = None
+    for nprobe in RECALL_CURVE_NPROBES:
+        approx = _ivf_topk(spark, sf_dir, nprobe).select("q_id", "vec_id")
+        hits = truth.join(approx, ["q_id", "vec_id"], "left_semi")
+        row = truth.agg(F.count("*").alias("n_truth")).crossJoin(
+            hits.agg(F.count("*").alias("n_hit"))
+        ).select(
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            # scale-0 round of an exact-integer-ratio double: tie
+            # quotients k+0.5 are binary-exact and both engines round
+            # HALF_UP (the hash-safe form; round(x, 4) is not)
+            (
+                F.round(F.col("n_hit") * 10000.0 / F.col("n_truth")).cast("long")
+                / 10000.0
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+def _recall_curve_sql(n_lists: int = N_IVF_LISTS) -> str:
+    legs = []
+    for nprobe in RECALL_CURVE_NPROBES:
+        legs.append(
+            f"""SELECT CAST({nprobe} AS INT) AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM truth t JOIN ({_ivf_partitioned_oracle_sql(n_lists, nprobe)}) a
+          ON t.q_id = a.q_id AND t.vec_id = a.vec_id) AS n_hit"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT q_id, vec_id FROM ({ANN_BRUTEFORCE_SQL})
+)
+SELECT nprobe, n_truth, n_hit,
+       CAST(round(n_hit * 1e4 / n_truth) AS BIGINT) / 1e4 AS recall
+FROM (
+{union}
+)
+ORDER BY nprobe
+"""
+
+
+ANN_RECALL_CURVE_SQL = _recall_curve_sql()
 
 
 NND_K = 8       # neighbors kept per node each round
@@ -1882,6 +1957,7 @@ QUERIES = {
     "ann_graph_search": ann_graph_search,
     "knn_classify_eval": knn_classify_eval,
     "ann_recall_eval": ann_recall_eval,
+    "ann_recall_curve": ann_recall_curve,
 }
 
 ORACLES = {
@@ -1898,5 +1974,6 @@ ORACLES = {
     "ann_nndescent_graph": ANN_NNDESCENT_SQL,
     "ann_graph_search": ANN_GRAPH_SEARCH_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "ann_recall_curve": ANN_RECALL_CURVE_SQL,
     "knn_classify_eval": KNN_CLASSIFY_EVAL_SQL,
 }

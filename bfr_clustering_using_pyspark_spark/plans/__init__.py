@@ -107,6 +107,7 @@ _COST_S = {
     "bfr_lloyd_regate": 8.0, "bfr_lloyd_final": 9.0,
     "bfr_nmi_eval": 10.0, "bfr_lloyd_predict": 10.0,
     "stream_drift_detect": 5.0, "q_mv_incremental": 1.0,
+    "ann_recall_curve": 6.0,
     # rides the BPE session cache when a sibling ran first; standalone
     # pays the 12-round fit (cache doctrine: record the real cost)
     "tokenizer_fertility": 13.0,
@@ -165,8 +166,10 @@ _CHANGED_THIS_ROUND = (
     # round 15: NEW — the inference face of the det lifecycle;
     # streaming face of the drift monitor (state-store moments)
     "bfr_lloyd_predict", "stream_drift_detect",
-    # round 15: NEW — incremental MV delta-merge ≡ recompute
-    "q_mv_incremental",
+    # round 15: NEW — incremental MV delta-merge ≡ recompute;
+    # IVF operating curve (recall vs nprobe, whole curve hash-gated;
+    # ann_ivf body refactored onto the nprobe-param helper)
+    "q_mv_incremental", "ann_recall_curve",
     # round 15: streaming batch-overhead surgery — stream_ann_index
     # drains 2 fatter batches + eager-checkpointed probe queries;
     # stream_components state lands at drain width (4 files per

@@ -521,6 +521,7 @@ ML_MM_KEYS = [
     "ann_ivf_partitioned",
     "ann_pq",
     "ann_recall_eval",
+    "ann_recall_curve",
     "ann_nndescent_graph",
     "ann_graph_search",
     # Arrow-batched python surfaces

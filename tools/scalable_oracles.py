@@ -313,6 +313,7 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
     from bfr_clustering_using_pyspark_spark.operators.similarity import (
         _graph_search_oracle_sql,
         _ivf_partitioned_oracle_sql,
+        _recall_curve_sql,
         _ivf_rerank_oracle_sql,
         _ivfpq_oracle_sql,
         _n_ivf_lists,
@@ -335,6 +336,9 @@ def overrides(sf_dir: str, con) -> dict[str, object]:
         # so it shares its list-count regime too
         "stream_ann_index": ivf_sql,
         "ann_ivf_rerank": _ivf_rerank_oracle_sql(n_lists),
+        # the recall curve replays brute force + three probe widths —
+        # each IVF leg inherits the large-regime list count
+        "ann_recall_curve": _recall_curve_sql(n_lists),
         "ann_ivfpq": _ivfpq_oracle_sql(n_lists),
         # the graph search's IVF-routed entries (r11) inherit the
         # same list-count regime as the IVF family

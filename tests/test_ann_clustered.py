@@ -84,3 +84,18 @@ def test_pq_clustered_recall(spark, clustered_dir, truth):
     approx = _nsets(S.ann_pq(spark, clustered_dir).collect())
     hits = sum(len(t[q] & approx.get(q, set())) for q in t)
     assert hits / sum(len(v) for v in t.values()) >= 0.85  # measured 0.98
+
+
+def test_recall_curve_monotone_and_bounded(spark):
+    """The operating curve's contract: recall is non-decreasing in
+    nprobe (probing more lists can only add candidates), bounded in
+    [0, 1], and the truth denominator is constant across rows."""
+    from tests.conftest import SF_SMALL
+
+    rows = S.ann_recall_curve(spark, SF_SMALL).collect()
+    assert [r["nprobe"] for r in rows] == list(S.RECALL_CURVE_NPROBES)
+    assert len({r["n_truth"] for r in rows}) == 1
+    recalls = [r["recall"] for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls == sorted(recalls)
+    assert all(r["n_hit"] <= r["n_truth"] for r in rows)

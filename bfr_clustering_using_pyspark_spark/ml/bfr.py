@@ -606,7 +606,13 @@ class BFR:
         is id-sorted.
         """
         cfg = self.cfg
-        lo, hi, n_total = points.agg(F.min("id"), F.max("id"), F.count("*")).collect()[0]
+        # one job probes range, count AND dimensionality (size() is
+        # constant across rows, so first() is value-deterministic) —
+        # fit_stream's per-chunk first() probe is skipped via the d=
+        # parameter (one fewer scheduled job per fit)
+        lo, hi, n_total, d = points.agg(
+            F.min("id"), F.max("id"), F.count("*"), F.first(F.size("features"))
+        ).collect()[0]
         bounds = np.linspace(lo, hi + 1, cfg.n_chunks + 1).astype(np.int64)
         chunks = [
             points.filter(
@@ -622,6 +628,7 @@ class BFR:
             # cheap corpus fingerprint for resume provenance: id range
             # + row count pins the dataset identity without a scan
             corpus_fp=[int(lo), int(hi), int(n_total)],
+            d=int(d),
         )
 
     def fit_stream(
@@ -631,6 +638,7 @@ class BFR:
         approx_chunk_n: float | None = None,
         resume: bool = False,
         corpus_fp: list[int] | None = None,
+        d: int | None = None,
     ) -> DataFrame:
         """Run BFR over an explicit sequence of point-chunk
         DataFrames — the exact shape of the reference's sorted
@@ -646,12 +654,14 @@ class BFR:
         # checkpoint only when the caller provided a run_dir
         ckpt_enabled = run_dir is not None
         run_dir = run_dir or tempfile.mkdtemp(prefix="bfr_run_")
-        d = len(chunks[0].select("features").first()[0])
+        if d is None:
+            d = len(chunks[0].select("features").first()[0])
 
         out_path = f"{run_dir}/assignments"
         n_chunks = len(chunks)
         ckpt_meta = {"n_chunks": n_chunks, "d": d, "corpus_fp": corpus_fp}
         driver_assignments: list[pd.DataFrame] = []
+        ckpt_frames: list[DataFrame] = []  # non-resumable path only
         start_round = 0
         if resume:
             restored = self._ckpt_load(run_dir, expect_meta=ckpt_meta)
@@ -680,14 +690,25 @@ class BFR:
 
             fused = chunk.mapInPandas(self._assign_kernel(d), schema=self._FUSED_SCHEMA).persist()
             try:
-                # job 1: distributed write of DS assignments — one
-                # subdirectory per round, OVERWRITE, so a resumed
-                # re-run of an interrupted round is idempotent
-                (
-                    fused.filter(F.col("rtype") == self._RT_ASSIGN)
-                    .select("id", F.col("label").alias("cluster"))
-                    .write.mode("overwrite").parquet(f"{out_path}/round_{round_id:05d}")
+                asg = fused.filter(F.col("rtype") == self._RT_ASSIGN).select(
+                    "id", F.col("label").alias("cluster")
                 )
+                if ckpt_enabled:
+                    # job 1: distributed write of DS assignments — one
+                    # subdirectory per round, OVERWRITE, so a resumed
+                    # re-run of an interrupted round is idempotent
+                    asg.write.mode("overwrite").parquet(f"{out_path}/round_{round_id:05d}")
+                else:
+                    # no run_dir → nothing can ever resume from the
+                    # anonymous tempdir, so per-round parquet
+                    # durability is pure committer overhead; pin the
+                    # round's assignments as an eager localCheckpoint
+                    # instead (executor block store, MEMORY_AND_DISK —
+                    # the same per-executor footprint class as the
+                    # shuffle) and union the rounds at the end. Same
+                    # rows, ~0.15 s less fixed cost per round plus the
+                    # final recursive parquet read gone (guide §2.4).
+                    ckpt_frames.append(asg.localCheckpoint(eager=True))
                 # job 2: tiny driver-bound feedback collect (partials,
                 # RS points, CS memberships)
                 fb = fused.filter(F.col("rtype") != self._RT_ASSIGN).toPandas()
@@ -735,6 +756,21 @@ class BFR:
                 self._ckpt_write(run_dir, round_id + 1, driver_assignments, meta=ckpt_meta)
         self._ckpt_join()
 
+        tail = [df.astype({"id": "int64", "cluster": "int64"}) for df in driver_assignments if len(df)]
+        if not ckpt_enabled:
+            # non-resumable path: the rounds live as localCheckpoints;
+            # one union replaces the recursive parquet read
+            from functools import reduce
+
+            frames = list(ckpt_frames)
+            if tail:
+                frames.append(
+                    spark.createDataFrame(pd.concat(tail, ignore_index=True)).select(
+                        "id", "cluster"
+                    )
+                )
+            return reduce(DataFrame.unionByName, frames)
+
         # the recursive read below sweeps EVERY round_* subdirectory —
         # a run_dir previously used with more chunks would contribute
         # stale assignments that never ran for this data (r11 ADVICE),
@@ -748,7 +784,6 @@ class BFR:
                 shutil.rmtree(os.path.join(out_path, name))
 
         # one write for all driver-side (RS/CS-bounded) assignments
-        tail = [df.astype({"id": "int64", "cluster": "int64"}) for df in driver_assignments if len(df)]
         if tail:
             spark.createDataFrame(pd.concat(tail, ignore_index=True)).write.mode(
                 "overwrite"

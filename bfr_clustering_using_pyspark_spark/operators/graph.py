@@ -102,25 +102,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # well inside a default driver heap.
         maybe_b = F.broadcast if n_nodes <= GRAPH_BCAST_NODES else (lambda df: df)
         for _ in range(N_ITER):
-            contrib = (
+            # every node has outgoing AND incoming edges here
+            # (symmetrized graph: distinct(src) == distinct(dst)), so
+            # (a) no dangling-mass term is needed and (b) the grouped
+            # inflow below already carries EVERY node — the former
+            # nodes-side left join per iteration was a no-op re-keying
+            # of the same row set and is removed (guide §2.4: one
+            # join+shuffle per iteration, not two joins).  Descale the
+            # inflow first (÷P_SCALE) so the ×DAMP_NUM product stays
+            # well inside int64.
+            ranks = (
                 trans.join(maybe_b(ranks), trans.src == ranks.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("p_q") * F.col("rank_q")).alias("inflow_q2"))
-            )
-            # every node has outgoing AND incoming edges here (symmetrized
-            # graph), so no dangling-mass term is needed.  Descale the
-            # inflow first (÷P_SCALE) so the ×DAMP_NUM product stays well
-            # inside int64.
-            ranks = (
-                nodes.join(maybe_b(contrib), "node", "left")
                 .select(
                     "node",
                     (
                         F.lit(base)
-                        + F.expr(
-                            f"({DAMP_NUM} * (coalesce(inflow_q2, CAST(0 AS BIGINT))"
-                            f" DIV {P_SCALE})) DIV {DAMP_DEN}"
-                        )
+                        + F.expr(f"({DAMP_NUM} * (inflow_q2 DIV {P_SCALE})) DIV {DAMP_DEN}")
                     ).alias("rank_q"),
                 )
                 .localCheckpoint(eager=True)

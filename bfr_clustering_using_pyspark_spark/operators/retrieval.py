@@ -238,17 +238,13 @@ def _bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distinct_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted distinct (doc_id, term) postings — the lexical leg's
-    inverted index, shared by q_hybrid_rrf and retrieval_eval."""
-
-    def build():
-        docs = _spread(load_table(spark, sf_dir, "documents"))
-        return docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term"),
-        )
-
-    return _cached_frame(spark, sf_dir, "postings", build)
+    """Distinct (doc_id, term) postings — the lexical leg's inverted
+    index, shared by q_hybrid_rrf and retrieval_eval. The tf frame's
+    key set IS this relation (groupBy doc_id, term), so ride the one
+    persisted tokenize pass instead of a second full explode +
+    array_distinct over the corpus (guide §2.4: two consumers keyed
+    the same way share one materialization)."""
+    return _bm25_tf(spark, sf_dir).select("doc_id", "term")
 
 
 def _query_pred():

@@ -1,8 +1,11 @@
 """The retrieval family's session cache (_TOK_CACHE) carries the
-persisted postings / (doc,term,tf) frames across keys in one session.
-Pin the eviction contract the minhash cache was ADVICE'd on: hits
-return the same persisted frame, superseded corpus versions are
-unpersisted (not leaked), and the cache stays bounded."""
+persisted (doc,term,tf) frame across keys in one session; the
+distinct-postings accessor is a projection of that one tokenize pass
+(r15: the tf frame's key set IS the postings relation, so the second
+full explode+array_distinct build was removed). Pin the eviction
+contract the minhash cache was ADVICE'd on: hits return the same
+persisted frame, superseded corpus versions are unpersisted (not
+leaked), the cache stays bounded, and postings == tf keys."""
 
 import numpy as np
 import pandas as pd
@@ -37,21 +40,25 @@ def test_cache_hit_returns_same_persisted_frame(spark, tmp_path):
     d = tmp_path / "c1"
     d.mkdir()
     _write_corpus(d)
-    a = R._distinct_postings(spark, str(d))
-    b = R._distinct_postings(spark, str(d))
+    a = R._bm25_tf(spark, str(d))
+    b = R._bm25_tf(spark, str(d))
     assert a is b
     assert a.storageLevel.useMemory or a.storageLevel.useDisk  # persisted
-    # distinct kinds are distinct entries
-    tf = R._bm25_tf(spark, str(d))
-    assert tf is not a
-    assert R._bm25_tf(spark, str(d)) is tf
+    # postings rides the SAME cache entry: no second tokenize pass is
+    # registered, and its rows are exactly the tf frame's key pairs
+    n_entries = len(R._TOK_CACHE)
+    post = R._distinct_postings(spark, str(d))
+    assert len(R._TOK_CACHE) == n_entries  # no new cache kind
+    assert sorted(map(tuple, post.collect())) == sorted(
+        map(tuple, a.select("doc_id", "term").collect())
+    )
 
 
 def test_superseded_corpus_version_is_unpersisted(spark, tmp_path):
     d = tmp_path / "c2"
     d.mkdir()
     _write_corpus(d, seed=1)
-    old = R._distinct_postings(spark, str(d))
+    old = R._bm25_tf(spark, str(d))
     assert old.storageLevel.useMemory or old.storageLevel.useDisk
     # storageLevel can't witness the release here: old and the
     # rebuild share a logical plan (same parquet path), and Spark's
@@ -66,7 +73,7 @@ def test_superseded_corpus_version_is_unpersisted(spark, tmp_path):
 
     old.unpersist = spy
     _write_corpus(d, seed=2)  # mtime + content change
-    new = R._distinct_postings(spark, str(d))
+    new = R._bm25_tf(spark, str(d))
     assert new is not old
     assert released, "superseded entry was not unpersisted"
 
@@ -77,7 +84,7 @@ def test_cache_is_bounded_oldest_first(spark, tmp_path):
         d = tmp_path / f"c3_{i}"
         d.mkdir()
         _write_corpus(d, seed=10 + i)
-        frames.append(R._distinct_postings(spark, str(d)))
+        frames.append(R._bm25_tf(spark, str(d)))
     assert len(R._TOK_CACHE) <= R._TOK_CACHE_MAX
     # the oldest entries were evicted AND unpersisted
     evicted = frames[: len(frames) - R._TOK_CACHE_MAX]

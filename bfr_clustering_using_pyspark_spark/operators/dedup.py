@@ -1462,25 +1462,42 @@ def _dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # exact ground truth with the lossless length-ratio prune
-    a, b = base.alias("a"), base.alias("b")
-    r_num = int(EVAL_J * 10)
-    inter = F.size(F.array_intersect(F.col("a.sh_h"), F.col("b.sh_h")))
-    union = F.size(F.col("a.sh_h")) + F.size(F.col("b.sh_h")) - inter
-    jac = F.round(inter / union * 10000.0).cast("long") / 10000.0
+    # exact ground truth via the inverted-index all-pairs count
+    # (guide §3.2 / §2.3: decide with small rows): explode each doc's
+    # DISTINCT shingle hashes, equality-self-join on the hash, and
+    # count shared hashes per pair — that count IS
+    # size(array_intersect(sh_h, sh_h)) , so the Jaccard expression
+    # (set intersection over RAW-size union, the pinned semantics) is
+    # unchanged and the truth SET is identical. The former
+    # formulation was a BroadcastNestedLoopJoin evaluating an
+    # array_intersect for every length-compatible pair
+    # (~EVAL_N²/2 evaluations for a handful of truth rows — measured
+    # 6.9 s at sf0.1); pairs sharing zero shingles now never
+    # materialize at all (they had jac = 0 < EVAL_J). Re-gated at
+    # sf0.01 and sf0.1.
+    sz = F.size("sh_h")
+    ex = base.select(
+        "doc_id", sz.alias("sz"), F.explode(F.array_distinct("sh_h")).alias("h")
+    )
+    x, y = ex.alias("x"), ex.alias("y")
+    cand = (
+        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sz").alias("sza"),
+            F.col("y.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        F.round(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) * 10000.0
+        ).cast("long")
+        / 10000.0
+    )
     truth = (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.size(F.col("a.sh_h")) * 10 >= F.size(F.col("b.sh_h")) * r_num)
-            & (F.size(F.col("b.sh_h")) * 10 >= F.size(F.col("a.sh_h")) * r_num),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= EVAL_J)
+        cand.filter(jac >= EVAL_J)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

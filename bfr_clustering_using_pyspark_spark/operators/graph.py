@@ -71,8 +71,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulp.  The DuckDB oracle unrolls the identical integer
     recurrence, so this stays a hash-gated iterative algorithm."""
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    # per-src outflow doubles as the NODE table: distinct(src) is
+    # exactly out_w's key set (and the graph is symmetrized, so that
+    # is every node) — one grouped pass replaces the former separate
+    # distinct+checkpoint job over the edge list (guide §2.4: two
+    # operations keyed the same way share one exchange)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w")).localCheckpoint(eager=True)
+    n_nodes = out_w.count()
     # the edge build above ran at deployment width (it scans the fact
     # tables); the ITERATION only ever shuffles O(edges) rows, so size
     # its width to the materialized edge count.  Safe because every
@@ -81,7 +86,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = R_SCALE // n_nodes  # initial rank, 1e-12 units
     base = ((DAMP_DEN - DAMP_NUM) * R_SCALE) // (DAMP_DEN * n_nodes)  # (1-d)/n
     with scoped_shuffle_width(spark, sized_width(spark, n_edges)):
-        out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
         # transition weight: fraction of src's outflow carried by this
         # edge, floored to 1e-6 units (exact integer division)
         trans = (
@@ -89,7 +93,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", F.expr(f"(w * {P_SCALE}) DIV out_w").alias("p_q"))
             .localCheckpoint(eager=True)
         )
-        ranks = nodes.select("node", F.lit(r0).alias("rank_q"))
+        ranks = out_w.select(F.col("src").alias("node"), F.lit(r0).alias("rank_q"))
         # rank/contrib frames are O(nodes); when that side is small
         # enough to broadcast (counted above — a customer/supplier
         # graph has nodes << edges), each iteration becomes a

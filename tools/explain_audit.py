@@ -20,7 +20,11 @@ AUDIT = {
     # deterministic output
     "q1_pricing_summary": (True, False, 2),
     "q3_shipping_priority": (True, True, 4),
-    "q5_local_supplier": (True, True, 4),
+    # r15: +1 — the ASIA pre-filter (nation⋈region semi/inner-joined
+    # into customer/supplier BEFORE the fact joins, guide §3.2) adds
+    # one ENSURE_REQUIREMENTS exchange in the INITIAL plan that AQE
+    # collapses at runtime; the executed join inputs are ~5x smaller
+    "q5_local_supplier": (True, True, 5),
     "q6_forecast_revenue": (True, False, 1),
     "q_top_customers": (False, True, 3),
     "q_order_priority": (True, True, 3),
@@ -45,10 +49,15 @@ AUDIT = {
     # cached postings/tf frames (retrieval._cached_frame) print their
     # build plan (spread repartition + agg exchange) inside every
     # InMemoryRelation occurrence, so each consumer branch re-counts
-    # it — at runtime those stages execute once per session
+    # it — at runtime those stages execute once per session.
+    # r15: _distinct_postings now rides the (doc,term,tf) cache (one
+    # tokenize pass per session instead of two), so every postings
+    # occurrence textually carries the tf build's groupBy exchange —
+    # +4 textual nodes on the two postings consumers for one FEWER
+    # executed corpus scan+explode+persist
     "text_bm25": (False, True, 11),
-    "q_hybrid_rrf": (False, True, 17),
-    "retrieval_eval": (False, True, 18),
+    "q_hybrid_rrf": (False, True, 21),
+    "retrieval_eval": (False, True, 22),
     "corpus_train_shuffle": (False, True, 4),
     "q_regression": (False, True, 2),
     "embedding_normalize": (False, False, 1),

@@ -746,6 +746,45 @@ def _sql_larr(vals) -> str:
     return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
 
 
+def _sql_json_lit(value, sql_type: str) -> str:
+    """A literal array (of any nesting) rendered as
+    ``from_json('<json>', '<type>')`` SQL text.
+
+    Catalyst CONSTANT-FOLDS the call into ONE typed Literal at
+    optimization time, and a non-primitive Literal enters generated
+    code as a *reference object*, not source text — so per-round
+    plans that differ only in these literal VALUES compile to
+    byte-identical codegen source and hit the JIT class cache. The
+    ``array(1.0D, …)`` spelling above instead parses to a CreateArray
+    tree of scalar literals whose values are inlined into the source,
+    forcing a fresh janino compile every round (~0.35 s/round per
+    det-epoch gate measured at sf0.1).
+
+    Exactness: doubles render via ``json.dumps`` (repr — shortest
+    round-trip decimal; Jackson's parseDouble is correctly rounded,
+    so the JVM sees the identical bits as the ``1.0D`` spelling);
+    ints are parsed as exact int64, never through a double. Callers
+    never pass NaN/Inf (moments of finite integers, ε-floored
+    variances), which JSON could not carry."""
+    import json as _json
+
+    body = _json.dumps(value, separators=(",", ":"))
+    esc = body.replace("\\", "\\\\").replace("'", "\\'")
+    return f"from_json('{esc}', '{sql_type}')"
+
+
+def _sql_djson(rows) -> str:
+    """Matrix of doubles as a single constant-folded literal."""
+    return _sql_json_lit(
+        [[float(v) for v in r] for r in rows], "array<array<double>>"
+    )
+
+
+def _sql_ljson(rows) -> str:
+    """Matrix of int64 as a single constant-folded literal."""
+    return _sql_json_lit([[int(v) for v in r] for r in rows], "array<array<bigint>>")
+
+
 def _kdet_assign_expr(centroids: dict[int, list[float]], scale: float = KDET_SCALE):
     """argmin_c Σ_d (x_d/SCALE − c_d)², ties → smaller cluster id
     (centroid ids listed ascending, array_position takes the first
@@ -756,8 +795,11 @@ def _kdet_assign_expr(centroids: dict[int, list[float]], scale: float = KDET_SCA
     shape of the previous Column build: zip_with (x/S − c)² →
     left-fold sum."""
     ids = sorted(centroids)
-    cmat = _sql_dmat([centroids[c] for c in ids])
-    ids_arr = "array(" + ",".join(str(int(c)) for c in ids) + ")"
+    # constant-folded single literals (see _sql_json_lit): every
+    # Lloyd round's plan differs only in the literal values, so the
+    # generated code is shared across rounds instead of recompiled
+    cmat = _sql_djson([centroids[c] for c in ids])
+    ids_arr = _sql_json_lit([int(c) for c in ids], "array<int>")
     d2s = (
         f"transform({cmat}, c -> aggregate(zip_with(xi, c, (x, cc) -> "
         f"(x / {float(scale)!r}D - cc) * (x / {float(scale)!r}D - cc)), "
@@ -1053,13 +1095,15 @@ def _bdet_gate_parts(mom: dict[int, tuple[int, list[int], list[int]]]):
     DOUBLEs are both correctly-rounded IEEE754, so the literals match
     the oracle's computed columns bit-for-bit."""
     params = _bdet_params(mom)
-    # two array<array<double>> literal matrices rendered as SQL text
-    # (one JVM parse — see _sql_darr) — identical VALUES; the inner
-    # fold walks dims ascending via get(·, i), the same left-to-right
-    # order as the oracle's list_sum.
-    mus = _sql_dmat([mu for _, mu, _ in params])
-    sgs = _sql_dmat([sg for _, _, sg in params])
-    ids_arr = "array(" + ",".join(str(int(c)) for c, _, _ in params) + ")"
+    # two array<array<double>> literal matrices, constant-folded into
+    # single Literals (see _sql_json_lit) — identical VALUES to the
+    # array(...) spelling, but per-chunk plans now share generated
+    # code instead of recompiling; the inner fold walks dims ascending
+    # via get(·, i), the same left-to-right order as the oracle's
+    # list_sum.
+    mus = _sql_djson([mu for _, mu, _ in params])
+    sgs = _sql_djson([sg for _, _, sg in params])
+    ids_arr = _sql_json_lit([int(c) for c, _, _ in params], "array<int>")
     sl = f"{float(BDET_SCALE)!r}D"
     d2s = (
         f"zip_with({mus}, {sgs}, (mu, sg) -> aggregate(sequence(0, {KDET_DIMS - 1}), "
@@ -1119,10 +1163,12 @@ def _bdet_init_assign(chunk0: DataFrame):
     seeds: list[list[int]] = [list(first["xi"])]
     sl = f"{float(S)!r}D"
     for _ in range(BDET_K - 1):
-        # the chosen-seed matrix as one parsed SQL literal; min over
-        # the per-seed left-fold distances — same values/op order as
-        # the oracle's min(list_sum(...)) GROUP BY
-        smat = "array(" + ",".join(_sql_larr(sx) for sx in seeds) + ")"
+        # the chosen-seed matrix as one constant-folded literal; min
+        # over the per-seed left-fold distances — same values/op order
+        # as the oracle's min(list_sum(...)) GROUP BY. from_json makes
+        # all K−1 seed rounds (whose matrices also differ in LENGTH)
+        # share one generated-code shape
+        smat = _sql_ljson(seeds)
         dmin = F.expr(
             f"array_min(transform({smat}, sx -> aggregate(zip_with(xi, sx, (x, y) -> "
             f"(x / {sl} - y / {sl}) * (x / {sl} - y / {sl})), "

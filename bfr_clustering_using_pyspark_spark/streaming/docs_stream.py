@@ -47,7 +47,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tuning import scoped_shuffle_width, shuffle_width
+from ..functions.tuning import (
+    drain_width,
+    scoped_shuffle_width,
+    scratch_dir,
+    shuffle_width,
+)
 from ..operators.dedup import (
     CC_SMALL_PAIRS,
     _minhash_kernel,
@@ -211,7 +216,7 @@ def stream_components(
     a_p, b_p = _minhash_params()
     src = _chunked_docs_cached(spark, sf_dir, n_chunks)
 
-    with tempfile.TemporaryDirectory(prefix="streamcc_") as tmp:
+    with tempfile.TemporaryDirectory(prefix="streamcc_", dir=scratch_dir()) as tmp:
         sig_path = f"{tmp}/state/sigs"
         sh_path = f"{tmp}/state/shingles"
         lbl_path = f"{tmp}/state/labels"
@@ -460,8 +465,8 @@ def stream_components(
         # ~1 s/drain faster than 8 at sf0.1 (identical labels): the
         # fold's many small jobs are task-scheduling-bound, not
         # data-bound, at any gate SF
-        with scoped_shuffle_width(spark, min(shuffle_width(spark), 4)):
-            with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        with scoped_shuffle_width(spark, drain_width(spark)):
+            with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
                 q = (
                     spark.readStream.schema("doc_id long, text string")
                     .format("parquet")
@@ -655,7 +660,7 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
     n_lists = _n_ivf_lists(spark.read.parquet(src).count())
     _mark("setup")
 
-    with tempfile.TemporaryDirectory(prefix="streamann_") as tmp:
+    with tempfile.TemporaryDirectory(prefix="streamann_", dir=scratch_dir()) as tmp:
         idx_path = f"{tmp}/index"
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -692,10 +697,8 @@ def stream_ann_index(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
         # per-query window and final sort are over a bounded result
         # (queries × top-k), so the narrow width costs nothing at
         # scale while removing idle-task overhead at gate SFs
-        with scoped_shuffle_width(
-            spark, min(shuffle_width(spark), 8)
-        ):
-            with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        with scoped_shuffle_width(spark, drain_width(spark)):
+            with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
                 # two chunk files per trigger: the face's contracts
                 # (multi-batch accumulation, per-batch idempotent
                 # retry) need >=2 batches, not one batch per file —
@@ -819,8 +822,8 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in cells:
             state[int(row["seed"]), int(row["bucket"])] += int(row["cnt"])
 
-    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    with scoped_shuffle_width(spark, drain_width(spark)):
+        with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
             q = (
                 spark.readStream.schema(
                     "doc_id long, text string, lang string, source string, n_chars long"

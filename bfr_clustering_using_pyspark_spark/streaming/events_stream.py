@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.tuning import scoped_shuffle_width, shuffle_width
+from ..functions.tuning import drain_width, scoped_shuffle_width, scratch_dir
 
 from ..functions.numeric import fixed_sum
 
@@ -71,15 +71,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 LAST_PROGRESS: dict[str, list] = {}
 
 
-def _run_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "append", width: int | None = None
+) -> DataFrame:
     spark = stream_df.sparkSession
     # Stateful streaming pays a per-partition state-store cost each
-    # micro-batch; at test volumes 8 partitions beat 32 by ~4× (a
-    # real cluster sizes this to executor-cores × executors — the
-    # partition count is fixed at first checkpoint, so choose per
-    # deployment, not per query).
-    with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    # micro-batch (drain_width: 4 measured faster than 8, 8 beat 32 by
+    # ~4× — a real cluster sizes this per deployment via
+    # $SPARK_GRAFT_STREAM_WIDTH, since the partition count is fixed at
+    # first checkpoint). ``width`` overrides for drains whose per-row
+    # work dominates the store cost (the Python-stateful sessionizer).
+    # The checkpoint is ephemeral per drain → scratch_dir puts its
+    # per-batch metadata writes on tmpfs.
+    with scoped_shuffle_width(spark, width or drain_width(spark)):
+        with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
             q = (
                 stream_df.writeStream.format("memory")
                 .queryName(query_name)
@@ -181,7 +186,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.readers import load_table
 
-    root = tempfile.mkdtemp(prefix="upsert_")
+    root = tempfile.mkdtemp(prefix="upsert_", dir=scratch_dir())
     try:
         src = os.path.join(root, "src")
         base = load_table(spark, sf_dir, "events").select(
@@ -226,7 +231,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.write.mode("overwrite").parquet(new_dir)
             state["dir"] = new_dir
 
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
             q = (
                 raw.writeStream.foreachBatch(upsert)
                 .option("checkpointLocation", ckpt)
@@ -391,7 +396,18 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    res = _run_to_memory(out, "stream_sessionize_sink", mode="append")
+    # The per-user pandas kernel is Python-compute-bound, so unlike
+    # the JVM-agg drains wider wins until the state-store fixed cost
+    # catches up: measured 4→3.7 s, 8→2.7 s, 16→2.4 s, 32→2.9 s at
+    # sf0.1 — cap at 16, still bounded by the session width
+    from ..functions.tuning import shuffle_width
+
+    res = _run_to_memory(
+        out,
+        "stream_sessionize_sink",
+        mode="append",
+        width=min(shuffle_width(spark), 16),
+    )
     return res.orderBy("user_id", "start_ms")
 
 
@@ -424,7 +440,7 @@ def stream_bfr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = state.setdefault(int(row["bucket"]), np.zeros(3, dtype=np.int64))
             acc += np.array([row["n"], row["s"], row["sq"]], dtype=np.int64)
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
         q = (
             ev.writeStream.foreachBatch(update)
             .option("checkpointLocation", ckpt)
@@ -484,82 +500,104 @@ def stream_bfr_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         KDET_DIMS,
         BDET_SCALE,
     )
+
+    # the chunked replay source is a pure function of
+    # (embeddings.parquet, BDET_CHUNKS): persisted once under the
+    # warehouse (sources/fixtures.py — mtime/format-keyed digest;
+    # the pinned mtimes survive on disk, so replay order is stable)
+    # and reused by every session and process, exactly like the
+    # staged weekly events replay — re-staging per call cost ~0.8 s
+    # of coalesce(1) write jobs at sf0.1
+    src = _staged_bdet_chunks(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(src, "batch_000.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(src, "batch_*.parquet"))
+    )
+
+    xi = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * BDET_SCALE).cast("long"),
+    )
+    mom: dict[int, tuple[int, list[int], list[int]]] = {}
+    per_round: list[tuple[int, dict[int, int]]] = []
+
+    def step(bdf: DataFrame, bid: int) -> None:
+        ch = bdf.select("vec_id", xi.alias("xi"))
+        if not mom:
+            assign = _bdet_init_assign(ch)
+        else:
+            bc, best = _bdet_gate_parts(mom)
+            assign = F.when(best <= F.lit(BDET_THRESH), bc).otherwise(
+                F.lit(-1).cast("int")
+            )
+        grouped = (
+            ch.select("vec_id", "xi", assign.alias("cluster"))
+            .groupBy("cluster")
+            .agg(F.expr(_BDET_MOM_STRUCT))
+            .collect()
+        )
+        counts: dict[int, int] = {}
+        for row in grouped:
+            c, r = row["cluster"], row["m"]
+            counts[c] = r["n"]
+            if c < 0:
+                continue
+            n0, s0, q0 = mom.get(c, (0, [0] * KDET_DIMS, [0] * KDET_DIMS))
+            mom[c] = (
+                n0 + r["n"],
+                [s0[i] + r[f"s{i}"] for i in range(KDET_DIMS)],
+                [q0[i] + r[f"q{i}"] for i in range(KDET_DIMS)],
+            )
+        per_round.append((bid, counts))
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_dir()) as ckpt:
+        q = (
+            raw.writeStream.foreachBatch(step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = []
+    cum: dict[int, int] = {}
+    for bid, counts in sorted(per_round):
+        for c in sorted(counts):
+            cum[c] = cum.get(c, 0) + counts[c]
+            rows.append((bid + 1, int(c), int(counts[c]), int(cum[c])))
+    return spark.createDataFrame(
+        rows, "round_id int, cluster int, n_round long, n_cum long"
+    ).orderBy("round_id", "cluster")
+
+
+def _staged_bdet_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """The BDET chunk replay layout (``vec_id % BDET_CHUNKS`` slices of
+    ``embeddings``, one part-file each, mtime-pinned) as a persisted
+    fixture — same contract as ``_staged_weekly_cached``."""
+    from ..plans.ml_queries import BDET_CHUNKS
+    from ..sources.fixtures import ensure_fixture
     from ..sources.readers import load_table
 
-    root = tempfile.mkdtemp(prefix="bfr_rounds_")
-    try:
-        src = os.path.join(root, "src")
+    def stage(d: str) -> None:
         base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         for b in range(BDET_CHUNKS):
-            p = os.path.join(src, f"batch_{b:03d}.parquet")
+            p = os.path.join(d, f"batch_{b:03d}.parquet")
             base.filter(
                 F.pmod("vec_id", F.lit(BDET_CHUNKS)) == b
             ).coalesce(1).write.mode("overwrite").parquet(p)
             _pin_batch_mtime(p, b)
-        schema = spark.read.parquet(os.path.join(src, "batch_000.parquet")).schema
-        raw = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(os.path.join(src, "batch_*.parquet"))
-        )
 
-        xi = F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * BDET_SCALE).cast("long"),
-        )
-        mom: dict[int, tuple[int, list[int], list[int]]] = {}
-        per_round: list[tuple[int, dict[int, int]]] = []
-
-        def step(bdf: DataFrame, bid: int) -> None:
-            ch = bdf.select("vec_id", xi.alias("xi"))
-            if not mom:
-                assign = _bdet_init_assign(ch)
-            else:
-                bc, best = _bdet_gate_parts(mom)
-                assign = F.when(best <= F.lit(BDET_THRESH), bc).otherwise(
-                    F.lit(-1).cast("int")
-                )
-            grouped = (
-                ch.select("vec_id", "xi", assign.alias("cluster"))
-                .groupBy("cluster")
-                .agg(F.expr(_BDET_MOM_STRUCT))
-                .collect()
-            )
-            counts: dict[int, int] = {}
-            for row in grouped:
-                c, r = row["cluster"], row["m"]
-                counts[c] = r["n"]
-                if c < 0:
-                    continue
-                n0, s0, q0 = mom.get(c, (0, [0] * KDET_DIMS, [0] * KDET_DIMS))
-                mom[c] = (
-                    n0 + r["n"],
-                    [s0[i] + r[f"s{i}"] for i in range(KDET_DIMS)],
-                    [q0[i] + r[f"q{i}"] for i in range(KDET_DIMS)],
-                )
-            per_round.append((bid, counts))
-
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-            q = (
-                raw.writeStream.foreachBatch(step)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-        rows = []
-        cum: dict[int, int] = {}
-        for bid, counts in sorted(per_round):
-            for c in sorted(counts):
-                cum[c] = cum.get(c, 0) + counts[c]
-                rows.append((bid + 1, int(c), int(counts[c]), int(cum[c])))
-        return spark.createDataFrame(
-            rows, "round_id int, cluster int, n_round long, n_cum long"
-        ).orderBy("round_id", "cluster")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return ensure_fixture(
+        spark,
+        "bdet_chunks",
+        sf_dir,
+        "embeddings.parquet",
+        f"chunks={BDET_CHUNKS}",
+        stage,
+    )
 
 
 # ---------------- batch-equivalent oracles ----------------
@@ -881,7 +919,7 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay). The oracle encodes that collapsed-lag rule; emission is
     unchanged (window end ≤ global max − delay — the file-sink
     commit log makes the append exactly-once across the restart)."""
-    stage_dir = tempfile.mkdtemp(prefix="ckpt_rec_")
+    stage_dir = tempfile.mkdtemp(prefix="ckpt_rec_", dir=scratch_dir())
     out = os.path.join(stage_dir, "out")
     ck = os.path.join(stage_dir, "ck")
     src_glob = os.path.join(stage_dir, "batch_*.parquet")
@@ -896,7 +934,7 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .load(src_glob)
         )
-        with scoped_shuffle_width(spark, min(shuffle_width(spark), 8)):
+        with scoped_shuffle_width(spark, drain_width(spark)):
             q = (
                 _hourly_agg(raw)
                 .writeStream.format("parquet")

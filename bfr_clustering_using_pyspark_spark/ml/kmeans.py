@@ -41,12 +41,22 @@ def mllib_kmeans(points: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # cache unconditionally: MLlib's Lloyd loop takes max_iter passes
-    # over the input (plus the k-means|| init rounds), and an uncached
-    # frame re-runs the parquet scan + array→vector conversion on
-    # every one of them (guide §5 — measured 5.0 s → 2.2 s at sf0.1
-    # for the single-seed fit, bit-identical centers)
-    vecs = points.withColumn("_vec", array_to_vector(F.col(features_col))).persist()
+    # Pin the vectorized input with an EAGER localCheckpoint, not
+    # persist(): MLlib's Lloyd loop takes max_iter passes over the
+    # input (plus the k-means|| init rounds), so an unpinned frame
+    # re-runs the parquet scan + array→vector conversion on every one
+    # (guide §5 — 5.0 s → 2.2 s at sf0.1, r15). But a persist() is
+    # WORSE than the checkpoint: MLlib skips caching its internal
+    # (vector, norm) RDD when the input reports a storage level, so
+    # every pass still decoded cached rows back into vectors —
+    # measured min-of-3 at sf0.1: persist 1.98 s, no cache 1.59 s,
+    # eager localCheckpoint 1.41 s, bit-identical centers (this was
+    # the one confirmed r15 bench regression). The checkpoint blocks
+    # are freed by the ContextCleaner when the frame goes out of
+    # scope; durability is not needed inside one fit call.
+    vecs = points.withColumn("_vec", array_to_vector(F.col(features_col))).localCheckpoint(
+        eager=True
+    )
     best_model, best_cost = None, None
     for i in range(max(n_seeds, 1)):
         model = KMeans(
@@ -57,11 +67,10 @@ def mllib_kmeans(points: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
             best_model, best_cost = model, cost
     assigned = best_model.transform(vecs).select("id", "cluster")
     centers = np.array(best_model.clusterCenters())
-    # materialize the winner BEFORE dropping the cache — otherwise
-    # the returned lazy frame recomputes the full input lineage
-    # when the caller finally collects (ADVICE r13)
+    # materialize the winner before vecs goes out of scope — the
+    # returned frame must not re-run the fit lineage when the caller
+    # finally collects (ADVICE r13)
     assigned = assigned.localCheckpoint(eager=True)
-    vecs.unpersist()
     return assigned, centers
 
 

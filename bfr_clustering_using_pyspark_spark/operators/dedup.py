@@ -1299,23 +1299,35 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap and drop a real run segment — undocumented nowhere else,
     probability ~2^-64 per distinct-shingle pair, and absent on the
     gated data (the hash gate would catch it)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread: a 1-file scan is ONE partition, serializing the whole
+    # tokenize on a single core (guide §2.5 input skew)
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    # Shingle build via window LEADs over exploded tokens, not a
+    # transform/slice/concat lambda over the token array: higher-order
+    # lambdas run INTERPRETED per element (and projection collapse can
+    # inline the token array per reference), which made the old
+    # array-expression build the dominant term of this key — measured
+    # 3.05 → 0.40 s at sf0.1 for a BIT-IDENTICAL (doc_id, pos, h) set
+    # (same concat_ws string feeds the same xxhash64; positions where
+    # the (K−1)-th lead is NULL are exactly the positions the old
+    # CASE/sequence guard excluded, including docs shorter than K).
+    # The doc_id window adds one narrow shuffle of token rows —
+    # bounded by corpus token count, the same order as the explode
+    # itself (guide §1.2: per-task work before configuration).
+    toks = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    lead_toks = [F.col("w")] + [F.lead("w", j).over(wd) for j in range(1, SUBSTR_K)]
     sh = (
-        docs.withColumn("ws", F.split("text", " "))
-        .withColumn(
-            "hs",
-            # CASE-guarded: Spark's sequence(0, n) DESCENDS for n < 0
-            # (DuckDB's generate_series is empty), and Catalyst may
-            # evaluate this projection before any length filter — the
-            # expression itself must be total over short docs
-            F.expr(
-                f"case when size(ws) >= {SUBSTR_K} then "
-                f"transform(sequence(0, size(ws) - {SUBSTR_K}),"
-                f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {SUBSTR_K}))))"
-                f" else array() end"
-            ),
+        toks.select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", *lead_toks)).alias("h"),
+            F.lead("w", SUBSTR_K - 1).over(wd).alias("_tail"),
         )
-        .select("doc_id", F.posexplode("hs").alias("pos", "h"))
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
     )
     # boilerplate guard: distinct-doc frequency per shingle, as a
     # window over h (one exchange, no second scan + join-back), then

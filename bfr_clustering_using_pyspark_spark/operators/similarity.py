@@ -525,14 +525,24 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..functions.tuning import scratch_dir, shuffle_width
+
     base = _base(spark, sf_dir)
     # one metadata count sizes the quantizer beyond the pinned
     # oracle-replay domain (see _n_ivf_lists / IVF_SMALL_N)
-    ranked = _centroid_rank_expr("v", _n_ivf_lists(base.count()))
+    n_lists = _n_ivf_lists(base.count())
+    ranked = _centroid_rank_expr("v", n_lists)
     assigned = _with_list_id(base, ranked)
-    out_dir = tempfile.mkdtemp(prefix="ivf_lists_")
+    # ephemeral staging (deleted in the finally) → scratch_dir; shuffle
+    # on the PARTITION COLUMN first so each inverted list lands in
+    # exactly one task → one file per list directory instead of one
+    # per scan task per directory (guide §6 small-files — the same
+    # discipline as the streaming index writer, stream_ann_index)
+    out_dir = tempfile.mkdtemp(prefix="ivf_lists_", dir=scratch_dir())
     try:
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
+        assigned.repartition(
+            min(shuffle_width(spark), n_lists), "list_id"
+        ).write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
 
         queries = (
             _bounded_query_filter(base)

@@ -750,15 +750,15 @@ def _sql_json_lit(value, sql_type: str) -> str:
     """A literal array (of any nesting) rendered as
     ``from_json('<json>', '<type>')`` SQL text.
 
-    Catalyst CONSTANT-FOLDS the call into ONE typed Literal at
-    optimization time, and a non-primitive Literal enters generated
-    code as a *reference object*, not source text — so per-round
-    plans that differ only in these literal VALUES compile to
-    byte-identical codegen source and hit the JIT class cache. The
-    ``array(1.0D, …)`` spelling above instead parses to a CreateArray
-    tree of scalar literals whose values are inlined into the source,
-    forcing a fresh janino compile every round (~0.35 s/round per
-    det-epoch gate measured at sf0.1).
+    Catalyst constant-folds the call into ONE typed Literal at
+    optimization time. The ``array(1.0D, …)`` spelling also folds in
+    the end, but it enters the pipeline as a CreateArray tree of
+    1,000+ scalar-literal nodes that the parser, analyzer, optimizer
+    (and AQE's re-optimizations) each walk on EVERY per-round plan —
+    measured interleaved A/B on the det-epoch gate at sf0.1: 0.56 vs
+    0.43 s/round for identical results. from_json keeps the matrix
+    ONE node at any size, which also lets the K−1 growing-seed
+    rounds of ``_bdet_init_assign`` share a single expression shape.
 
     Exactness: doubles render via ``json.dumps`` (repr — shortest
     round-trip decimal; Jackson's parseDouble is correctly rounded,
@@ -795,9 +795,9 @@ def _kdet_assign_expr(centroids: dict[int, list[float]], scale: float = KDET_SCA
     shape of the previous Column build: zip_with (x/S − c)² →
     left-fold sum."""
     ids = sorted(centroids)
-    # constant-folded single literals (see _sql_json_lit): every
-    # Lloyd round's plan differs only in the literal values, so the
-    # generated code is shared across rounds instead of recompiled
+    # single-node literals (see _sql_json_lit): every Lloyd round's
+    # plan differs only in the literal values, so the per-round
+    # parse/analyze/fold cost stays O(1) in matrix size
     cmat = _sql_djson([centroids[c] for c in ids])
     ids_arr = _sql_json_lit([int(c) for c in ids], "array<int>")
     d2s = (
@@ -1095,12 +1095,11 @@ def _bdet_gate_parts(mom: dict[int, tuple[int, list[int], list[int]]]):
     DOUBLEs are both correctly-rounded IEEE754, so the literals match
     the oracle's computed columns bit-for-bit."""
     params = _bdet_params(mom)
-    # two array<array<double>> literal matrices, constant-folded into
-    # single Literals (see _sql_json_lit) — identical VALUES to the
-    # array(...) spelling, but per-chunk plans now share generated
-    # code instead of recompiling; the inner fold walks dims ascending
-    # via get(·, i), the same left-to-right order as the oracle's
-    # list_sum.
+    # two array<array<double>> literal matrices as single-node
+    # from_json literals (see _sql_json_lit) — identical VALUES to
+    # the array(...) spelling at a fraction of the per-chunk plan
+    # cost; the inner fold walks dims ascending via get(·, i), the
+    # same left-to-right order as the oracle's list_sum.
     mus = _sql_djson([mu for _, mu, _ in params])
     sgs = _sql_djson([sg for _, _, sg in params])
     ids_arr = _sql_json_lit([int(c) for c, _, _ in params], "array<int>")
@@ -1163,11 +1162,11 @@ def _bdet_init_assign(chunk0: DataFrame):
     seeds: list[list[int]] = [list(first["xi"])]
     sl = f"{float(S)!r}D"
     for _ in range(BDET_K - 1):
-        # the chosen-seed matrix as one constant-folded literal; min
-        # over the per-seed left-fold distances — same values/op order
-        # as the oracle's min(list_sum(...)) GROUP BY. from_json makes
-        # all K−1 seed rounds (whose matrices also differ in LENGTH)
-        # share one generated-code shape
+        # the chosen-seed matrix as one single-node literal; min over
+        # the per-seed left-fold distances — same values/op order as
+        # the oracle's min(list_sum(...)) GROUP BY. from_json keeps
+        # all K−1 seed rounds (whose matrices differ in LENGTH) one
+        # expression shape with O(1) plan nodes
         smat = _sql_ljson(seeds)
         dmin = F.expr(
             f"array_min(transform({smat}, sx -> aggregate(zip_with(xi, sx, (x, y) -> "
